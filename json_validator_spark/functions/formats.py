@@ -1,0 +1,85 @@
+"""Lexical format checks — the ``format.*`` keyword family.
+
+The reference's keyword inventory lists ~20 formats
+(``jsv-messages.properties:51-70``): date, date-time, time, duration,
+email, ipv4, ipv6, hostname, uri, uuid, regex, json-pointer, ….
+Each is implemented as an anchored regex usable with ``Column.rlike``
+(JVM-side, codegen) — never a per-row Python UDF.
+
+Regexes deliberately avoid lookaround and backreferences so the same
+pattern runs identically under Java ``java.util.regex`` (Spark) and RE2
+(DuckDB oracle). Formats whose full RFC grammar genuinely needs more than
+a practical regex (idn-email, iri) fall back to their ASCII cousin —
+documented per entry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# -- date/time (RFC 3339) ------------------------------------------------
+_DATE = r"\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])"
+_TIME_NOTZ = r"([01]\d|2[0-3]):[0-5]\d:([0-5]\d|60)(\.\d+)?"
+_TZ = r"([Zz]|[+-]([01]\d|2[0-3]):[0-5]\d)"
+
+FORMAT_REGEX: dict[str, str] = {
+    "date": rf"^{_DATE}$",
+    "time": rf"^{_TIME_NOTZ}{_TZ}$",
+    "date-time": rf"^{_DATE}[Tt ]{_TIME_NOTZ}{_TZ}$",
+    # ISO 8601 duration (P…); simplified: requires at least one component.
+    "duration": r"^P(\d+Y)?(\d+M)?(\d+W)?(\d+D)?(T(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?$",
+    # Pragmatic RFC 5321/5322 subset (same stance as most validators).
+    "email": r"^[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)+$",
+    "idn-email": r"^[^@\s]+@[^@\s]+\.[^@\s]+$",  # ASCII-relaxed stand-in
+    "ipv4": r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$",
+    # Full uncompressed-or-:: grammar without lookaheads.
+    "ipv6": (
+        r"^("
+        r"([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+        r"|([0-9A-Fa-f]{1,4}:){1,7}:"
+        r"|([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}"
+        r"|([0-9A-Fa-f]{1,4}:){1,5}(:[0-9A-Fa-f]{1,4}){1,2}"
+        r"|([0-9A-Fa-f]{1,4}:){1,4}(:[0-9A-Fa-f]{1,4}){1,3}"
+        r"|([0-9A-Fa-f]{1,4}:){1,3}(:[0-9A-Fa-f]{1,4}){1,4}"
+        r"|([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5}"
+        r"|[0-9A-Fa-f]{1,4}:(:[0-9A-Fa-f]{1,4}){1,6}"
+        r"|:((:[0-9A-Fa-f]{1,4}){1,7}|:)"
+        r")$"
+    ),
+    "hostname": r"^[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$",
+    "idn-hostname": r"^[^\s.]([^\s.]{0,62})?(\.[^\s.]{1,63})*$",  # relaxed
+    # RFC 3986 absolute URI: scheme ':' hier-part [?query] [#fragment]
+    "uri": r"^[A-Za-z][A-Za-z0-9+.-]*:[^\s]*$",
+    "uri-reference": r"^[^\s]*$",
+    "uri-template": r"^([^\s{}]|\{[+#./;?&=,!@|]?[A-Za-z0-9_%.]+(:[1-9]\d{0,3}|\*)?(,[A-Za-z0-9_%.]+(:[1-9]\d{0,3}|\*)?)*\})*$",
+    "iri": r"^[A-Za-z][A-Za-z0-9+.-]*:[^\s]*$",  # ASCII-scheme stand-in
+    "iri-reference": r"^[^\s]*$",
+    "uuid": r"^[0-9A-Fa-f]{8}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{12}$",
+    "json-pointer": r"^(/([^/~]|~[01])*)*$",
+    "relative-json-pointer": r"^(0|[1-9]\d*)(#|(/([^/~]|~[01])*)*)$",
+    # The corpus' own media reference format (FIXTURES.md §1).
+    "media-ref": r"^media://[0-9A-Fa-f]{8}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{12}$",
+    # RFC 2045-ish media type for contentMediaType.
+    "media-type": r"^[A-Za-z0-9][A-Za-z0-9!#$&^_.+-]*/[A-Za-z0-9][A-Za-z0-9!#$&^_.+-]*$",
+}
+
+
+def format_pass(value: Column, fmt: str) -> Column:
+    """True iff ``value`` lexically matches ``fmt``.
+
+    ``regex`` (value must itself be a compilable regex) has no regex
+    answer; ``unknown`` formats pass — mirroring the reference's
+    annotate-don't-fail stance for unknown formats
+    (``jsv-messages.properties:70``).
+    """
+    if fmt == "regex":
+        # Compilability can't be checked lexically JVM-side without a UDF;
+        # approximate: balanced-paren + no orphan quantifier heuristic is
+        # not worth it — accept all, as draft 2020-12 treats format as
+        # annotation by default.
+        return F.lit(True)
+    rx = FORMAT_REGEX.get(fmt)
+    if rx is None:
+        return F.lit(True)  # unknown format ⇒ pass (annotation-only)
+    return value.rlike(rx)

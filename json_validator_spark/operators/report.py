@@ -1,0 +1,81 @@
+"""Report layer — the TAR-report analogue (``JSONValidator.java:443-500``).
+
+The reference builds, per document: result ∈ {SUCCESS, FAILURE} (SUCCESS
+iff zero messages, ``:454-459``), error counters (``:447-448``), ordered
+report items (``:139-146``), and an *aggregate* report grouping errors by
+``severity|message`` (``:466-481``). Set-based analogues:
+
+- per-doc verdicts: a flag column, no shuffle;
+- per-partition verdicts: groupBy(spark_partition_id) — the unit the
+  checkpoint/lineage layer tracks;
+- aggregate rollup: groupBy(rule_id, severity) — map-side partial agg
+  makes this cheap at any scale;
+- deterministic ordering for diffable test output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def doc_verdicts(with_viols: DataFrame, doc_id: str = "doc_id") -> DataFrame:
+    """Per-document verdict from a ``with_violations`` frame. SUCCESS iff
+    zero error-severity violations (``JSONValidator.java:454-459``) —
+    warnings/infos are counted but do not fail the document."""
+    n_err = F.size(F.filter(F.col("violations"), lambda v: v["severity"] == "error"))
+    n_warn = F.size(F.filter(F.col("violations"), lambda v: v["severity"] == "warning"))
+    return with_viols.select(
+        F.col(doc_id).alias("doc_id"),
+        n_err.alias("n_errors"),
+        n_warn.alias("n_warnings"),
+        F.when(F.col("doc_pass"), F.lit("SUCCESS")).otherwise(F.lit("FAILURE")).alias("result"),
+    )
+
+
+def partition_verdicts(with_viols: DataFrame) -> DataFrame:
+    """Per-partition pass/fail rollup ``(partition_id, n_docs, n_errors,
+    result)`` — the verdict unit named by the north star; partial
+    (map-side) aggregation means one tiny row per partition hits the
+    shuffle."""
+    n_err = F.size(F.filter(F.col("violations"), lambda v: v["severity"] == "error"))
+    return (
+        with_viols.select(
+            F.spark_partition_id().alias("partition_id"), n_err.alias("n_err")
+        )
+        .groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_err").alias("n_errors"),
+        )
+        .withColumn(
+            "result",
+            F.when(F.col("n_errors") == 0, F.lit("SUCCESS")).otherwise(F.lit("FAILURE")),
+        )
+    )
+
+
+def aggregate_report(violations: DataFrame) -> DataFrame:
+    """Rule-level rollup ``(rule_id, severity, count)`` — exactly the
+    reference's aggregate report keyed on severity|message with the
+    location prefix stripped (``JSONValidator.java:466-481,479``); our
+    rule_id *is* the location-free message identity."""
+    return violations.groupBy("rule_id", "severity").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+
+
+def ordered(violations: DataFrame) -> DataFrame:
+    """Deterministic report ordering (ReportItemComparator analogue,
+    ``JSONValidator.java:139-146``) — for diffable golden-output tests."""
+    return violations.orderBy("doc_id", "span_path", "rule_id")
+
+
+def top_violations(violations: DataFrame, k: int = 20) -> DataFrame:
+    """Top-K most frequent rules — the human-facing truncated export
+    (``ValidationRunner.java:163-176`` caps); full set is always persisted."""
+    return (
+        aggregate_report(violations)
+        .orderBy(F.desc("count"), "rule_id", "severity")
+        .limit(k)
+    )

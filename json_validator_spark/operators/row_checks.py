@@ -1,0 +1,156 @@
+"""Row-rule evaluation + schema-set combination — one narrow pass.
+
+The reference validates each document against each schema in a set, then
+combines outcomes with ALL / ANY / ONE_OF semantics
+(``JSONValidator.java:252-296``; ANY branch-prefixing at ``:305-310``;
+ONE_OF count error per ``validator_en.properties:21``). Here the whole
+thing — every rule of every branch, plus the combination algebra — is ONE
+projection over the corpus:
+
+1. each compiled rule yields a per-row ``array<violation>`` Column;
+2. per-branch arrays concatenate rule arrays; a branch *passes* for a doc
+   iff it produced zero error-severity violations (warnings don't fail,
+   matching the reference's errors-only result logic,
+   ``JSONValidator.java:454-459``);
+3. the combination decides which violations survive and whether to add a
+   combination-level header violation.
+
+No shuffle, no UDF: the plan is a single whole-stage-codegen'd Project.
+At 100 TB this layer is scan-bound — exactly what you want.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from json_validator_spark.rules.compiler import (
+    VIOLATION_ARRAY_TYPE,
+    compile_rule,
+)
+from json_validator_spark.rules.model import Combination, RuleSet
+
+def _concat_arrays(arrays: list[Column]) -> Column:
+    if not arrays:
+        return F.array().cast(VIOLATION_ARRAY_TYPE)
+    out = F.concat(*[F.coalesce(a, F.array().cast(VIOLATION_ARRAY_TYPE)) for a in arrays])
+    return out
+
+
+def _header(rule_id: str, message: str) -> Column:
+    return F.struct(
+        F.lit("/").alias("span_path"),
+        F.lit(rule_id).alias("rule_id"),
+        F.lit("error").alias("severity"),
+        F.lit(message).alias("message"),
+    )
+
+
+def _tag_branch(arr: Column, branch_idx: int) -> Column:
+    """Prefix each violation message with its branch index — the ANY/ONE_OF
+    branch marker of ``JSONValidator.java:305-310`` (``[n]: ...``)."""
+    return F.transform(
+        arr,
+        lambda v: F.struct(
+            v["span_path"].alias("span_path"),
+            v["rule_id"].alias("rule_id"),
+            v["severity"].alias("severity"),
+            F.concat(F.lit(f"[{branch_idx}]: "), v["message"]).alias("message"),
+        ),
+    )
+
+
+def with_violations(
+    df: DataFrame,
+    ruleset: RuleSet,
+    definitions: dict[str, dict[str, Any]] | None = None,
+) -> DataFrame:
+    """Append ``violations array<struct>``, ``doc_pass boolean`` and
+    ``n_branches_passed int`` to ``df`` — still un-exploded, still narrow."""
+    branches = ruleset.branch_names
+    branch_viols: list[Column] = []
+    branch_pass: list[Column] = []
+    for b in branches:
+        arrays = [compile_rule(r, definitions).violations() for r in ruleset.branch(b)]
+        viols = _concat_arrays(arrays)
+        branch_viols.append(viols)
+        branch_pass.append(
+            F.size(F.filter(viols, lambda v: v["severity"] == "error")) == 0
+        )
+
+    n_passed = sum((p.cast("int") for p in branch_pass), start=F.lit(0))
+    combo = ruleset.combination
+
+    if combo == Combination.ALL or len(branches) == 1:
+        # every branch must pass; violations are the union (JSONValidator.java:254-258)
+        final = _concat_arrays(branch_viols)
+        doc_pass = F.lit(True)
+        for p in branch_pass:
+            doc_pass = doc_pass & p
+    elif combo == Combination.ANY:
+        # ≥1 branch passes ⇒ success, violations suppressed; else all
+        # branch errors, branch-tagged, plus a header (JSONValidator.java:279-294)
+        any_pass = F.lit(False)
+        for p in branch_pass:
+            any_pass = any_pass | p
+        tagged = _concat_arrays(
+            [_tag_branch(v, i) for i, v in enumerate(branch_viols)]
+        )
+        failure = F.concat(
+            F.array(_header("combination.any", "content does not match any of the configured schemas")),
+            tagged,
+        )
+        final = F.when(any_pass, F.array().cast(VIOLATION_ARRAY_TYPE)).otherwise(failure)
+        doc_pass = any_pass
+    elif combo == Combination.ONE_OF:
+        # exactly one must pass; 0 ⇒ all branch errors + header; >1 ⇒ a
+        # count violation (JSONValidator.java:259-278, validator_en.properties:17,21)
+        tagged = _concat_arrays(
+            [_tag_branch(v, i) for i, v in enumerate(branch_viols)]
+        )
+        zero_case = F.concat(
+            F.array(_header("combination.oneOf", "content does not match any of the configured schemas")),
+            tagged,
+        )
+        multi_case = F.array(
+            _header("combination.oneOf.multiple", "content matches more than one configured schema")
+        )
+        final = (
+            F.when(n_passed == 1, F.array().cast(VIOLATION_ARRAY_TYPE))
+            .when(n_passed == 0, zero_case)
+            .otherwise(multi_case)
+        )
+        doc_pass = n_passed == 1
+    else:  # pragma: no cover
+        raise ValueError(f"unknown combination: {combo}")
+
+    return df.withColumns(
+        {
+            "violations": final,
+            "doc_pass": doc_pass,
+            "n_branches_passed": n_passed,
+        }
+    )
+
+
+def violations_df(
+    df: DataFrame,
+    ruleset: RuleSet,
+    definitions: dict[str, dict[str, Any]] | None = None,
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Exploded violation rows ``(doc_id, span_path, rule_id, severity,
+    message)`` — the reference's report items (``JSONValidator.java:461-465``)."""
+    vdf = with_violations(df, ruleset, definitions)
+    return (
+        vdf.select(F.col(doc_id).alias("doc_id"), F.explode("violations").alias("v"))
+        .select(
+            "doc_id",
+            F.col("v.span_path").alias("span_path"),
+            F.col("v.rule_id").alias("rule_id"),
+            F.col("v.severity").alias("severity"),
+            F.col("v.message").alias("message"),
+        )
+    )

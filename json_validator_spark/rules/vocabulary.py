@@ -1,0 +1,222 @@
+"""Keyword vocabulary — §2.2 of SURVEY.md.
+
+Each JSON-Schema keyword the reference can emit an error for
+(inventory: ``jsv-messages.properties:1-71``, evaluated at
+``JSONValidator.java:381-397``) becomes a *pass predicate* builder:
+``(value: Column, params) -> Column[boolean]`` where True = the value
+satisfies the keyword. All predicates are Catalyst Column expressions —
+JVM-side, whole-stage-codegen — never per-row Python.
+
+Null semantics follow JSON Schema: an absent (null) value vacuously
+passes every keyword except ``required`` / ``forbidden``; the compiler
+applies that wrapper, so builders here may assume non-null input.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from json_validator_spark.functions.formats import format_pass
+
+# Kinds whose predicate must see nulls (presence checks).
+PRESENCE_KINDS = {"required", "forbidden", "dependentRequired"}
+
+
+def _num(v: Any) -> Column:
+    return F.lit(v)
+
+
+def _inner_pred(schema: dict[str, Any]) -> Callable[[Column], Column]:
+    """Compile a nested subschema ``{"kind": ..., "params": {...}}`` into
+    an element-level pass predicate (used by contains / items / allOf…)."""
+    kind, params = schema["kind"], schema.get("params", {})
+
+    def pred(v: Column) -> Column:
+        raw = build_pass(kind, v, params)
+        if kind in PRESENCE_KINDS:
+            return raw
+        return F.when(v.isNull(), F.lit(True)).otherwise(raw)
+
+    return pred
+
+
+def build_pass(kind: str, value: Column, params: dict[str, Any]) -> Column:
+    """Dispatch one keyword to its Column predicate. Raises on unknown
+    kinds — an unknown keyword is a rule-table authoring error, surfaced
+    at compile time like the reference's schema-parse failures."""
+
+    # --- presence (jsv-messages.properties:26,25,35) -------------------
+    if kind == "required":
+        return value.isNotNull()
+    if kind == "forbidden":  # readOnly / writeOnly / notAllowed-on-field
+        return value.isNull()
+
+    # --- constants & sets (:2,:7) --------------------------------------
+    if kind == "const":
+        return value == F.lit(params["value"])
+    if kind == "enum":
+        return value.isin(list(params["values"]))
+
+    # --- numeric bounds (:16-20) ---------------------------------------
+    if kind == "minimum":
+        return value >= _num(params["value"])
+    if kind == "maximum":
+        return value <= _num(params["value"])
+    if kind == "exclusiveMinimum":
+        return value > _num(params["value"])
+    if kind == "exclusiveMaximum":
+        return value < _num(params["value"])
+    if kind == "range":
+        return value.between(_num(params["min"]), _num(params["max"]))
+    if kind == "multipleOf":
+        # decimal-safe divisibility (SURVEY §2.2): pmod handles negatives
+        return F.pmod(value.cast("decimal(38,9)"), F.lit(params["value"]).cast("decimal(38,9)")) == 0
+
+    # --- string lexical (:12,:13,:21,:51-70,:36,:37) -------------------
+    if kind == "minLength":
+        return F.length(value) >= _num(params["value"])
+    if kind == "maxLength":
+        return F.length(value) <= _num(params["value"])
+    if kind == "pattern":
+        return value.rlike(params["regex"])
+    if kind == "format":
+        return format_pass(value, params["format"])
+    if kind == "contentEncoding":
+        if params.get("encoding", "base64") == "base64":
+            return value.rlike(r"^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$")
+        return F.lit(True)
+    if kind == "contentMediaType":
+        return format_pass(value, "media-type")
+
+    # --- type (:27,:28) -------------------------------------------------
+    if kind == "type":
+        return _type_pass(value, params)
+
+    # --- array keywords (:10,:11,:29,:3,:30-34,:44) ---------------------
+    if kind == "minItems":
+        return F.size(value) >= _num(params["value"])
+    if kind == "maxItems":
+        return F.size(value) <= _num(params["value"])
+    if kind == "uniqueItems":
+        arr = value
+        if "field" in params:  # distinctness of one struct field
+            arr = F.transform(value, lambda s: s[params["field"]])
+        return F.size(arr) == F.size(F.array_distinct(arr))
+    if kind == "contains":
+        inner = _inner_pred(params["schema"])
+        arr = value
+        if "field" in params:
+            arr = F.transform(value, lambda s: s[params["field"]])
+        n = F.size(F.filter(arr, inner))
+        lo = params.get("min", 1)
+        hi = params.get("max")
+        ok = n >= F.lit(lo)
+        if hi is not None:
+            ok = ok & (n <= F.lit(hi))
+        return ok
+    if kind == "items":  # every element satisfies subschema (:44)
+        inner = _inner_pred(params["schema"])
+        arr = value
+        if "field" in params:
+            arr = F.transform(value, lambda s: s[params["field"]])
+        return F.forall(arr, inner)
+    if kind == "prefixItems":  # positional subschemas (:23)
+        ok = F.lit(True)
+        for i, sub in enumerate(params["schemas"]):
+            inner = _inner_pred(sub)
+            elem = F.element_at(value, i + 1)
+            ok = ok & F.when(F.size(value) > i, inner(elem)).otherwise(F.lit(True))
+        return ok
+    if kind == "monotonic":
+        # Strictly-increasing struct field across the array (the corpus'
+        # span-offset ordering invariant, FIXTURES.md §1). zip_with the
+        # array against its own tail — narrow, codegen'd.
+        fld = params["field"]
+        arr = F.transform(value, lambda s: s[fld])
+        head = F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0)))
+        tail = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+        strict = params.get("strict", True)
+        cmp = (lambda a, b: a < b) if strict else (lambda a, b: a <= b)
+        return F.forall(F.zip_with(head, tail, cmp), lambda x: x)
+
+    # --- object keywords over dynamic JSON (:14,:15,:38,:47) -----------
+    # value is a map<string,string> column (from_json at source level).
+    if kind == "minProperties":
+        return F.size(F.map_keys(value)) >= _num(params["value"])
+    if kind == "maxProperties":
+        return F.size(F.map_keys(value)) <= _num(params["value"])
+    if kind == "additionalProperties":
+        allowed = F.array(*[F.lit(k) for k in params["allowed"]])
+        return F.size(F.array_except(F.map_keys(value), allowed)) == 0
+    if kind == "propertyNames":
+        return F.forall(F.map_keys(value), lambda k: k.rlike(params["regex"]))
+    if kind == "requiredKey":  # `required` for a dynamic-JSON property
+        return F.array_contains(F.map_keys(value), params["key"])
+
+    # --- in-schema boolean combinators (:39-42,:45,:43) -----------------
+    if kind == "allOf":
+        ok = F.lit(True)
+        for sub in params["schemas"]:
+            ok = ok & _inner_pred(sub)(value)
+        return ok
+    if kind == "anyOf":
+        ok = F.lit(False)
+        for sub in params["schemas"]:
+            ok = ok | _inner_pred(sub)(value)
+        return ok
+    if kind == "oneOf":
+        n = sum(
+            (_inner_pred(sub)(value).cast("int") for sub in params["schemas"]),
+            start=F.lit(0),
+        )
+        return n == 1
+    if kind == "not":
+        return ~_inner_pred(params["schema"])(value)
+    if kind == "false":  # always-invalid branch (:43)
+        return F.lit(False)
+    if kind == "true":
+        return F.lit(True)
+
+    raise ValueError(f"unknown rule kind: {kind}")
+
+
+def _type_pass(value: Column, params: dict[str, Any]) -> Column:
+    """``type`` keyword (:27). Two modes:
+
+    - typed column: the table schema already guarantees the type — the
+      compiler statically resolves this to lit(True)/lit(False) before
+      ever calling here (see compiler._static_type_ok).
+    - ``lexical: true``: the column is stringly data; check the lexeme.
+    """
+    types = params.get("types") or [params["type"]]
+    if not params.get("lexical"):
+        # Non-lexical type rules reaching runtime mean "value must be
+        # castable": use try-cast null-out (SURVEY §2.2 type row).
+        ok = F.lit(False)
+        for t in types:
+            spark_t = {"integer": "long", "number": "double", "boolean": "boolean", "string": "string"}.get(t)
+            if spark_t is None:
+                ok = ok | F.lit(True)
+            else:
+                ok = ok | value.cast("string").try_cast(spark_t).isNotNull()
+        return ok
+    ok = F.lit(False)
+    for t in types:
+        if t == "integer":
+            ok = ok | value.rlike(r"^-?(0|[1-9]\d*)$")
+        elif t == "number":
+            ok = ok | value.rlike(r"^-?(0|[1-9]\d*)(\.\d+)?([eE][+-]?\d+)?$")
+        elif t == "boolean":
+            ok = ok | value.isin("true", "false")
+        elif t == "null":
+            ok = ok | (value == "null")
+        elif t == "string":
+            ok = ok | F.lit(True)
+        elif t == "array":
+            ok = ok | value.rlike(r"^\s*\[")
+        elif t == "object":
+            ok = ok | value.rlike(r"^\s*\{")
+    return ok

@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the target profile (1000-executor cluster over ~100 TB) but safe
+on ``local[N]``: AQE on (coalescing + skew-join splitting), Arrow transfer
+for the pandas-UDF slow path, and shuffle partitions sized by parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# At cluster scale shuffle partitions should be ~2-3x total cores and
+# large enough that a partition of the biggest shuffle fits in executor
+# memory; AQE coalescing shrinks small stages back down at runtime.
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Pin a timezone so timestamp semantics match the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # 128 MB input splits — the parquet-side default that holds at 100 TB.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "8g",
+}
+
+
+def get_spark(
+    app_name: str = "json-validator-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, fallback 32).
+    ``shuffle_partitions`` defaults to the local core count — on a real
+    cluster pass ~2-3x total executor cores instead.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # parse local[N]; fall back to 32 for cluster masters
+        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        shuffle_partitions = 32 if inner in ("", "*") else int(inner)
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

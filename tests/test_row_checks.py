@@ -1,0 +1,211 @@
+"""Operator unit tests — one per §2.2 rule kind on tiny deterministic
+frames; assert exact violation-row sets (the analogue of the reference's
+message-catalog behaviors, jsv-messages.properties)."""
+
+from __future__ import annotations
+
+import pytest
+
+from json_validator_spark.operators.report import doc_verdicts
+from json_validator_spark.operators.row_checks import violations_df, with_violations
+from json_validator_spark.rules.compiler import compile_rule, resolve_refs
+from json_validator_spark.rules.model import Rule, RuleSet
+from tests.conftest import rows_set
+
+SPAN_SCHEMA = "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+
+def span(kind=None, text=None, media_ref=None, offset=None):
+    return (kind, text, media_ref, offset)
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, SPAN_SCHEMA)
+
+
+def viols(spark, rows, *rules, combination=None):
+    rs = RuleSet(rules=tuple(rules))
+    return rows_set(
+        violations_df(docs_df(spark, rows), rs),
+        "doc_id", "span_path", "rule_id", "severity",
+    )
+
+
+def test_enum_span_kind(spark):
+    rows = [
+        ("d1", [span("text", "hi", None, 0), span("imge", None, None, 1)]),
+        ("d2", [span("media", None, "media://x", 0)]),
+    ]
+    got = viols(spark, rows, Rule("enum.kind", "/spans/*/kind", "enum", {"values": ["text", "media"]}))
+    assert got == {("d1", "/spans/1/kind", "enum.kind", "error")}
+
+
+def test_required_with_guard(spark):
+    rows = [
+        ("d1", [span("text", None, None, 0), span("text", "ok", None, 1)]),
+        ("d2", [span("media", None, "media://x", 0)]),  # guard false: no violation
+    ]
+    got = viols(
+        spark, rows,
+        Rule("req.text", "/spans/*/text", "required", {"when": {"field": "kind", "eq": "text"}}),
+    )
+    assert got == {("d1", "/spans/0/text", "req.text", "error")}
+
+
+def test_pattern_and_format(spark):
+    rows = [
+        ("d1", [span("media", None, "media://00000000-0000-0000-0000-000000000000", 0)]),
+        ("d2", [span("media", None, "media:/broken", 0)]),
+        ("d3", [span("media", None, None, 0)]),  # null passes format (not required)
+    ]
+    got = viols(
+        spark, rows,
+        Rule("fmt.ref", "/spans/*/media_ref", "format", {"format": "media-ref"}),
+    )
+    assert got == {("d2", "/spans/0/media_ref", "fmt.ref", "error")}
+
+
+def test_monotonic_offsets(spark):
+    rows = [
+        ("inc", [span("text", "a", None, 0), span("text", "b", None, 5)]),
+        ("eq", [span("text", "a", None, 3), span("text", "b", None, 3)]),
+        ("dec", [span("text", "a", None, 9), span("text", "b", None, 1)]),
+        ("one", [span("text", "a", None, 7)]),
+    ]
+    got = viols(spark, rows, Rule("mono", "/spans", "monotonic", {"field": "offset"}))
+    assert got == {
+        ("eq", "/spans", "mono", "error"),
+        ("dec", "/spans", "mono", "error"),
+    }
+
+
+def test_min_max_items_and_unique(spark):
+    rows = [
+        ("empty", []),
+        ("dup", [span("text", "a", None, 0), span("text", "a", None, 0)]),
+        ("ok", [span("text", "a", None, 0), span("text", "b", None, 1)]),
+    ]
+    got = viols(
+        spark, rows,
+        Rule("min", "/spans", "minItems", {"value": 1}),
+        Rule("uniq", "/spans", "uniqueItems", {"field": "text"}),
+    )
+    assert got == {
+        ("empty", "/spans", "min", "error"),
+        ("dup", "/spans", "uniq", "error"),
+    }
+
+
+def test_contains_and_items(spark):
+    rows = [
+        ("has_media", [span("text", "a", None, 0), span("media", None, "m", 1)]),
+        ("no_media", [span("text", "a", None, 0)]),
+    ]
+    got = viols(
+        spark, rows,
+        Rule("has.media", "/spans", "contains",
+             {"field": "kind", "schema": {"kind": "const", "params": {"value": "media"}}, "min": 1}),
+        Rule("all.offsets.nonneg", "/spans", "items",
+             {"field": "offset", "schema": {"kind": "minimum", "params": {"value": 0}}}),
+    )
+    assert got == {("no_media", "/spans", "has.media", "error")}
+
+
+def test_doc_level_rules(spark):
+    rows = [
+        ("doc-000000000001", [span("text", "a", None, 0)]),
+        ("bad id", [span("text", "a", None, 0)]),
+        (None, [span("text", "a", None, 0)]),
+    ]
+    got = viols(
+        spark, rows,
+        Rule("req.id", "/doc_id", "required"),
+        Rule("pat.id", "/doc_id", "pattern", {"regex": r"^doc-\d{12}$"}),
+    )
+    assert got == {
+        ("bad id", "/doc_id", "pat.id", "error"),
+        (None, "/doc_id", "req.id", "error"),
+    }
+
+
+def test_numeric_and_length_kinds(spark):
+    df = spark.createDataFrame(
+        [("a", 5, "hello"), ("b", -1, "x"), ("c", 15, None)],
+        "doc_id string, n int, s string",
+    )
+    rs = RuleSet(rules=(
+        Rule("rng", "/n", "range", {"min": 0, "max": 10}),
+        Rule("len", "/s", "minLength", {"value": 2}),
+        Rule("mult", "/n", "multipleOf", {"value": 5}),
+    ))
+    got = rows_set(violations_df(df, rs), "doc_id", "rule_id")
+    assert got == {("b", "rng"), ("b", "len"), ("b", "mult"), ("c", "rng")}
+
+
+def test_dependent_required(spark):
+    df = spark.createDataFrame(
+        [("a", "x", "y"), ("b", "x", None), ("c", None, None)],
+        "doc_id string, a string, b string",
+    )
+    rs = RuleSet(rules=(
+        Rule("dep", "/b", "dependentRequired", {"if_target": "/a"}),
+    ))
+    got = rows_set(violations_df(df, rs), "doc_id", "rule_id")
+    assert got == {("b", "dep")}
+
+
+def test_type_lexical(spark):
+    df = spark.createDataFrame(
+        [("a", "123"), ("b", "12.5"), ("c", "abc"), ("d", None)],
+        "doc_id string, v string",
+    )
+    rs = RuleSet(rules=(Rule("t", "/v", "type", {"type": "integer", "lexical": True}),))
+    got = rows_set(violations_df(df, rs), "doc_id", "rule_id")
+    assert got == {("b", "t"), ("c", "t")}
+
+
+def test_in_schema_combinators(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 25), ("c", 15)], "doc_id string, v int"
+    )
+    sub_lo = {"kind": "maximum", "params": {"value": 10}}
+    sub_hi = {"kind": "minimum", "params": {"value": 20}}
+    rs = RuleSet(rules=(
+        Rule("one", "/v", "oneOf", {"schemas": [sub_lo, sub_hi]}),
+        Rule("any", "/v", "anyOf", {"schemas": [sub_lo, sub_hi]}),
+        Rule("not", "/v", "not", {"schema": {"kind": "const", "params": {"value": 15}}}),
+    ))
+    got = rows_set(violations_df(df, rs), "doc_id", "rule_id")
+    assert got == {("c", "one"), ("c", "any"), ("c", "not")}
+
+
+def test_ref_resolution_and_cycle_guard(spark):
+    defs = {
+        "positive": {"kind": "minimum", "params": {"value": 0}},
+        "loop_a": {"kind": "$ref", "params": {"ref": "loop_b"}},
+        "loop_b": {"kind": "$ref", "params": {"ref": "loop_a"}},
+    }
+    df = spark.createDataFrame([("a", 1), ("b", -1)], "doc_id string, v int")
+    rs = RuleSet(rules=(Rule("pos", "/v", "$ref", {"ref": "positive"}),))
+    got = rows_set(violations_df(df, rs, definitions=defs), "doc_id", "rule_id")
+    assert got == {("b", "pos")}
+    with pytest.raises(ValueError, match="cyclic"):
+        resolve_refs({"kind": "$ref", "params": {"ref": "loop_a"}}, defs)
+    with pytest.raises(ValueError, match="unresolved"):
+        resolve_refs({"kind": "$ref", "params": {"ref": "nope"}}, {})
+
+
+def test_warning_severity_does_not_fail_doc(spark):
+    rows = [("d1", [span("text", "a", "media://oops", 0)])]
+    rs = RuleSet(rules=(
+        Rule("warn.ref", "/spans/*/media_ref", "forbidden",
+             {"when": {"field": "kind", "eq": "text"}}, severity="warning"),
+    ))
+    wv = with_violations(docs_df(spark, rows), rs)
+    verdicts = rows_set(doc_verdicts(wv), "doc_id", "result", "n_warnings")
+    assert verdicts == {("d1", "SUCCESS", 1)}
+
+
+def test_unknown_kind_raises():
+    with pytest.raises(ValueError, match="unknown rule kind"):
+        compile_rule(Rule("x", "/v", "no-such-keyword")).violations()
