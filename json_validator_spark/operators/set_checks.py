@@ -1,0 +1,259 @@
+"""Set-based checks — the north-rule layer on top of per-row keywords.
+
+These generalize the reference's report counters / aggregate rollup
+(``JSONValidator.java:447-459,466-481``) to corpus-level invariants:
+
+- ``column_stats``: null-rate / min / max / approx-distinct (HLL) /
+  approx quantiles for many columns in ONE ``agg`` pass — the corpus is
+  scanned once (SURVEY §4.3.2). Partial (map-side) aggregation means the
+  shuffle carries one sketch per partition, not data.
+- ``tdigest_quantiles``: mergeable centroid sketch via ``mapInPandas``
+  (Arrow-vectorized partial) + driver-side merge — the partial+final
+  pattern; complements the built-in ``percentile_approx`` (which is a
+  GK sketch) with a true streaming-mergeable digest.
+- ``uniqueness_violations``: hash-partitioned groupBy (the groupBy's own
+  hash exchange IS the explicit partitioning; AQE splits skewed keys).
+- ``referential_violations``: broadcast left_anti against a dimension
+  table (the LocalSchemaCache $id→path preload analogue,
+  ``LocalSchemaCache.java:62-73`` — small side shipped to every executor).
+- drift: fixed-edge histograms shuffled as tiny (bucket,count) rows;
+  KS / PSI computed driver-side on the histogram (SURVEY §2.2 drift row).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ----------------------------------------------------------------------
+# Single-pass column stats
+# ----------------------------------------------------------------------
+
+_NUMERIC = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal", "long"}
+
+
+def _is_numeric(df: DataFrame, col: str) -> bool:
+    t = dict(df.dtypes)[col]
+    return t.split("(")[0] in _NUMERIC
+
+
+def column_stats(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+    rsd: float = 0.05,
+) -> DataFrame:
+    """One row per column: ``(column, n, null_rate, min, max, approx_distinct,
+    q (array<double> for numeric cols))`` — all from a single aggregation
+    pass (one scan, one tiny shuffle of partial sketches)."""
+    columns = list(columns or df.columns)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs.append(F.avg(F.col(c).isNull().cast("double")).alias(f"nr_{c}"))
+        aggs.append(F.min(c).cast("string").alias(f"min_{c}"))
+        aggs.append(F.max(c).cast("string").alias(f"max_{c}"))
+        aggs.append(F.approx_count_distinct(c, rsd).alias(f"cd_{c}"))
+        if _is_numeric(df, c):
+            aggs.append(
+                F.percentile_approx(F.col(c).cast("double"), list(quantiles)).alias(f"q_{c}")
+            )
+    wide = df.agg(*aggs)
+
+    per_col = []
+    for c in columns:
+        q = F.col(f"q_{c}") if _is_numeric(df, c) else F.lit(None).cast("array<double>")
+        per_col.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n"),
+                F.round(F.col(f"nr_{c}"), 9).alias("null_rate"),
+                F.col(f"min_{c}").alias("min"),
+                F.col(f"max_{c}").alias("max"),
+                F.col(f"cd_{c}").alias("approx_distinct"),
+                q.alias("quantiles"),
+            )
+        )
+    return wide.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
+
+
+# ----------------------------------------------------------------------
+# t-digest-style mergeable quantile sketch (partial via Arrow, final at driver)
+# ----------------------------------------------------------------------
+
+def tdigest_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: Sequence[float] = (0.5, 0.9, 0.99),
+    compression: int = 200,
+) -> dict[float, float]:
+    """Approximate quantiles via a mergeable centroid digest.
+
+    Partial: each Arrow batch collapses to ≤``compression`` weighted
+    centroids inside ``mapInPandas`` (vectorized numpy, no per-row
+    Python). Final: centroids (≤ compression × partitions rows — tiny)
+    merge at the driver by weight-preserving re-clustering. This is the
+    partial+final pattern the built-in sketches use, expressed for a
+    custom sketch Spark lacks (SURVEY §4.3.2)."""
+    import numpy as np
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vals = []
+        for b in batches:
+            v = b[col].dropna().to_numpy(dtype="float64")
+            if len(v):
+                vals.append(v)
+        if not vals:
+            return
+        v = np.sort(np.concatenate(vals))
+        # collapse to equal-weight centroids (quantile clustering)
+        k = min(compression, len(v))
+        splits = np.array_split(v, k)
+        yield pd.DataFrame(
+            {
+                "mean": [float(s.mean()) for s in splits],
+                "weight": [float(len(s)) for s in splits],
+            }
+        )
+
+    cent = (
+        df.select(F.col(col).cast("double").alias(col))
+        .mapInPandas(partial, schema="mean double, weight double")
+        .collect()
+    )
+    if not cent:
+        return {p: float("nan") for p in probs}
+    means = np.array([r["mean"] for r in cent])
+    weights = np.array([r["weight"] for r in cent])
+    order = np.argsort(means)
+    means, weights = means[order], weights[order]
+    cum = np.cumsum(weights) - weights / 2.0
+    total = weights.sum()
+    return {p: float(np.interp(p * total, cum, means)) for p in probs}
+
+
+# ----------------------------------------------------------------------
+# Uniqueness
+# ----------------------------------------------------------------------
+
+def uniqueness_violations(df: DataFrame, key: str = "doc_id", rule_id: str | None = None) -> DataFrame:
+    """Keys appearing more than once → violation rows. The groupBy's hash
+    exchange is the explicit partitioning; at 100 TB pre-aggregate
+    (map-side combine) means each duplicate key ships one row per input
+    partition, and AQE splits a pathological hot key."""
+    rid = rule_id or f"unique.{key}"
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select(
+            F.col(key).cast("string").alias("doc_id"),
+            F.lit(f"/{key}").alias("span_path"),
+            F.lit(rid).alias("rule_id"),
+            F.lit("error").alias("severity"),
+            F.concat(F.lit("duplicate key (x"), F.col("n").cast("string"), F.lit(")")).alias("message"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# Referential integrity
+# ----------------------------------------------------------------------
+
+def referential_violations(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    rule_id: str,
+    doc_id: str = "doc_id",
+    span_path: Column | None = None,
+) -> DataFrame:
+    """Fact keys absent from the dimension → violations, via broadcast
+    left_anti (dim ships once per executor; no shuffle of the fact side)."""
+    path = span_path if span_path is not None else F.lit(f"/{fact_key}")
+    probe = fact.select(
+        F.col(doc_id).cast("string").alias("doc_id"),
+        path.alias("span_path"),
+        F.col(fact_key).alias("__k"),
+    ).filter(F.col("__k").isNotNull())
+    missing = probe.join(
+        F.broadcast(dim.select(F.col(dim_key).alias("__k")).distinct()),
+        on="__k",
+        how="left_anti",
+    )
+    return missing.select(
+        "doc_id",
+        "span_path",
+        F.lit(rule_id).alias("rule_id"),
+        F.lit("error").alias("severity"),
+        F.concat(F.lit("unresolved reference: "), F.col("__k").cast("string")).alias("message"),
+    )
+
+
+def span_media_refs(docs: DataFrame, doc_id: str = "doc_id") -> DataFrame:
+    """Explode media spans to (doc_id, span_path, media_ref) for the
+    referential check — posexplode keeps the span index for the path."""
+    return (
+        docs.select(F.col(doc_id).alias("doc_id"), F.posexplode("spans").alias("i", "s"))
+        .filter(F.col("s.kind") == "media")
+        .select(
+            "doc_id",
+            F.concat(F.lit("/spans/"), F.col("i").cast("string"), F.lit("/media_ref")).alias("span_path"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# Distribution drift — histogram + KS / PSI
+# ----------------------------------------------------------------------
+
+def histogram(df: DataFrame, col: Column | str, lo: float, hi: float, n_bins: int = 20) -> DataFrame:
+    """Fixed-edge histogram ``(bucket, count)``. Edges are fixed by the
+    baseline snapshot so two histograms are comparable; the shuffle
+    carries n_bins rows after map-side combine."""
+    c = F.col(col) if isinstance(col, str) else col
+    bucket = F.width_bucket(c.cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(n_bins))
+    return (
+        df.select(bucket.alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def _normalize(hist: DataFrame, n_bins: int) -> list[float]:
+    counts = {r["bucket"]: r["count"] for r in hist.collect()}
+    total = sum(counts.values()) or 1
+    # width_bucket returns 0 / n_bins+1 for out-of-range → fold into edge bins
+    folded = [0.0] * n_bins
+    for b, n in counts.items():
+        idx = min(max(int(b) - 1, 0), n_bins - 1)
+        folded[idx] += n
+    return [x / total for x in folded]
+
+
+def psi(baseline: DataFrame, current: DataFrame, n_bins: int = 20, eps: float = 1e-6) -> float:
+    """Population Stability Index over two fixed-edge histograms; driver-side
+    on the tiny results. PSI < 0.1 ⇒ stable, > 0.25 ⇒ drifted."""
+    p = _normalize(baseline, n_bins)
+    q = _normalize(current, n_bins)
+    return float(sum((pi - qi) * math.log((pi + eps) / (qi + eps)) for pi, qi in zip(p, q)))
+
+
+def ks_statistic(baseline: DataFrame, current: DataFrame, n_bins: int = 20) -> float:
+    """Kolmogorov–Smirnov statistic (max CDF gap) over the bucketed
+    distributions — an upper-resolution-limited but mergeable estimate."""
+    p = _normalize(baseline, n_bins)
+    q = _normalize(current, n_bins)
+    cp = cq = 0.0
+    worst = 0.0
+    for pi, qi in zip(p, q):
+        cp += pi
+        cq += qi
+        worst = max(worst, abs(cp - cq))
+    return float(worst)

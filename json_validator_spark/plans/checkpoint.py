@@ -1,0 +1,113 @@
+"""Checkpoint / resume with per-partition lineage (SURVEY §4.3.3).
+
+The unit of resumability is a *logical bucket*: ``pmod(xxhash64(doc_id),
+n_buckets)`` — stable across cluster sizes and re-runs, unlike physical
+partition ids. A run processes pending buckets, writes violations
+dynamic-partition-overwritten per bucket (idempotent redo), then appends
+lineage rows ``(run_id, bucket, status, n_docs, n_errors, ts)``. Crash
+between the two ⇒ the bucket's lineage is absent ⇒ it is redone and its
+output overwritten — exactly-once at the bucket level. On Iceberg the
+violation write + lineage append become one snapshot commit; the parquet
+fallback keeps the same contract per bucket directory.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from json_validator_spark.rules.model import RuleSet
+
+LINEAGE_SCHEMA = "run_id string, bucket int, status string, n_docs long, n_errors long, ts double"
+
+
+def bucket_col(doc_id: str = "doc_id", n_buckets: int = 64) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(doc_id)), F.lit(n_buckets)).cast("int")
+
+
+def completed_buckets(spark: SparkSession, ckpt_dir: str, run_id: str) -> set[int]:
+    path = os.path.join(ckpt_dir, "lineage")
+    try:
+        lineage = spark.read.parquet(path)
+    except Exception:
+        return set()
+    rows = (
+        lineage.filter((F.col("run_id") == run_id) & (F.col("status") == "done"))
+        .select("bucket").distinct().collect()
+    )
+    return {r["bucket"] for r in rows}
+
+
+def run_with_checkpoint(
+    spark: SparkSession,
+    docs: DataFrame,
+    ruleset: RuleSet,
+    ckpt_dir: str,
+    run_id: str,
+    n_buckets: int = 64,
+    doc_id: str = "doc_id",
+    max_buckets_this_call: int | None = None,
+    media_catalog: DataFrame | None = None,
+) -> list[int]:
+    """Process pending buckets; returns the buckets completed by THIS
+    call. ``max_buckets_this_call`` exists so tests can simulate a crash
+    mid-run and then resume. Violations land in
+    ``{ckpt_dir}/violations/bucket=<b>/``."""
+    from json_validator_spark.plans.pipeline import validate_run
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    done = completed_buckets(spark, ckpt_dir, run_id)
+    pending = [b for b in range(n_buckets) if b not in done]
+    if max_buckets_this_call is not None:
+        pending = pending[:max_buckets_this_call]
+    if not pending:
+        return []
+
+    subset = docs.withColumn("__bucket", bucket_col(doc_id, n_buckets)).filter(
+        F.col("__bucket").isin(pending)
+    )
+    result = validate_run(
+        spark, subset.drop("__bucket"), ruleset,
+        doc_id=doc_id, check_uniqueness=False, media_catalog=media_catalog,
+    )
+    # uniqueness within the whole corpus can't be bucketed arbitrarily —
+    # but bucketing BY doc_id hash means duplicates co-locate in one
+    # bucket, so per-bucket uniqueness == global uniqueness. Run it on
+    # the subset with the bucket column retained.
+    from json_validator_spark.operators.set_checks import uniqueness_violations
+
+    viols = result.violations.unionByName(uniqueness_violations(subset.drop("__bucket"), key=doc_id))
+    out = viols.withColumn("bucket", bucket_col("doc_id", n_buckets))
+
+    out.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(ckpt_dir, "violations")
+    )
+
+    per_bucket = (
+        subset.groupBy("__bucket").agg(F.count(F.lit(1)).alias("n_docs")).collect()
+    )
+    err_by_bucket = {
+        r["bucket"]: r["n"]
+        for r in out.filter(F.col("severity") == "error")
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    now = time.time()
+    lineage_rows = [
+        (run_id, int(r["__bucket"]), "done", int(r["n_docs"]),
+         int(err_by_bucket.get(r["__bucket"], 0)), now)
+        for r in per_bucket
+    ]
+    # buckets with zero docs still count as done
+    seen = {r[1] for r in lineage_rows}
+    lineage_rows += [(run_id, b, "done", 0, 0, now) for b in pending if b not in seen]
+    spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).write.mode("append").parquet(
+        os.path.join(ckpt_dir, "lineage")
+    )
+    return pending
+
+
+def read_violations(spark: SparkSession, ckpt_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(ckpt_dir, "violations")).drop("bucket")

@@ -1,0 +1,94 @@
+"""End-to-end validation run — the Spark lifecycle of SURVEY §3.4.
+
+The reference's per-document loop (``RestValidationController.java:276-289``
+``validateMultiple``; CLI loop ``ValidationRunner.java:141-192``) becomes
+ONE DataFrame pass: scan → salted repartition → row rules (narrow) →
+set checks (uniqueness groupBy + broadcast referential + single stats agg)
+→ union violations → verdicts/aggregate/metrics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from json_validator_spark.operators import report as rpt
+from json_validator_spark.operators import set_checks as sc
+from json_validator_spark.operators.row_checks import with_violations
+from json_validator_spark.rules.model import RuleSet
+
+
+def salted_repartition(df: DataFrame, n: int, key: str = "doc_id", salt_buckets: int = 16) -> DataFrame:
+    """Explicit skew-spreading repartition (SURVEY §4.3.1).
+
+    Media-heavy documents (100-1000 spans vs a 1-10 median) cluster in
+    input files; hash(key)+salt assignment scatters them uniformly so no
+    task inherits a run of heavy docs. The salt term keeps even identical
+    keys (injected duplicates) from co-locating. Deterministic — a pure
+    function of the key — so N-vs-4N runs see identical row→partition
+    *groups* (partition count differs, content hashes don't)."""
+    salt = F.pmod(F.xxhash64(F.col(key), F.lit(0x5A17)), F.lit(salt_buckets))
+    return df.repartition(n, F.xxhash64(F.col(key)), salt)
+
+
+@dataclass
+class RunResult:
+    violations: DataFrame      # (doc_id, span_path, rule_id, severity, message)
+    doc_verdicts: DataFrame    # (doc_id, n_errors, n_warnings, result)
+    partition_verdicts: DataFrame
+    aggregate: DataFrame       # (rule_id, severity, count)
+    stats: DataFrame | None    # column_stats output
+    extras: dict[str, Any] = field(default_factory=dict)
+
+
+def validate_run(
+    spark: SparkSession,
+    docs: DataFrame,
+    ruleset: RuleSet,
+    definitions: dict[str, dict[str, Any]] | None = None,
+    media_catalog: DataFrame | None = None,
+    stats_columns: list[str] | None = None,
+    doc_id: str = "doc_id",
+    repartition_to: int | None = None,
+    check_uniqueness: bool = True,
+) -> RunResult:
+    """The whole engine, one call. Everything row-level happens in a
+    single narrow projection; only uniqueness (groupBy) and the stats agg
+    shuffle, and the referential join broadcasts its dimension."""
+    if repartition_to:
+        docs = salted_repartition(docs, repartition_to, key=doc_id)
+
+    wv = with_violations(docs, ruleset, definitions)
+    row_viols = (
+        wv.select(F.col(doc_id).cast("string").alias("doc_id"), F.explode("violations").alias("v"))
+        .select("doc_id", "v.span_path", "v.rule_id", "v.severity", "v.message")
+    )
+
+    all_viols = [row_viols]
+    if check_uniqueness:
+        all_viols.append(sc.uniqueness_violations(docs, key=doc_id))
+    if media_catalog is not None:
+        refs = sc.span_media_refs(docs, doc_id=doc_id)
+        all_viols.append(
+            sc.referential_violations(
+                refs, "media_ref", media_catalog, "media_ref",
+                rule_id="ref.media_catalog",
+                span_path=F.col("span_path"),
+            )
+        )
+    violations = all_viols[0]
+    for v in all_viols[1:]:
+        violations = violations.unionByName(v)
+
+    stats = sc.column_stats(docs, stats_columns) if stats_columns else None
+
+    return RunResult(
+        violations=violations,
+        doc_verdicts=rpt.doc_verdicts(wv, doc_id=doc_id),
+        partition_verdicts=rpt.partition_verdicts(wv),
+        aggregate=rpt.aggregate_report(violations),
+        stats=stats,
+    )

@@ -1,0 +1,90 @@
+"""End-to-end pipeline: determinism across parallelism, span-sequence
+invariant, checkpoint/resume identity (SURVEY §5.2 items 4-5)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from json_validator_spark.corpus import corpus_ruleset
+from json_validator_spark.plans.checkpoint import (
+    read_violations,
+    run_with_checkpoint,
+)
+from json_validator_spark.plans.pipeline import salted_repartition, validate_run
+from json_validator_spark.sources.synth import (
+    span_signature,
+    synth_documents,
+    synth_media_catalog,
+)
+
+N_DOCS = 1500
+
+
+def _viol_set(result):
+    return {tuple(r) for r in result.violations.collect()}
+
+
+def test_validate_run_end_to_end(spark):
+    docs = synth_documents(spark, N_DOCS)
+    cat = synth_media_catalog(spark)
+    res = validate_run(
+        spark, docs, corpus_ruleset(), media_catalog=cat,
+        stats_columns=["doc_id"], repartition_to=8,
+    )
+    viols = _viol_set(res)
+    assert len(viols) > 0
+    rule_ids = {v[2] for v in viols}
+    # every corpus corruption class is detected
+    assert {"enum.span.kind", "required.span.text", "format.span.media_ref",
+            "monotonic.offsets", "unique.doc_id", "ref.media_catalog"} <= rule_ids
+    verdicts = dict(res.doc_verdicts.groupBy("result").count().collect())
+    assert verdicts["FAILURE"] > 0 and verdicts["SUCCESS"] > verdicts["FAILURE"]
+    agg = {(r["rule_id"], r["severity"]): r["count"] for r in res.aggregate.collect()}
+    n_from_agg = sum(v for v in agg.values())
+    assert n_from_agg == len(viols)
+    pv = res.partition_verdicts.collect()
+    assert sum(r["n_docs"] for r in pv) == N_DOCS
+
+
+def test_determinism_across_parallelism(spark):
+    """Same violation set regardless of partitioning — the N-vs-4N gate."""
+    docs = synth_documents(spark, N_DOCS)
+    rs = corpus_ruleset()
+    r2 = validate_run(spark, docs.repartition(2), rs)
+    r16 = validate_run(spark, docs.repartition(16), rs)
+    assert _viol_set(r2) == _viol_set(r16)
+
+
+def test_span_sequence_invariant(spark):
+    """The per-row invariant from BASELINE.json: (kind, text, media_ref,
+    order) unchanged by pipeline stages — incl. the salted repartition."""
+    docs = synth_documents(spark, 500)
+    before = {r["doc_id"]: r["span_sig"] for r in span_signature(docs).collect()}
+    after_df = salted_repartition(docs, 16)
+    after = {r["doc_id"]: r["span_sig"] for r in span_signature(after_df).collect()}
+    assert before == after
+
+
+def test_checkpoint_resume_identity(spark, tmp_path):
+    """Fresh full run == crash-after-half + resume (SURVEY §5.2.5)."""
+    docs = synth_documents(spark, 800)
+    rs = corpus_ruleset()
+    run_id = str(uuid.uuid4())
+
+    fresh = validate_run(spark, docs, rs, check_uniqueness=True)
+    fresh_set = _viol_set(fresh)
+
+    ck = str(tmp_path / "ckpt")
+    first = run_with_checkpoint(
+        spark, docs, rs, ck, run_id, n_buckets=8, max_buckets_this_call=3
+    )
+    assert len(first) == 3
+    second = run_with_checkpoint(spark, docs, rs, ck, run_id, n_buckets=8)
+    assert len(second) == 5
+    third = run_with_checkpoint(spark, docs, rs, ck, run_id, n_buckets=8)
+    assert third == []  # nothing pending
+
+    resumed_set = {tuple(r) for r in read_violations(spark, ck).collect()}
+    assert resumed_set == fresh_set

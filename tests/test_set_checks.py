@@ -1,0 +1,80 @@
+"""Set-based checks: stats, t-digest, uniqueness, referential, drift."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from json_validator_spark.operators import set_checks as sc
+from json_validator_spark.sources.synth import synth_documents, synth_media_catalog
+from tests.conftest import rows_set
+
+
+def test_column_stats_single_pass(spark):
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, 10.0, "b"), (3, 20.0, None), (4, 30.0, "a")],
+        "id int, x double, s string",
+    )
+    stats = {r["column"]: r for r in sc.column_stats(df, ["x", "s"]).collect()}
+    assert stats["x"]["n"] == 4
+    assert abs(stats["x"]["null_rate"] - 0.25) < 1e-9
+    assert float(stats["x"]["min"]) == 10.0 and float(stats["x"]["max"]) == 30.0
+    assert stats["x"]["quantiles"] is not None
+    assert stats["s"]["approx_distinct"] == 2
+    assert stats["s"]["quantiles"] is None
+
+
+def test_tdigest_quantiles_matches_exact(spark):
+    df = spark.range(0, 10_001).select(F.col("id").cast("double").alias("v"))
+    q = sc.tdigest_quantiles(df, "v", probs=(0.5, 0.9))
+    assert abs(q[0.5] - 5000) < 100
+    assert abs(q[0.9] - 9000) < 100
+
+
+def test_uniqueness(spark):
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("a",), ("c",), ("a",)], "doc_id string"
+    )
+    got = rows_set(sc.uniqueness_violations(df), "doc_id", "rule_id")
+    assert got == {("a", "unique.doc_id")}
+
+
+def test_referential_broadcast_anti(spark):
+    fact = spark.createDataFrame(
+        [("d1", "k1"), ("d2", "k2"), ("d3", None)], "doc_id string, k string"
+    )
+    dim = spark.createDataFrame([("k1",)], "k string")
+    v = sc.referential_violations(fact, "k", dim, "k", rule_id="ref.k")
+    assert rows_set(v, "doc_id", "rule_id") == {("d2", "ref.k")}
+    # the plan must broadcast the dimension side
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_span_media_refs_and_catalog_coverage(spark):
+    docs = synth_documents(spark, 500, catalog_size=1000)
+    cat = synth_media_catalog(spark, 1000)
+    refs = sc.span_media_refs(docs).filter(F.col("media_ref").rlike("^media://[0-9a-f-]{36}$"))
+    v = sc.referential_violations(
+        refs, "media_ref", cat, "media_ref", rule_id="ref.media",
+        span_path=F.col("span_path"),
+    )
+    n_refs, n_missing = refs.count(), v.count()
+    assert n_refs > 0
+    # ~1% of catalog indices are deliberately absent
+    assert 0 < n_missing < 0.05 * n_refs
+
+
+def test_drift_psi_ks(spark):
+    base = synth_documents(spark, 2000)
+    same = synth_documents(spark, 2000)
+    drifted = synth_documents(spark, 2000, drift=True)
+
+    def hist(df):
+        return sc.histogram(df.select(F.size("spans").alias("ns")), "ns", 0, 50, n_bins=25)
+
+    h0, h1, h2 = hist(base), hist(same), hist(drifted)
+    assert sc.psi(h0, h1) < 1e-9 and sc.ks_statistic(h0, h1) < 1e-9
+    assert sc.psi(h0, h2) > 0.1
+    assert sc.ks_statistic(h0, h2) > 0.1
