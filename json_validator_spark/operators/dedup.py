@@ -1,0 +1,304 @@
+"""Deduplication operators — exact and near-duplicate detection.
+
+The large-scale-pipeline layer on top of the validation engine: at
+100 TB, duplicate and near-duplicate documents are *corpus-level
+violations* exactly like duplicate doc_ids (``set_checks.uniqueness_
+violations``), and every operator here follows the same shuffle
+discipline:
+
+- **exact**: one hash-groupBy — map-side combine means each content hash
+  ships one (hash, partial-count) row per input partition.
+- **n-gram Jaccard**: explode shingles → self-join on shingle → pair
+  aggregation. The join key is the shingle, so co-occurrence is found
+  without any all-pairs product; frequency capping (``max_df``) drops
+  degenerate stop-shingles before they create quadratic hot keys — the
+  skew story at scale.
+- **MinHash + LSH**: per-doc signature (narrow) → band keys → groupBy
+  band bucket → pairs only within buckets — the sub-quadratic scale
+  path; candidates are then *verified* with true shingle Jaccard.
+- **SimHash**: 60-bit fingerprint per doc from token hashes — narrow,
+  one expression; hamming-close pairs via banded prefix grouping.
+- **embedding near-dup**: cosine over ``array<float>`` — delegated to
+  ``operators/similarity.py`` primitives.
+
+All hashing is md5-based (``functions/text``) for DuckDB-oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from json_validator_spark.functions.text import hash_hex, hash_long, shingles, tokens
+
+
+# ----------------------------------------------------------------------
+# Exact duplicates
+# ----------------------------------------------------------------------
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content-hash groups with more than one member:
+    ``(text_hash, n_docs, keep_doc_id)`` — ``keep_doc_id`` is the minimum
+    id (the canonical survivor a dedup pass would retain)."""
+    h = F.md5(F.col(text_col))
+    return (
+        df.select(h.alias("text_hash"), F.col(id_col).alias("doc_id"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ----------------------------------------------------------------------
+# Shingle explode + n-gram Jaccard
+# ----------------------------------------------------------------------
+
+def doc_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """``(doc_id, shingle)`` — distinct k-token shingles per doc."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(tokens(F.col(text_col)), k)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Doc pairs with shingle-set Jaccard ≥ threshold:
+    ``(doc_id_a, doc_id_b, n_common, n_a, n_b, jaccard)`` with a < b.
+
+    Plan shape: one explode, one groupBy(shingle) frequency cap, one
+    shuffle join on shingle, one pair groupBy — every stage partial-
+    aggregates, and ``max_df`` removes boilerplate shingles whose
+    posting lists would otherwise be the quadratic skew term at scale."""
+    sh = doc_shingles(df, text_col, id_col, k)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnsRenamed({"doc_id": "doc_id_a", "n_sh": "n_a"}), "doc_id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_id_b", "n_sh": "n_b"}), "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_id_a", "doc_id_b", "n_common", "n_a", "n_b", "jaccard")
+
+
+# ----------------------------------------------------------------------
+# MinHash + LSH banding
+# ----------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 16,
+) -> DataFrame:
+    """``(doc_id, sig array<string>)`` — per-doc MinHash signature.
+
+    sig[i] = min over shingles of md5(i ':' shingle) (lexicographic min of
+    hex digests ≡ min of the underlying 128-bit ints). Computed as a
+    narrow array expression — no explode, no shuffle; docs with no
+    shingles get an empty-marker digest so downstream banding still works."""
+    sh = shingles(tokens(F.col(text_col)), k)
+    sig = F.array(
+        *[
+            F.coalesce(
+                F.array_min(
+                    F.transform(sh, lambda s: hash_hex(F.lit(i), s, width=16))
+                ),
+                F.lit(f"empty:{i}"),
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature and emit ``(doc_id_a, doc_id_b, n_bands_shared)``
+    for docs agreeing on ≥1 band — the classic LSH bucket join. The
+    groupBy key is (band_idx, band_hash): identical-band docs co-locate,
+    everything else never meets — sub-quadratic at corpus scale."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.md5(
+                    F.array_join(
+                        F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band), "|"
+                    )
+                ).alias("band_hash"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    banded = signatures.select(
+        "doc_id", F.explode(bands).alias("b")
+    ).select("doc_id", "b.band_idx", "b.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands_shared"))
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified with true shingle Jaccard — the full
+    MinHash dedup pipeline: candidates from banding, exact Jaccard only
+    for candidate pairs (a join against the shingle postings restricted
+    to candidates, not the all-pairs join)."""
+    rows_per_band = n_hashes // n_bands
+    sigs = minhash_signatures(df, text_col, id_col, k, n_hashes)
+    cand = lsh_candidate_pairs(sigs, n_bands, rows_per_band)
+    sh = doc_shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        cand.select("doc_id_a", "doc_id_b")
+        .join(sh.withColumnRenamed("doc_id", "doc_id_a"), "doc_id_a")
+        .join(
+            sh.withColumnsRenamed({"doc_id": "doc_id_b"}),
+            ["doc_id_b", "shingle"],
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnsRenamed({"doc_id": "doc_id_a", "n_sh": "n_a"}), "doc_id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_id_b", "n_sh": "n_b"}), "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_id_a", "doc_id_b", "jaccard")
+
+
+# ----------------------------------------------------------------------
+# SimHash
+# ----------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 md5 hex chars — positive BIGINT in Spark & DuckDB
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit SimHash per document: ``(doc_id, simhash)``.
+
+    Each distinct token hashes to 60 bits; bit b of the fingerprint is 1
+    iff more token-hashes have bit b set than unset. One narrow
+    expression: tokens → hash_long → per-bit vote via aggregate over the
+    token array → weighted sum of winning bits. No shuffle, no UDF."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    hashes = F.transform(toks, lambda t: hash_long(t))
+    n = F.size(hashes)
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int"),
+        )
+        for b in range(SIMHASH_BITS)
+    ]
+    fp = sum(
+        (
+            F.when(v * 2 > n, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+            for b, v in enumerate(bit_votes)
+        ),
+        start=F.lit(0).cast("long"),
+    )
+    return df.select(F.col(id_col).alias("doc_id"), fp.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    sims: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bits, found by banding the fingerprint
+    into ``n_bands`` chunks (pigeonhole: any pair within ``n_bands - 1``
+    differing bits shares ≥1 exact band — with hamming ≤ 3 and 4 bands,
+    guaranteed recall). ``(doc_id_a, doc_id_b, hamming)``."""
+    width = SIMHASH_BITS // n_bands
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.shiftright(F.col("simhash"), bi * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    banded = sims.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
+        "doc_id", "simhash", "b.band_idx", "b.band_val"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,153 @@
+"""Tests for the training-data pipeline operators: text analysis,
+dedup (exact / jaccard / minhash / simhash), similarity, media plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_validator_spark.operators import dedup, media, similarity, text_checks
+from tests.conftest import rows_set
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "spark schema rule check table row column batch"),
+        (4, "spark schema rule check table row column batch"),  # exact dup of 3
+        (5, "el la de que y los se un documento"),
+        (6, "zz"),                                             # too short
+        (7, None),                                             # null text
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_stats(spark, docs):
+    out = {r["doc_id"]: r for r in text_checks.token_stats(docs).collect()}
+    assert out[1]["n_ws_tokens"] == 9
+    assert out[1]["n_distinct_tokens"] == 8  # 'the' twice
+    assert out[6]["n_ws_tokens"] == 1
+    assert out[7]["n_ws_tokens"] == -1 or out[7]["n_ws_tokens"] is None or out[7]["n_ws_tokens"] == 0
+
+
+def test_quality_scores(spark, docs):
+    out = {r["doc_id"]: r for r in text_checks.quality_scores(docs, min_tokens=5).collect()}
+    assert out[1]["keep"] is True
+    assert out[6]["keep"] is False
+    assert 0 < out[1]["stopword_ratio"] < 1
+    assert out[1]["dup_token_ratio"] == pytest.approx(1 / 9, abs=1e-6)
+
+
+def test_language_id(spark, docs):
+    out = {r["doc_id"]: r for r in text_checks.language_id(docs).collect()}
+    assert out[1]["pred_lang"] == "en"
+    assert out[5]["pred_lang"] == "es"
+    assert out[3]["pred_lang"] == "und"
+
+
+def test_winnow_fingerprints_deterministic(spark, docs):
+    fp1 = rows_set(text_checks.winnow_fingerprints(docs, k=5, window=3))
+    fp2 = rows_set(text_checks.winnow_fingerprints(docs, k=5, window=3))
+    assert fp1 == fp2 and len(fp1) > 0
+    # identical docs share identical fingerprint sets
+    by_doc = {}
+    for doc_id, fp in fp1:
+        by_doc.setdefault(doc_id, set()).add(fp)
+    assert by_doc[3] == by_doc[4]
+
+
+def test_exact_duplicates(spark, docs):
+    out = dedup.exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2 and out[0]["keep_doc_id"] == 3
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    out = dedup.ngram_jaccard_pairs(docs, k=2, threshold=0.4).collect()
+    pairs = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in out}
+    assert (1, 2) in pairs and 0.4 <= pairs[(1, 2)] < 1.0
+    assert pairs[(3, 4)] == 1.0
+
+
+def test_minhash_neardup(spark, docs):
+    out = dedup.minhash_neardup_pairs(docs, k=2, n_hashes=16, n_bands=8, threshold=0.4)
+    pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in out.collect()}
+    assert (3, 4) in pairs  # exact dup always caught
+    assert (1, 2) in pairs  # near dup caught at 8 bands of 2
+
+
+def test_simhash_neardup(spark, docs):
+    sims = dedup.simhash(docs)
+    vals = {r["doc_id"]: r["simhash"] for r in sims.collect()}
+    assert vals[3] == vals[4] != 0
+    pairs = dedup.simhash_neardup_pairs(sims, max_hamming=16, n_bands=4).collect()
+    got = {(r["doc_id_a"], r["doc_id_b"]): r["hamming"] for r in pairs}
+    assert got.get((3, 4)) == 0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+    rows = []
+    for i in range(40):
+        base = [math.sin(0.1 * i + j) for j in range(8)]
+        rows.append((i, [float(x) for x in base]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_matches_numpy(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = similarity.cosine_topk(vectors, queries, k=5)
+    b = similarity.cosine_topk_numpy(vectors, queries, k=5)
+    assert rows_set(a) == rows_set(b)
+    assert a.count() == 15
+
+
+def test_lsh_topk_subset(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             similarity.cosine_topk(vectors, queries, k=5).collect()}
+    approx = similarity.lsh_topk(vectors, queries, dim=8, k=5, n_planes=4).collect()
+    assert len(approx) > 0
+    # approximate neighbors must at least be real vectors w/ valid sims
+    for r in approx:
+        assert -1.0 <= r["sim"] <= 1.0 and r["neighbor_id"] != r["query_id"]
+    # sanity: decent recall on this tiny smooth dataset
+    hits = sum(1 for r in approx if (r["query_id"], r["neighbor_id"]) in exact)
+    assert hits >= len(approx) * 0.2
+
+
+def test_media_pipeline(spark):
+    from json_validator_spark.sources.synth import synth_media_catalog
+
+    catalog = synth_media_catalog(spark, catalog_size=50)
+    m = media.synth_media_table(spark, catalog, payload_bytes=64)
+    assert dict(m.dtypes)["payload"] == "binary"
+    feats = media.decode_features(m, dim=8)
+    rows = feats.collect()
+    assert len(rows) == catalog.count()
+    for r in rows[:5]:
+        assert r["n_bytes"] == 64
+        assert len(r["feature"]) == 8
+        assert 0 <= r["byte_entropy_proxy"] <= 8.0
+    # determinism
+    assert rows_set(feats.select("media_ref", "byte_mean")) == rows_set(
+        media.decode_features(m, dim=8).select("media_ref", "byte_mean")
+    )
+
+
+def test_frame_sample(spark):
+    from json_validator_spark.sources.synth import synth_media_catalog
+
+    catalog = synth_media_catalog(spark, catalog_size=20)
+    m = media.synth_media_table(spark, catalog, payload_bytes=16)
+    frames = media.frame_sample(m, every_ms=10000).collect()
+    assert len(frames) >= 20  # ≥1 frame per media row
+    for r in frames[:5]:
+        assert r["frame_offset_ms"] == r["frame_idx"] * 10000
