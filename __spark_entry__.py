@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: derive the interleaved span corpus from the
+sf0.001 ``documents`` table and run the full validation engine over it.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+(SURVEY.md §2 + the training-data pipeline layer), each mirrored in
+DuckDB ANSI SQL over the same parquet tables. All hashing inside the
+checked queries is md5-based so both engines compute identical values
+(see ``json_validator_spark/functions/text.py``); every aggregate /
+computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +16,786 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ----------------------------------------------------------------------
+# helpers
+# ----------------------------------------------------------------------
+
+DIM = 64  # embeddings.embedding length in the driver testdata
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from json_validator_spark.sources.tables import load_table
+
+    return load_table(spark, name, sf_dir)
+
+
+def _doc_ruleset():
+    from json_validator_spark.rules.model import Rule, RuleSet
+
+    return RuleSet(
+        name="documents",
+        rules=(
+            Rule("required.text", "/text", "required"),
+            Rule("range.n_chars", "/n_chars", "range", {"min": 50, "max": 400}),
+            Rule("enum.lang", "/lang", "enum", {"values": ["en", "es", "fr"]}, severity="warning"),
+            Rule("pattern.source", "/source", "pattern", {"regex": "^src[0-9]$"}),
+        ),
+    )
+
+
+def _oneof_ruleset():
+    from json_validator_spark.rules.model import Combination, Rule, RuleSet
+
+    return RuleSet(
+        name="oneof",
+        combination=Combination.ONE_OF,
+        rules=(
+            Rule("a.range.n_chars", "/n_chars", "range", {"min": 50, "max": 250}, ruleset="A"),
+            Rule("b.enum.lang", "/lang", "enum", {"values": ["en"]}, ruleset="B"),
+        ),
+    )
+
+
+def _union_dup_docs(docs: DataFrame) -> DataFrame:
+    """documents ∪ copies of every 10th doc (id+100000) — deterministic
+    injected duplicates for the dedup operators."""
+    extra = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.select("doc_id", "text").unionByName(extra)
+
+
+_UNION_DUP_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0"
+)
+
+# DuckDB fragments mirroring functions/text.py
+_DUCK_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+
+def _duck_u(args: str, hex_chars: int = 6) -> str:
+    """unit_uniform / hash_long mirror: md5 of ':'-joined args."""
+    denom = float(1 << (4 * hex_chars))
+    return (
+        f"(('0x' || substr(md5(concat_ws(':', {args})), 1, {hex_chars}))::BIGINT"
+        f" / {denom:.1f})"
+    )
+
+
+# ----------------------------------------------------------------------
+# queries
+# ----------------------------------------------------------------------
+
+def q_corpus_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.row_checks import violations_df
+    from json_validator_spark.sources.derive import derive_corpus, derived_corpus_ruleset
+
+    docs = _load(spark, sf_dir, "documents")
+    corpus = derive_corpus(docs)
+    return violations_df(corpus, derived_corpus_ruleset())
+
+
+def q_row_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.row_checks import violations_df
+
+    return violations_df(_load(spark, sf_dir, "documents"), _doc_ruleset())
+
+
+def q_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.report import doc_verdicts
+    from json_validator_spark.operators.row_checks import with_violations
+
+    wv = with_violations(_load(spark, sf_dir, "documents"), _doc_ruleset())
+    v = doc_verdicts(wv)
+    return v.select(
+        "doc_id",
+        F.col("n_errors").cast("long").alias("n_errors"),
+        F.col("n_warnings").cast("long").alias("n_warnings"),
+        "result",
+    )
+
+
+def q_aggregate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.report import aggregate_report
+    from json_validator_spark.operators.row_checks import violations_df
+
+    v = violations_df(_load(spark, sf_dir, "documents"), _doc_ruleset())
+    return aggregate_report(v).select(
+        "rule_id", "severity", F.col("count").cast("long").alias("count")
+    )
+
+
+def q_combination_oneof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.row_checks import with_violations
+
+    wv = with_violations(_load(spark, sf_dir, "documents"), _oneof_ruleset())
+    return wv.select(
+        "doc_id",
+        F.col("n_branches_passed").cast("long").alias("n_branches_passed"),
+        F.when(F.col("doc_pass"), F.lit("SUCCESS")).otherwise(F.lit("FAILURE")).alias("result"),
+    )
+
+
+def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.set_checks import exact_column_stats
+
+    return exact_column_stats(
+        _load(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_orderkey"],
+    )
+
+
+def q_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.set_checks import uniqueness_violations
+
+    return uniqueness_violations(_load(spark, sf_dir, "orders"), key="o_custkey")
+
+
+def q_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.set_checks import referential_violations
+
+    orders = _load(spark, sf_dir, "orders")
+    active = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 != 0)
+    return referential_violations(
+        orders, "o_custkey", active, "c_custkey",
+        rule_id="ref.active_customer", doc_id="o_orderkey",
+    )
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("l_quantity") - 1.0) / 49.0 * 10).cast("int"), F.lit(0)
+        ),
+        F.lit(9),
+    )
+    return (
+        li.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("l_quantity") - 1.0) / 49.0 * 10).cast("int"), F.lit(0)
+        ),
+        F.lit(9),
+    )
+    half = (F.col("l_orderkey") % 2 == 0).cast("int")
+    counts = (
+        li.select(bucket.alias("bucket"), half.alias("base"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("base")).alias("nb"),
+            F.sum(1 - F.col("base")).alias("nc"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("nb").alias("tb"), F.sum("nc").alias("tc")
+    )
+    joined = counts.crossJoin(tot)
+    term = (
+        (F.col("nb") / F.col("tb") - F.col("nc") / F.col("tc"))
+        * F.log(
+            (F.col("nb") / F.col("tb") + 1e-6) / (F.col("nc") / F.col("tc") + 1e-6)
+        )
+    )
+    return joined.agg(F.round(F.sum(term), 6).alias("psi"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_union_dup_docs(_load(spark, sf_dir, "documents")))
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), k=3, threshold=0.1, max_df=None
+    ).select(
+        "doc_id_a", "doc_id_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "jaccard",
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.dedup import minhash_neardup_pairs
+
+    return minhash_neardup_pairs(
+        _union_dup_docs(_load(spark, sf_dir, "documents")),
+        k=3, n_hashes=16, n_bands=8, threshold=0.999,
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.dedup import simhash
+
+    return simhash(_load(spark, sf_dir, "documents"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.dedup import simhash, simhash_neardup_pairs
+
+    sims = simhash(_union_dup_docs(_load(spark, sf_dir, "documents")))
+    return simhash_neardup_pairs(sims, max_hamming=3, n_bands=4)
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.similarity import cosine_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim"
+    )
+
+
+def q_knn_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.similarity import cosine_topk_numpy
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_numpy(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim"
+    )
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.similarity import lsh_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(emb, queries, dim=DIM, k=5, n_planes=8)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim"
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.similarity import cosine
+
+    emb = _load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+        .filter(F.col("sim") >= 0.45)
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.text_checks import token_stats
+
+    out = token_stats(_load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+    )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.text_checks import quality_scores
+
+    out = quality_scores(_load(spark, sf_dir, "documents"), min_tokens=10)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "stopword_ratio", "alnum_ratio", "dup_token_ratio", "mean_token_len", "keep",
+    )
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.text_checks import language_id
+
+    out = language_id(_load(spark, sf_dir, "documents"), claimed_col="lang")
+    return out.select(
+        "doc_id", "pred_lang", F.col("best_score").cast("long").alias("best_score"), "lang_match"
+    )
+
+
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.text_checks import winnow_fingerprints
+
+    return winnow_fingerprints(_load(spark, sf_dir, "documents"), k=20, window=8)
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _load(spark, sf_dir, "events")
+    props = F.from_json(F.col("props"), "map<string,string>")
+    checks = [
+        (
+            "requiredKey.props.k",
+            "/props/k",
+            "error",
+            ~F.map_contains_key(props, "k"),
+        ),
+        (
+            "enum.event_type",
+            "/event_type",
+            "warning",
+            ~F.col("event_type").isin("click", "view", "purchase"),
+        ),
+        (
+            "range.value",
+            "/value",
+            "error",
+            F.col("value").isNotNull() & ~F.col("value").between(0.0, 100.0),
+        ),
+    ]
+    parts = []
+    for rule_id, path, severity, fail in checks:
+        parts.append(
+            ev.filter(fail).select(
+                F.col("event_id").alias("doc_id"),
+                F.lit(path).alias("span_path"),
+                F.lit(rule_id).alias("rule_id"),
+                F.lit(severity).alias("severity"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: sf0.001 documents → interleaved span corpus → full
+    validation run (row rules + uniqueness + verdicts), return the
+    deterministic ordered violations."""
+    from json_validator_spark.operators.report import ordered
+    from json_validator_spark.operators.row_checks import violations_df
+    from json_validator_spark.sources.derive import derive_corpus, derived_corpus_ruleset
+
+    docs = _load(spark, "/root/testdata/sf0.001", "documents")
+    corpus = derive_corpus(docs)
+    return ordered(violations_df(corpus, derived_corpus_ruleset()))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "corpus_validation": q_corpus_validation,
+        "row_rules": q_row_rules,
+        "doc_verdicts": q_doc_verdicts,
+        "aggregate_report": q_aggregate_report,
+        "combination_oneof": q_combination_oneof,
+        "column_stats": q_column_stats,
+        "uniqueness": q_uniqueness,
+        "referential": q_referential,
+        "histogram": q_histogram,
+        "drift_psi": q_drift_psi,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_numpy": q_knn_numpy,
+        "knn_lsh": q_knn_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "language_id": q_language_id,
+        "winnow": q_winnow,
+        "events_json": q_events_json,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ----------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ----------------------------------------------------------------------
+
+_CORPUS_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         {_DUCK_TOKS} AS toks,
+         greatest(ceil(len({_DUCK_TOKS}) / 8.0)::INT, 1) AS n_spans,
+         {_duck_u("doc_id::VARCHAR, 'off'")} < 0.01 AS off_broken
+  FROM documents
+), spans0 AS (
+  SELECT doc_id, toks, n_spans, off_broken,
+         unnest(generate_series(0, n_spans - 1)) AS i
+  FROM base
+), spans AS (
+  SELECT doc_id, n_spans, off_broken, i,
+         CASE WHEN {_duck_u("doc_id::VARCHAR, 'kind', i::VARCHAR")} < 0.004 THEN 'imge'
+              WHEN {_duck_u("doc_id::VARCHAR, 'kind', i::VARCHAR")} < 0.3 THEN 'media'
+              ELSE 'text' END AS kind,
+         {_duck_u("doc_id::VARCHAR, 'null', i::VARCHAR")} < 0.02 AS text_null,
+         {_duck_u("doc_id::VARCHAR, 'bad', i::VARCHAR")} < 0.02 AS ref_bad
+  FROM spans0
+), spans2 AS (
+  SELECT doc_id, n_spans, off_broken, i, kind,
+         CASE WHEN kind = 'media' THEN
+           CASE WHEN ref_bad THEN 'media:/broken'
+                ELSE 'media://' || md5(concat_ws(':', doc_id::VARCHAR, 'ref', i::VARCHAR)) END
+         END AS media_ref,
+         (kind = 'text' AND text_null) AS text_missing
+  FROM spans
+)
+SELECT doc_id, '/spans/' || i::VARCHAR || '/kind' AS span_path,
+       'enum.span.kind' AS rule_id, 'error' AS severity,
+       '[/spans/*/kind] value is not in the allowed set' AS message
+FROM spans2 WHERE kind NOT IN ('text', 'media')
+UNION ALL
+SELECT doc_id, '/spans/' || i::VARCHAR || '/text',
+       'required.span.text', 'error',
+       '[/spans/*/text] required value is missing'
+FROM spans2 WHERE text_missing
+UNION ALL
+SELECT doc_id, '/spans/' || i::VARCHAR || '/media_ref',
+       'format.span.media_ref', 'error',
+       '[/spans/*/media_ref] value does not conform to the required format'
+FROM spans2 WHERE kind = 'media' AND NOT regexp_matches(media_ref, '^media://[0-9a-f]{{32}}$')
+UNION ALL
+SELECT DISTINCT doc_id, '/spans', 'monotonic.offsets', 'error',
+       '[/spans] array field is not strictly increasing'
+FROM spans2 WHERE off_broken AND n_spans >= 2
+"""
+
+_ROW_RULES_SQL = """
+SELECT doc_id, '/text' AS span_path, 'required.text' AS rule_id, 'error' AS severity,
+       '[/text] required value is missing' AS message
+FROM documents WHERE text IS NULL
+UNION ALL
+SELECT doc_id, '/n_chars', 'range.n_chars', 'error',
+       '[/n_chars] constraint ''range'' violated'
+FROM documents WHERE n_chars IS NOT NULL AND NOT (n_chars BETWEEN 50 AND 400)
+UNION ALL
+SELECT doc_id, '/lang', 'enum.lang', 'warning',
+       '[/lang] value is not in the allowed set'
+FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en', 'es', 'fr')
+UNION ALL
+SELECT doc_id, '/source', 'pattern.source', 'error',
+       '[/source] value does not match the required pattern'
+FROM documents WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]$')
+"""
+
+_VERDICT_BASE = """
+SELECT doc_id,
+       ((CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+      + (CASE WHEN n_chars IS NOT NULL AND NOT (n_chars BETWEEN 50 AND 400) THEN 1 ELSE 0 END)
+      + (CASE WHEN source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]$') THEN 1 ELSE 0 END))::BIGINT AS n_errors,
+       (CASE WHEN lang IS NOT NULL AND lang NOT IN ('en', 'es', 'fr') THEN 1 ELSE 0 END)::BIGINT AS n_warnings
+FROM documents
+"""
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, 64), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)}"
+        f" / (sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})))"
+    )
+
+
+_KNN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_cos("q.qv", "e.embedding")}, 6) AS sim
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
+"""
+
+
+def _duck_parity(plane: str, j: str) -> str:
+    return f"((('0x' || substr(md5({plane} || ':' || {j}), 1, 2))::INT & 1) = 1)"
+
+
+_LSH_BUCKET = (
+    "list_sum(list_transform(generate_series(0, 7), p -> CASE WHEN "
+    "list_sum(list_transform(generate_series(1, 64), j -> {v}[j]::DOUBLE * "
+    "(CASE WHEN (('0x' || substr(md5(p::VARCHAR || ':' || (j-1)::VARCHAR), 1, 2))::INT & 1) = 1 "
+    "THEN 1.0 ELSE -1.0 END))) >= 0 THEN (1 << p) ELSE 0 END))::INT"
+)
+
+_KNN_LSH_SQL = f"""
+WITH v AS (
+  SELECT vec_id AS neighbor_id, embedding AS ev,
+         {_LSH_BUCKET.format(v="embedding")} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         {_LSH_BUCKET.format(v="embedding")} AS bucket
+  FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, v.neighbor_id,
+         round({_cos("q.qv", "v.ev")}, 6) AS sim
+  FROM q JOIN v USING (bucket)
+  WHERE v.neighbor_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
+"""
+
+_SIMHASH_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok FROM __DOCSRC__
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+), votes AS (
+  SELECT doc_id, b, sum(((h >> b) & 1)::INT) AS v, count(*) AS n
+  FROM th, (SELECT unnest(generate_series(0, 59)) AS b) bits
+  GROUP BY doc_id, b
+), fp AS (
+  SELECT doc_id, sum(CASE WHEN v * 2 > n THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
+
+_SHINGLE_CTE = f"""
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len({_DUCK_TOKS}) - 2, 0)),
+    i -> array_to_string(list_slice({_DUCK_TOKS}, i, i + 2), ' ')))) AS shingle
+  FROM __DOCSRC__
+"""
+
+_JACCARD_SQL_TMPL = f"""
+WITH sh AS ({_SHINGLE_CTE}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b, n_common::BIGINT AS n_common,
+       sa.n::BIGINT AS n_a, sb.n::BIGINT AS n_b,
+       round(n_common / (sa.n + sb.n - n_common)::DOUBLE, 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_id_a
+JOIN sizes sb ON sb.doc_id = doc_id_b
+WHERE n_common / (sa.n + sb.n - n_common)::DOUBLE >= __THRESH__
+"""
+
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> x IN ('the','of','and','to','in','is','a','that',
+           'el','la','de','que','y','los','se','un',
+           'le','et','les','des','une','du','est',
+           'der','die','und','das','den','von','zu','mit'))) AS n_stop,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum,
+         len(list_distinct(toks)) AS n_distinct,
+         list_sum(list_transform(toks, x -> length(x))) AS sum_len
+  FROM t
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+       round(n_stop / greatest(n_tokens, 1)::DOUBLE, 6) AS stopword_ratio,
+       round(n_alnum / greatest(n_chars, 1)::DOUBLE, 6) AS alnum_ratio,
+       round((n_tokens - n_distinct) / greatest(n_tokens, 1)::DOUBLE, 6) AS dup_token_ratio,
+       round(coalesce(sum_len, 0) / greatest(n_tokens, 1)::DOUBLE, 6) AS mean_token_len,
+       (n_tokens >= 10 AND
+        round((n_tokens - n_distinct) / greatest(n_tokens, 1)::DOUBLE, 6) <= 0.6) AS keep
+FROM m
+"""
+
+_LANG_SCORES = {
+    "en": "('the','of','and','to','in','is','a','that')",
+    "es": "('el','la','de','que','y','los','se','un')",
+    "fr": "('le','la','et','les','des','une','du','est')",
+    "de": "('der','die','und','das','den','von','zu','mit')",
+}
+_LANG_SQL = (
+    "WITH t AS (SELECT doc_id, lang, " + _DUCK_TOKS + " AS toks FROM documents), "
+    + "s AS (SELECT doc_id, lang, "
+    + ", ".join(
+        f"len(list_filter(toks, x -> x IN {ws})) AS s_{lg}" for lg, ws in _LANG_SCORES.items()
+    )
+    + ", greatest("
+    + ", ".join(f"len(list_filter(toks, x -> x IN {ws}))" for ws in _LANG_SCORES.values())
+    + ") AS best FROM t) "
+    + "SELECT doc_id, CASE WHEN best = 0 THEN 'und' "
+    + " ".join(f"WHEN s_{lg} = best THEN '{lg}'" for lg in _LANG_SCORES)
+    + " END AS pred_lang, best::BIGINT AS best_score, "
+    + "(lang = (CASE WHEN best = 0 THEN 'und' "
+    + " ".join(f"WHEN s_{lg} = best THEN '{lg}'" for lg in _LANG_SCORES)
+    + " END)) AS lang_match FROM s"
+)
+
+_WINNOW_SQL = """
+WITH g AS (
+  SELECT doc_id, lower(text) AS t,
+         greatest(length(lower(text)) - 19, 0) AS n_grams
+  FROM documents
+), gh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, n_grams),
+                        i -> substr(md5(substr(t, i, 20)), 1, 16)) AS hashes
+  FROM g
+), w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(hashes) - 7, 0)),
+           i -> list_aggregate(list_slice(hashes, i, i + 7), 'min'))) AS fps
+  FROM gh
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM w
+"""
+
+_EVENTS_SQL = """
+SELECT event_id AS doc_id, '/props/k' AS span_path,
+       'requiredKey.props.k' AS rule_id, 'error' AS severity
+FROM events WHERE json_extract(props::JSON, '$.k') IS NULL
+UNION ALL
+SELECT event_id, '/event_type', 'enum.event_type', 'warning'
+FROM events WHERE event_type NOT IN ('click', 'view', 'purchase')
+UNION ALL
+SELECT event_id, '/value', 'range.value', 'error'
+FROM events WHERE value IS NOT NULL AND NOT (value BETWEEN 0.0 AND 100.0)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stats_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_orderkey"]
+    stats_sql = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS \"column\", count(*)::BIGINT AS n, "
+        f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls, "
+        f"round(min({c}::DOUBLE), 6) AS min, round(max({c}::DOUBLE), 6) AS max, "
+        f"count(DISTINCT {c})::BIGINT AS n_distinct FROM lineitem"
+        for c in stats_cols
+    )
+    bucket = "least(greatest(floor((l_quantity - 1.0) / 49.0 * 10)::INT, 0), 9)"
+    return {
+        "corpus_validation": _CORPUS_SQL,
+        "row_rules": _ROW_RULES_SQL,
+        "doc_verdicts": (
+            f"WITH v AS ({_VERDICT_BASE}) SELECT doc_id, n_errors, n_warnings, "
+            "CASE WHEN n_errors = 0 THEN 'SUCCESS' ELSE 'FAILURE' END AS result FROM v"
+        ),
+        "aggregate_report": (
+            f"WITH viol AS ({_ROW_RULES_SQL}) "
+            "SELECT rule_id, severity, count(*)::BIGINT AS count FROM viol GROUP BY 1, 2"
+        ),
+        "combination_oneof": """
+            SELECT doc_id,
+                   ((CASE WHEN n_chars BETWEEN 50 AND 250 THEN 1 ELSE 0 END)
+                  + (CASE WHEN lang = 'en' THEN 1 ELSE 0 END))::BIGINT AS n_branches_passed,
+                   CASE WHEN (CASE WHEN n_chars BETWEEN 50 AND 250 THEN 1 ELSE 0 END)
+                           + (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) = 1
+                        THEN 'SUCCESS' ELSE 'FAILURE' END AS result
+            FROM documents
+        """,
+        "column_stats": stats_sql,
+        "uniqueness": """
+            SELECT o_custkey::VARCHAR AS doc_id, '/o_custkey' AS span_path,
+                   'unique.o_custkey' AS rule_id, 'error' AS severity,
+                   'duplicate key (x' || count(*)::VARCHAR || ')' AS message
+            FROM orders GROUP BY o_custkey HAVING count(*) > 1
+        """,
+        "referential": """
+            SELECT o_orderkey::VARCHAR AS doc_id, '/o_custkey' AS span_path,
+                   'ref.active_customer' AS rule_id, 'error' AS severity,
+                   'unresolved reference: ' || o_custkey::VARCHAR AS message
+            FROM orders o
+            WHERE o_custkey IS NOT NULL AND NOT EXISTS (
+              SELECT 1 FROM customer c
+              WHERE c.c_custkey % 3 <> 0 AND c.c_custkey = o.o_custkey)
+        """,
+        "histogram": (
+            f"SELECT {bucket} AS bucket, count(*)::BIGINT AS count FROM lineitem GROUP BY 1"
+        ),
+        "drift_psi": f"""
+            WITH b AS (
+              SELECT {bucket} AS bucket,
+                     (l_orderkey % 2 = 0)::INT AS base
+              FROM lineitem
+            ), counts AS (
+              SELECT bucket, sum(base) AS nb, sum(1 - base) AS nc FROM b GROUP BY 1
+            ), tot AS (SELECT sum(nb) AS tb, sum(nc) AS tc FROM counts)
+            SELECT round(sum(
+              (nb / tb::DOUBLE - nc / tc::DOUBLE)
+              * ln((nb / tb::DOUBLE + 1e-6) / (nc / tc::DOUBLE + 1e-6))), 6) AS psi
+            FROM counts, tot
+        """,
+        "dedup_exact": f"""
+            WITH docs AS ({_UNION_DUP_SQL})
+            SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs,
+                   min(doc_id) AS keep_doc_id
+            FROM docs GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_jaccard": _JACCARD_SQL_TMPL.replace("__DOCSRC__", "documents").replace(
+            "__THRESH__", "0.1"
+        ),
+        "dedup_minhash": (
+            "SELECT doc_id_a, doc_id_b, jaccard FROM ("
+            + _JACCARD_SQL_TMPL.replace("__DOCSRC__", "docs")
+            .replace("__THRESH__", "0.999")
+            .replace("WITH sh AS", f"WITH docs AS ({_UNION_DUP_SQL}), sh AS", 1)
+            + ") p"
+        ),
+        "simhash": _SIMHASH_CTE.replace("__DOCSRC__", "documents")
+        + "SELECT doc_id, simhash FROM fp",
+        "simhash_pairs": (
+            _SIMHASH_CTE.replace("__DOCSRC__", "docs").replace(
+                "WITH toks AS", f"WITH docs AS ({_UNION_DUP_SQL}), toks AS", 1
+            )
+            + """
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+            FROM fp a, fp b
+            WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+            """
+        ),
+        "knn_bruteforce": _KNN_SQL,
+        "knn_numpy": _KNN_SQL,
+        "knn_lsh": _KNN_LSH_SQL,
+        "embedding_neardup": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({_cos("a.embedding", "b.embedding")}, 6) AS sim
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND round({_cos("a.embedding", "b.embedding")}, 6) >= 0.45
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   len({_DUCK_TOKS})::BIGINT AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens,
+                   len(list_distinct({_DUCK_TOKS}))::BIGINT AS n_distinct_tokens
+            FROM documents
+        """,
+        "quality": _QUALITY_SQL,
+        "language_id": _LANG_SQL,
+        "winnow": _WINNOW_SQL,
+        "events_json": _EVENTS_SQL,
+    }

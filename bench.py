@@ -1,0 +1,137 @@
+"""Per-round benchmark. Prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "docs_per_sec": ...}``
+
+Headline workload:
+- ``validate_synth``  — the flagship: synthesize the interleaved corpus
+  (``BENCH_DOCS`` docs, deterministic, FIXTURES.md §1 shape incl. 1%
+  media-heavy skew), run the FULL engine (row rules + uniqueness +
+  referential vs media catalog + verdicts), count violations.
+  ``docs_per_sec`` (the north metric) comes from this query.
+- ``corpus_validation`` — derive spans from the driver ``documents``
+  table and validate (the oracle-checked path).
+- ``column_stats`` — single-pass stats agg over lineitem (approx
+  distinct + percentile sketches).
+- ``drift_hist``    — histogram + PSI over lineitem halves.
+- ``dedup_minhash`` — MinHash/LSH near-dup over documents∪dups.
+- ``knn_numpy``     — brute-force ANN, Arrow+numpy matmul path.
+- ``uniq_ref``      — uniqueness groupBy + broadcast anti-join.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), BENCH_DOCS (default 200000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+    n_docs = int(os.environ.get("BENCH_DOCS", "200000"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry
+    from json_validator_spark.corpus import corpus_ruleset
+    from json_validator_spark.plans.pipeline import validate_run
+    from json_validator_spark.session import get_spark
+    from json_validator_spark.sources.synth import synth_documents, synth_media_catalog
+
+    spark = get_spark(
+        app_name="jvs-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(2 * cpus, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JIT/codegen + Python worker pool spin-up, discarded
+    synth_documents(spark, 1000).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # The corpus is a TABLE input (input_hint: an Iceberg table) — generate
+    # it once to parquet (timed separately), then benchmark validation as
+    # table-scan → verdicts, which is what docs/sec means at 100 TB.
+    import tempfile
+
+    corpus_path = os.path.join(tempfile.gettempdir(), f"jvs_bench_corpus_{n_docs}")
+
+    timed(
+        "gen_synth",
+        lambda: synth_documents(spark, n_docs, partitions=2 * cpus)
+        .write.mode("overwrite")
+        .parquet(corpus_path),
+    )
+
+    def q_validate_synth():
+        docs = spark.read.parquet(corpus_path)
+        catalog = synth_media_catalog(spark)
+        res = validate_run(
+            spark, docs, corpus_ruleset(), media_catalog=catalog,
+            stats_columns=None, check_uniqueness=True,
+        )
+        n_viol = res.violations.count()
+        n_fail = res.partition_verdicts.filter(F.col("result") == "FAILURE").count()
+        return n_viol, n_fail
+
+    n_viol, _ = timed("validate_synth", q_validate_synth)
+
+    timed("corpus_validation", lambda: entry.q_corpus_validation(spark, sf_dir).count())
+
+    def q_column_stats():
+        from json_validator_spark.operators.set_checks import column_stats
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return column_stats(
+            li, ["l_quantity", "l_extendedprice", "l_discount", "l_orderkey", "l_shipdate"]
+        ).count()
+
+    timed("column_stats", q_column_stats)
+    timed("drift_hist", lambda: entry.q_drift_psi(spark, sf_dir).count())
+    timed("dedup_minhash", lambda: entry.q_dedup_minhash(spark, sf_dir).count())
+    timed("knn_numpy", lambda: entry.q_knn_numpy(spark, sf_dir).count())
+
+    def q_uniq_ref():
+        return (
+            entry.q_uniqueness(spark, sf_dir).count()
+            + entry.q_referential(spark, sf_dir).count()
+        )
+
+    timed("uniq_ref", q_uniq_ref)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "n_violations": n_viol,
+                "docs_per_sec": round(n_docs / timings["validate_synth"], 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,8 @@ FORMAT_REGEX: dict[str, str] = {
     "relative-json-pointer": r"^(0|[1-9]\d*)(#|(/([^/~]|~[01])*)*)$",
     # The corpus' own media reference format (FIXTURES.md §1).
     "media-ref": r"^media://[0-9A-Fa-f]{8}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{12}$",
+    # Undashed md5 variant used by the derived corpus (sources/derive.py).
+    "media-ref-32": r"^media://[0-9a-f]{32}$",
     # RFC 2045-ish media type for contentMediaType.
     "media-type": r"^[A-Za-z0-9][A-Za-z0-9!#$&^_.+-]*/[A-Za-z0-9][A-Za-z0-9!#$&^_.+-]*$",
 }

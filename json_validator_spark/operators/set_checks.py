@@ -80,6 +80,36 @@ def column_stats(
     return wide.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
 
 
+def exact_column_stats(
+    df: DataFrame, columns: Sequence[str]
+) -> DataFrame:
+    """Exact variant of ``column_stats`` for numeric columns — count /
+    nulls / min / max / exact distinct, one row per column, ONE agg pass.
+    Exists alongside the approx version because exactness is what an
+    external oracle can reproduce; at 100 TB you run the approx one."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"),
+            F.round(F.min(F.col(c).cast("double")), 6).alias(f"min_{c}"),
+            F.round(F.max(F.col(c).cast("double")), 6).alias(f"max_{c}"),
+            F.count_distinct(F.col(c)).alias(f"cd_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n"),
+            F.col(f"nn_{c}").alias("n_nulls"),
+            F.col(f"min_{c}").alias("min"),
+            F.col(f"max_{c}").alias("max"),
+            F.col(f"cd_{c}").alias("n_distinct"),
+        )
+        for c in columns
+    ]
+    return wide.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
+
+
 # ----------------------------------------------------------------------
 # t-digest-style mergeable quantile sketch (partial via Arrow, final at driver)
 # ----------------------------------------------------------------------

@@ -1,0 +1,105 @@
+"""Derive the interleaved span corpus from a flat documents table.
+
+The ingest-time normalization analogue of the reference's YAML→JSON
+normalize step (S3, ``ValidationSpecs.java:225-243``): a flat
+``(doc_id, text, ...)`` table becomes the ``input_hint`` shape
+``doc_id, spans:array<struct<kind,text,media_ref,offset>>`` by chunking
+the text into spans and interleaving deterministic media spans.
+
+Every random decision is md5-derived (``functions/text.unit_uniform``) —
+a pure function of (doc_id, salt, span index) — for two reasons:
+
+1. partition-invariance: local[8] and local[32] build byte-identical
+   corpora (the N-vs-4N gate);
+2. **oracle parity**: the same construction is expressible in DuckDB SQL
+   (see ``__spark_entry__.py``), so the whole span pipeline — derivation
+   AND validation — is checked end-to-end against an independent engine.
+
+Injected corruption rates (each rule's positives):
+- u(kind)  < 0.004          → invalid span kind ('imge')   [enum]
+- u(null)  < 0.02           → text span with NULL text     [required]
+- u(bad)   < 0.02           → malformed media_ref          [format]
+- u(off)   < 0.01 per doc   → constant offsets             [monotonic]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from json_validator_spark.functions.text import tokens, unit_uniform
+from json_validator_spark.rules.model import Rule, RuleSet
+
+CHUNK_TOKENS = 8
+SPAN_SCHEMA = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+
+def derive_corpus(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, spans)`` — one narrow projection, no shuffle."""
+    doc = F.col(id_col)
+    toks = tokens(F.col(text_col))
+    n_spans = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(CHUNK_TOKENS))).cast("int"), F.lit(1)
+    )
+    off_broken = unit_uniform(doc, F.lit("off")) < 0.01
+
+    def make_span(i: Column) -> Column:
+        u_kind = unit_uniform(doc, F.lit("kind"), i)
+        kind = (
+            F.when(u_kind < 0.004, F.lit("imge"))
+            .when(u_kind < 0.3, F.lit("media"))
+            .otherwise(F.lit("text"))
+        )
+        chunk = F.array_join(F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " ")
+        text_null = unit_uniform(doc, F.lit("null"), i) < 0.02
+        text = F.when((kind == "text") & ~text_null, chunk).otherwise(
+            F.lit(None).cast("string")
+        )
+        bad = unit_uniform(doc, F.lit("bad"), i) < 0.02
+        media_ref = F.when(
+            kind == "media",
+            F.when(bad, F.lit("media:/broken")).otherwise(
+                F.concat(
+                    F.lit("media://"),
+                    F.md5(F.concat_ws(":", doc.cast("string"), F.lit("ref"), i.cast("string"))),
+                )
+            ),
+        ).otherwise(F.lit(None).cast("string"))
+        offset = F.when(off_broken, F.lit(5)).otherwise(i * CHUNK_TOKENS).cast("int")
+        return F.struct(
+            kind.alias("kind"),
+            text.alias("text"),
+            media_ref.alias("media_ref"),
+            offset.alias("offset"),
+        )
+
+    spans = F.transform(F.sequence(F.lit(0), n_spans - 1), make_span)
+    return docs.select(doc.alias("doc_id"), spans.cast(SPAN_SCHEMA).alias("spans"))
+
+
+def derived_corpus_ruleset() -> RuleSet:
+    """Rules matched to ``derive_corpus``'s injected corruptions. Same
+    vocabulary entries as ``corpus.corpus_ruleset`` minus the doc_id
+    lexical rules (the flat table's ids are numeric)."""
+    return RuleSet(
+        name="derived",
+        rules=(
+            Rule("minItems.spans", "/spans", "minItems", {"value": 1}),
+            Rule("enum.span.kind", "/spans/*/kind", "enum", {"values": ["text", "media"]}),
+            Rule(
+                "required.span.text",
+                "/spans/*/text",
+                "required",
+                {"when": {"field": "kind", "eq": "text"}},
+            ),
+            Rule(
+                "format.span.media_ref",
+                "/spans/*/media_ref",
+                "format",
+                {"format": "media-ref-32", "when": {"field": "kind", "eq": "media"}},
+            ),
+            Rule("monotonic.offsets", "/spans", "monotonic", {"field": "offset"}),
+        ),
+    )
