@@ -1,0 +1,111 @@
+"""spark-submit entry point (BASELINE.json "packaged for spark-submit
+--py-files") — the CLI surface analogue of the reference's standalone
+JAR (``ValidationRunner.java:93-119``), with the per-input loop
+replaced by one distributed pass.
+
+Usage:
+    spark-submit --py-files json_validator_spark.zip \
+        -m json_validator_spark.cli validate \
+        --input <table-or-parquet> --output <dir> \
+        [--rules rules.json] [--media-catalog <table>] \
+        [--checkpoint <dir> --run-id <id>] [--repartition N]
+
+or locally: ``python -m json_validator_spark.cli validate ...``.
+
+Outputs (S7 sink analogue, ``FileManager.java:100-139``):
+``{output}/violations``, ``{output}/verdicts``, ``{output}/aggregate``,
+``{output}/metrics`` — Iceberg tables when the catalog resolves,
+parquet otherwise (``sources/tables.write_table``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _load_ruleset(path: str | None):
+    from json_validator_spark.corpus import corpus_ruleset
+    from json_validator_spark.rules.model import Combination, Rule, RuleSet
+
+    if path is None:
+        return corpus_ruleset()
+    with open(path) as f:
+        spec = json.load(f)
+    rules = tuple(Rule.from_row(r) for r in spec["rules"])
+    return RuleSet(
+        rules=rules,
+        combination=Combination(spec.get("combination", "all")),
+        name=spec.get("name", "cli"),
+    )
+
+
+def cmd_validate(args: argparse.Namespace) -> int:
+    from json_validator_spark.operators.report import ordered
+    from json_validator_spark.plans.pipeline import validate_run
+    from json_validator_spark.session import get_spark
+    from json_validator_spark.sources.tables import load_table, write_table
+
+    spark = get_spark(app_name="jvs-validate", master=args.master)
+    docs = load_table(spark, args.input)
+    media = load_table(spark, args.media_catalog) if args.media_catalog else None
+    ruleset = _load_ruleset(args.rules)
+
+    t0 = time.perf_counter()
+    if args.checkpoint:
+        from json_validator_spark.plans.checkpoint import (
+            read_violations,
+            run_with_checkpoint,
+        )
+
+        run_with_checkpoint(
+            spark, docs, ruleset, args.checkpoint, args.run_id or "cli-run",
+            media_catalog=media,
+        )
+        violations = read_violations(spark, args.checkpoint)
+        write_table(ordered(violations), f"{args.output}/violations")
+    else:
+        res = validate_run(
+            spark, docs, ruleset, media_catalog=media,
+            repartition_to=args.repartition,
+            stats_columns=None,
+        )
+        write_table(ordered(res.violations), f"{args.output}/violations")
+        write_table(res.partition_verdicts, f"{args.output}/verdicts")
+        write_table(res.aggregate, f"{args.output}/aggregate")
+    elapsed = time.perf_counter() - t0
+    n_docs = docs.count()
+    print(
+        json.dumps(
+            {
+                "n_docs": n_docs,
+                "elapsed_sec": round(elapsed, 3),
+                "docs_per_sec": round(n_docs / elapsed, 1),
+                "output": args.output,
+            }
+        )
+    )
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="json_validator_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    v = sub.add_parser("validate", help="validate a documents table")
+    v.add_argument("--input", required=True)
+    v.add_argument("--output", required=True)
+    v.add_argument("--rules", default=None, help="rule-table JSON (FIXTURES.md §4)")
+    v.add_argument("--media-catalog", default=None)
+    v.add_argument("--checkpoint", default=None)
+    v.add_argument("--run-id", default=None)
+    v.add_argument("--repartition", type=int, default=None)
+    v.add_argument("--master", default=None)
+    v.set_defaults(fn=cmd_validate)
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

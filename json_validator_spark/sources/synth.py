@@ -31,6 +31,11 @@ _VOCAB = [
     "table", "row", "column", "batch", "stream", "shard", "merge", "scan",
 ]
 
+# One long deterministic word soup; span text = substring of this.
+_CORPUS_TEXT = " ".join(_VOCAB[(7 * i) % len(_VOCAB)] for i in range(200))
+# max text length is 60 tokens * 6 chars = 360; keep starts in-range
+_CORPUS_SLACK = max(len(_CORPUS_TEXT) - 400, 1)
+
 
 def _u(doc: Column, salt: int, span: Column | None = None) -> Column:
     """Uniform [0,1) from (doc index, salt[, span index]) — partition-invariant."""
@@ -86,16 +91,17 @@ def synth_documents(
             .when(ku < 0.30, F.lit("media"))
             .otherwise(F.lit("text"))
         )
+        # Variable-length text as a substring of a fixed corpus constant:
+        # 2 hashes per span instead of one per token — generation is
+        # O(spans), not O(tokens), which keeps 10^6-doc bench corpora
+        # cheap to materialize. Rule semantics never inspect token
+        # content, only length/nullness.
         n_tok = (F.lit(text_len_lo) + (_h(doc, 12, i) % (text_len_hi - text_len_lo + 1))).cast("int")
-        words = F.transform(
-            F.sequence(F.lit(1), n_tok),
-            lambda j: F.element_at(
-                F.array(*[F.lit(w) for w in _VOCAB]), (_h(doc, 13, i * F.lit(1000) + j) % len(_VOCAB) + 1).cast("int")
-            ),
-        )
+        start = (_h(doc, 13, i) % F.lit(_CORPUS_SLACK) + 1).cast("int")
         text_null = _u(doc, 14, i) < 0.01
         text = F.when(
-            (kind == "text") & ~text_null, F.array_join(words, " ")
+            (kind == "text") & ~text_null,
+            F.substring(F.lit(_CORPUS_TEXT), start, n_tok * 6),
         ).otherwise(F.lit(None).cast("string"))
 
         ref_idx = (_h(doc, 15, i) % catalog_size).cast("long")

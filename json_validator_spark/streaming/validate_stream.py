@@ -1,0 +1,98 @@
+"""Structured Streaming surface — incremental validation.
+
+The reference is strictly batch-synchronous (no streaming anywhere; see
+SURVEY §2.5), so this module is an *extension*: the same compiled rule
+layer applied incrementally as new document files/partitions land.
+Because the row-rule layer is one narrow projection (zero shuffles),
+it streams trivially — each micro-batch is scan → project → sink, and
+the rule Columns are compiled ONCE at stream definition.
+
+- ``validate_stream``: ``readStream`` (file source; Iceberg streaming
+  read at scale) → violations → ``foreachBatch`` append, with the batch
+  id recorded for exactly-once-per-batch idempotence (the streaming
+  sibling of ``plans/checkpoint.py``'s bucket lineage).
+- ``windowed_violation_rates``: event-time windowed violation counts
+  with a watermark for late data — the streaming analogue of the
+  per-partition verdict rollup (``operators/report.partition_verdicts``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from json_validator_spark.operators.row_checks import with_violations
+from json_validator_spark.rules.model import RuleSet
+
+
+def validate_stream(
+    spark: SparkSession,
+    input_path: str,
+    schema: str,
+    ruleset: RuleSet,
+    output_path: str,
+    checkpoint_path: str,
+    doc_id: str = "doc_id",
+    definitions: dict[str, dict[str, Any]] | None = None,
+) -> StreamingQuery:
+    """Start an incremental validation stream over a landing directory.
+
+    Each micro-batch: evaluate rules (narrow), explode violations,
+    append to ``{output_path}/violations`` tagged with ``batch_id``.
+    Restart-safe via the Spark streaming checkpoint; ``availableNow``
+    trigger makes it drainable in tests and backfills."""
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    wv = with_violations(stream, ruleset, definitions)
+    viols = (
+        wv.select(F.col(doc_id).cast("string").alias("doc_id"), F.explode("violations").alias("v"))
+        .select("doc_id", "v.span_path", "v.rule_id", "v.severity", "v.message")
+    )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{output_path}/violations")
+        )
+
+    return (
+        viols.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_violation_rates(
+    docs_with_ts: DataFrame,
+    ruleset: RuleSet,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Event-time windowed verdict rollup for a *streaming* DataFrame:
+    per window, docs seen / docs failed / violation count, tolerating
+    late arrivals up to ``watermark``. Works identically on a batch
+    frame (drop the watermark) — used that way in tests."""
+    wv = with_violations(docs_with_ts, ruleset)
+    is_stream = wv.isStreaming
+    if is_stream:
+        wv = wv.withWatermark(ts_col, watermark)
+    n_err = F.size(F.filter(F.col("violations"), lambda v: v["severity"] == "error"))
+    return (
+        wv.select(F.col(ts_col), n_err.alias("n_err"))
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_err") > 0).cast("long")).alias("n_failed"),
+            F.sum("n_err").alias("n_violations"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_docs", "n_failed", "n_violations",
+        )
+    )

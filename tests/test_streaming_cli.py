@@ -1,0 +1,103 @@
+"""Streaming incremental validation + CLI packaging tests."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_validator_spark.sources.derive import SPAN_SCHEMA, derive_corpus, derived_corpus_ruleset
+from tests.conftest import rows_set
+
+
+@pytest.fixture()
+def landing(tmp_path, spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} " * 20) for i in range(50)], "doc_id long, text string"
+    )
+    corpus = derive_corpus(docs)
+    path = str(tmp_path / "landing")
+    corpus.write.parquet(path)
+    return path, corpus
+
+
+def test_validate_stream_matches_batch(tmp_path, spark, landing):
+    from json_validator_spark.operators.row_checks import violations_df
+    from json_validator_spark.streaming.validate_stream import validate_stream
+
+    path, corpus = landing
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = f"doc_id bigint, spans {SPAN_SCHEMA}"
+    q = validate_stream(spark, path, schema, derived_corpus_ruleset(), out, ckpt)
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(f"{out}/violations").drop("batch_id")
+    batch = violations_df(corpus, derived_corpus_ruleset()).withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    assert rows_set(streamed) == rows_set(batch)
+
+    # second batch of new files → incremental, no reprocessing of batch 1
+    more = derive_corpus(
+        spark.createDataFrame(
+            [(i, f"tok{i} word " * 15) for i in range(100, 140)],
+            "doc_id long, text string",
+        )
+    )
+    more.write.mode("append").parquet(path)
+    q2 = validate_stream(spark, path, schema, derived_corpus_ruleset(), out, ckpt)
+    q2.awaitTermination(120)
+    streamed2 = spark.read.parquet(f"{out}/violations").drop("batch_id")
+    both = batch.unionByName(
+        violations_df(more, derived_corpus_ruleset()).withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+    )
+    assert rows_set(streamed2) == rows_set(both)
+
+
+def test_windowed_violation_rates_batch_mode(spark):
+    from json_validator_spark.streaming.validate_stream import windowed_violation_rates
+
+    docs = derive_corpus(
+        spark.createDataFrame(
+            [(i, f"alpha beta {i} " * 10) for i in range(60)], "doc_id long, text string"
+        )
+    ).withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + F.make_interval(secs=F.col("doc_id").cast("int") * 10),
+    )
+    out = windowed_violation_rates(docs, derived_corpus_ruleset(), window="1 minute")
+    rows = out.collect()
+    assert sum(r["n_docs"] for r in rows) == 60
+    assert len(rows) == 10  # 600s span / 60s windows
+    assert all(r["n_violations"] >= r["n_failed"] for r in rows)
+
+
+def test_cli_validate(tmp_path, spark, landing):
+    from json_validator_spark.cli import main
+
+    path, corpus = landing
+    out = str(tmp_path / "cli_out")
+    rules = {
+        "name": "cli-test",
+        "rules": [
+            {"rule_id": "enum.kind", "target": "/spans/*/kind", "kind": "enum",
+             "params": json.dumps({"values": ["text", "media"]}), "severity": "error"},
+            {"rule_id": "min.spans", "target": "/spans", "kind": "minItems",
+             "params": json.dumps({"value": 1}), "severity": "error"},
+        ],
+    }
+    rules_path = tmp_path / "rules.json"
+    rules_path.write_text(json.dumps(rules))
+    rc = main([
+        "validate", "--input", path, "--output", out, "--rules", str(rules_path),
+    ])
+    assert rc == 0
+    v = spark.read.parquet(f"{out}/violations")
+    assert set(v.columns) == {"doc_id", "span_path", "rule_id", "severity", "message"}
+    agg = spark.read.parquet(f"{out}/aggregate")
+    assert {r["rule_id"] for r in agg.collect()} <= {"enum.kind", "min.spans"}
