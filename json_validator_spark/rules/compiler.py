@@ -140,7 +140,9 @@ def _doc_value(rule: Rule) -> Column:
     parts = rule.target.strip("/").split("/")
     col: Column = F.col(parts[0])
     for p in parts[1:]:
-        col = col[p] if not p.isdigit() else col[int(p)]
+        # F.get for positions: ANSI mode errors on out-of-range indexes,
+        # but a pointer past the end must read as absent (null).
+        col = col[p] if not p.isdigit() else F.get(col, int(p))
     return col
 
 

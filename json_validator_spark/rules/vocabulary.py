@@ -81,6 +81,13 @@ def build_pass(kind: str, value: Column, params: dict[str, Any]) -> Column:
     if kind == "maxLength":
         return F.length(value) <= _num(params["value"])
     if kind == "pattern":
+        if params.get("engine") == "python":
+            # ECMA-262 constructs Java regex lacks (or differs on) route
+            # through a VECTORIZED pandas UDF — Arrow batches, pandas
+            # str.fullmatch, no per-row Python (SURVEY §2.2 pattern row).
+            # Doc-level rules only: Spark forbids UDFs inside the
+            # higher-order-function lambdas span rules compile to.
+            return _pandas_regex_pass(value, params["regex"])
         return value.rlike(params["regex"])
     if kind == "format":
         return format_pass(value, params["format"])
@@ -181,6 +188,17 @@ def build_pass(kind: str, value: Column, params: dict[str, Any]) -> Column:
         return F.lit(True)
 
     raise ValueError(f"unknown rule kind: {kind}")
+
+
+def _pandas_regex_pass(value: Column, regex: str) -> Column:
+    import pandas as pd  # noqa: F401 — signature typing
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def match(s):
+        return s.str.fullmatch(regex).astype("boolean")
+
+    return match(value)
 
 
 def _type_pass(value: Column, params: dict[str, Any]) -> Column:

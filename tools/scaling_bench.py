@@ -1,10 +1,23 @@
-"""N-vs-4N scaling evidence (BASELINE.md protocol): same flagship
-validation job on the SAME materialized corpus at local[8] and
-local[32]; warm-up discarded, median of 3 timed runs per level.
+"""N-vs-4N scaling evidence (BASELINE.md protocol).
 
-Writes the numbers to stdout as JSON; BENCH.md records them.
-The north_rule's two-cluster-size criterion is evidenced here by
-parallelism levels, per driver instruction (no real cluster in sandbox).
+Same flagship validation job on the SAME materialized corpus at two
+parallelism levels (default local[8] vs local[32]); each level runs in
+a fresh JVM **pinned with taskset to exactly that many physical CPUs**,
+so N-vs-4N is a true 4x resource ratio — the honest sandbox emulation
+of N vs 4N executors (per driver instruction; no real cluster here).
+Warm-up discarded, median of 3 timed runs per level.
+
+Each level also runs a PLATFORM CALIBRATION: a pure-JVM codegen'd hash
+loop (no strings, no GC pressure, no I/O, no Python). Its speedup is
+the ceiling this host can deliver at all — shared-cloud hosts throttle
+sustained all-core load, so e.g. 8→32 pinned cores may top out near
+2.5x even for embarrassingly parallel compute. The JSON therefore
+reports BOTH the raw engine efficiency and the platform-normalized one
+(engine speedup / platform speedup).
+
+Env: BENCH_DOCS (default 200000), LEVELS (default "8,32").
+Usage: python tools/scaling_bench.py            # orchestrates both levels
+       python tools/scaling_bench.py gen|<N>    # internal sub-invocations
 """
 
 from __future__ import annotations
@@ -18,22 +31,50 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_DOCS = int(os.environ.get("BENCH_DOCS", "200000"))
+LEVELS = tuple(int(x) for x in os.environ.get("LEVELS", "8,32").split(","))
 CORPUS = f"/tmp/jvs_scale_corpus_{N_DOCS}"
+CALIB_ROWS = 6_000_000_000
+
+
+def gen_corpus() -> None:
+    """Materialize the corpus once, at full parallelism — generation is
+    not part of the measured validation job."""
+    from json_validator_spark.session import get_spark
+    from json_validator_spark.sources.synth import synth_documents
+
+    if os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+        return
+    spark = get_spark(app_name="scale-gen", master="local[32]", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    synth_documents(spark, N_DOCS, partitions=128).write.mode("overwrite").parquet(CORPUS)
+    spark.stop()
 
 
 def run_level(cores: int) -> dict:
+    from pyspark.sql import functions as F
+
     from json_validator_spark.corpus import corpus_ruleset
     from json_validator_spark.plans.pipeline import validate_run
     from json_validator_spark.session import get_spark
-    from json_validator_spark.sources.synth import synth_documents, synth_media_catalog
+    from json_validator_spark.sources.synth import synth_media_catalog
 
     spark = get_spark(
         app_name=f"scale-{cores}", master=f"local[{cores}]",
         shuffle_partitions=2 * cores,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    if not os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
-        synth_documents(spark, N_DOCS, partitions=64).write.mode("overwrite").parquet(CORPUS)
+
+    # platform calibration: pure codegen'd compute, zero I/O / Python
+    calib_df = spark.range(0, CALIB_ROWS, numPartitions=4 * cores)
+    calib_exprs = [
+        F.max(F.xxhash64("id")),
+        F.max(F.xxhash64("id", F.lit(1))),
+        F.max(F.xxhash64("id", F.lit(2))),
+    ]
+    calib_df.select(*calib_exprs).collect()  # warm-up
+    t0 = time.perf_counter()
+    calib_df.select(*calib_exprs).collect()
+    calib_sec = time.perf_counter() - t0
 
     def once() -> tuple[float, int]:
         docs = spark.read.parquet(CORPUS)
@@ -58,29 +99,53 @@ def run_level(cores: int) -> dict:
         "runs_sec": [round(t, 3) for t in times],
         "docs_per_sec": round(N_DOCS / med, 1),
         "n_violations": n_viol,
+        "calib_sec": round(calib_sec, 3),
     }
 
 
 def main() -> None:
     import subprocess
 
+    subprocess.run(
+        [sys.executable, "-u", __file__, "gen"], capture_output=True, check=True
+    )
     results = []
-    for cores in (8, 32):
-        # fresh JVM per level so executor-thread pools don't carry over
+    for cores in LEVELS:
+        # Fresh JVM per level, PINNED to exactly `cores` physical CPUs —
+        # otherwise the local[N] JVM borrows all 32 cores for GC / IO /
+        # codegen threads and the low-core baseline is silently faster
+        # than an N-core node would be.
         out = subprocess.run(
-            [sys.executable, "-u", __file__, str(cores)],
+            ["taskset", "-c", f"0-{cores - 1}",
+             sys.executable, "-u", __file__, str(cores)],
             capture_output=True, text=True, check=True,
         )
         results.append(json.loads(out.stdout.strip().splitlines()[-1]))
-    r8, r32 = results
-    eff = round(r32["docs_per_sec"] / r8["docs_per_sec"] / 4.0, 3)
-    print(json.dumps({"n_docs": N_DOCS, "levels": results,
-                      "scaling_efficiency_8_to_32": eff,
-                      "identical_violations": r8["n_violations"] == r32["n_violations"]}))
+    lo, hi = results
+    ratio = hi["cores"] / lo["cores"]
+    engine_speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
+    platform_speedup = lo["calib_sec"] / hi["calib_sec"]
+    print(
+        json.dumps(
+            {
+                "n_docs": N_DOCS,
+                "levels": results,
+                "engine_speedup": round(engine_speedup, 3),
+                "platform_speedup_pure_compute": round(platform_speedup, 3),
+                "raw_scaling_efficiency": round(engine_speedup / ratio, 3),
+                "platform_normalized_efficiency": round(
+                    engine_speedup / platform_speedup, 3
+                ),
+                "identical_violations": lo["n_violations"] == hi["n_violations"],
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1:
+    if len(sys.argv) > 1 and sys.argv[1] == "gen":
+        gen_corpus()
+    elif len(sys.argv) > 1:
         print(json.dumps(run_level(int(sys.argv[1]))))
     else:
         main()
