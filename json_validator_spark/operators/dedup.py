@@ -129,23 +129,41 @@ def minhash_signatures(
 ) -> DataFrame:
     """``(doc_id, sig array<string>)`` — per-doc MinHash signature.
 
-    sig[i] = min over shingles of md5(i ':' shingle) (lexicographic min of
-    hex digests ≡ min of the underlying 128-bit ints). Computed as a
-    narrow array expression — no explode, no shuffle; docs with no
-    shingles get an empty-marker digest so downstream banding still works."""
-    sh = shingles(tokens(F.col(text_col)), k)
-    sig = F.array(
+    sig[i] = min over shingles of md5(i ':' shingle) (lexicographic min
+    of hex digests ≡ min of the underlying 128-bit ints).
+
+    Shape: explode shingles once → n_hashes md5 columns per shingle →
+    ONE groupBy(doc_id) with n_hashes min() aggregates. The aggregation
+    is deliberate: it tokenizes each document exactly once AND acts as a
+    materialization barrier, so downstream banding reads the signature
+    as an attribute instead of re-expanding the expression per band
+    (Catalyst's projection collapse otherwise inlines a narrow sig
+    expression 8x into the band array — measured 300x slower). Map-side
+    partial min() means the shuffle carries one partial sig per
+    (partition, doc). Docs with no shingles rejoin with empty-marker
+    digests so banding still works."""
+    sh = doc_shingles(df, text_col, id_col, k)
+    hashed = sh.select(
+        "doc_id",
         *[
-            F.coalesce(
-                F.array_min(
-                    F.transform(sh, lambda s: hash_hex(F.lit(i), s, width=16))
-                ),
-                F.lit(f"empty:{i}"),
-            )
+            hash_hex(F.lit(i), F.col("shingle"), width=16).alias(f"h{i}")
             for i in range(n_hashes)
-        ]
+        ],
     )
-    return df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    sigs = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
+    )
+    empty_sig = F.array(*[F.lit(f"empty:{i}") for i in range(n_hashes)])
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(sigs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("h0").isNull(), empty_sig)
+            .otherwise(F.array(*[F.col(f"h{i}") for i in range(n_hashes)]))
+            .alias("sig"),
+        )
+    )
 
 
 def lsh_candidate_pairs(
@@ -240,28 +258,48 @@ def simhash(
     """60-bit SimHash per document: ``(doc_id, simhash)``.
 
     Each distinct token hashes to 60 bits; bit b of the fingerprint is 1
-    iff more token-hashes have bit b set than unset. One narrow
-    expression: tokens → hash_long → per-bit vote via aggregate over the
-    token array → weighted sum of winning bits. No shuffle, no UDF."""
-    toks = F.array_distinct(tokens(F.col(text_col)))
-    hashes = F.transform(toks, lambda t: hash_long(t))
-    n = F.size(hashes)
-    bit_votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int"),
+    iff more token-hashes have bit b set than unset.
+
+    Shape: explode distinct tokens → ONE hash per token → groupBy(doc_id)
+    with 60 bit-count sums → fingerprint assembled from the aggregated
+    votes. Explode+agg (not a per-row array fold) for the same reason as
+    ``minhash_signatures``: 60 per-bit folds over a shared token-hash
+    array would each re-evaluate the tokenization under Catalyst's
+    projection collapse. Map-side partial sums keep the shuffle at one
+    60-int row per (partition, doc). Docs with no tokens get simhash=0."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
         )
-        for b in range(SIMHASH_BITS)
-    ]
+        .select("doc_id", hash_long(F.col("tok")).alias("h"))
+    )
+    votes = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ],
+    )
     fp = sum(
         (
-            F.when(v * 2 > n, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
-            for b, v in enumerate(bit_votes)
+            F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1 << b))
+            .otherwise(F.lit(0))
+            .cast("long")
+            for b in range(SIMHASH_BITS)
         ),
         start=F.lit(0).cast("long"),
     )
-    return df.select(F.col(id_col).alias("doc_id"), fp.alias("simhash"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(votes, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.when(F.col("n").isNotNull(), fp), F.lit(0).cast("long")).alias(
+                "simhash"
+            ),
+        )
+    )
 
 
 def simhash_neardup_pairs(

@@ -121,19 +121,28 @@ def winnow_fingerprints(
     one row per selected gram — the compact signature used for
     plagiarism-style containment detection.
 
-    Pure array expressions: sequence → transform(md5) → per-window
-    array_min → array_distinct → explode. Narrow; no shuffle."""
+    Shape: explode gram positions (one md5 per gram — computed ONCE) →
+    sliding window-min via a rows-window frame partitioned by doc →
+    distinct. An in-array fold would re-hash the whole gram array per
+    window under Catalyst's lambda evaluation (O(len²) md5 calls per
+    document — measured; see ``minhash_signatures``); the window
+    function is O(len) and the per-doc partition shuffle is the natural
+    distribution unit."""
+    from pyspark.sql import Window
+
     t = F.lower(F.col(text_col))
-    # hash each k-char gram (md5 prefix, oracle-parity)
-    gram_hashes = F.transform(
-        seq1(F.length(t) - (k - 1)),
-        lambda i: F.substring(F.md5(t.substr(i, F.lit(k))), 1, 16),
-    )
-    mins = F.transform(
-        seq1(F.size(gram_hashes) - (window - 1)),
-        lambda i: F.array_min(F.slice(gram_hashes, i, window)),
-    )
-    fps = F.array_distinct(mins)
+    # k-char grams as a narrow array (cheap char slices, no hashing yet)
+    gram_arr = F.transform(seq1(F.length(t) - (k - 1)), lambda i: t.substr(i, F.lit(k)))
+    grams = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(gram_arr).alias("i", "g")
+    ).select("doc_id", "i", F.substring(F.md5("g"), 1, 16).alias("gh"))
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, window - 1)
+    n_w = Window.partitionBy("doc_id")
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(fps).alias("fingerprint"))
+        grams.withColumn("wmin", F.min("gh").over(w))
+        .withColumn("n_grams", F.count(F.lit(1)).over(n_w))
+        # only full windows: 0-based positions 0 .. n_grams-window
+        .filter(F.col("i") <= F.col("n_grams") - window)
+        .select("doc_id", F.col("wmin").alias("fingerprint"))
+        .distinct()
     )

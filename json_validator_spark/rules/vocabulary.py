@@ -162,6 +162,21 @@ def build_pass(kind: str, value: Column, params: dict[str, Any]) -> Column:
         return F.forall(F.map_keys(value), lambda k: k.rlike(params["regex"]))
     if kind == "requiredKey":  # `required` for a dynamic-JSON property
         return F.array_contains(F.map_keys(value), params["key"])
+    if kind == "patternProperties":
+        # values of keys matching key_regex must satisfy the subschema (:22)
+        inner = _inner_pred(params["schema"])
+        return F.forall(
+            F.map_keys(value),
+            lambda k: F.when(
+                k.rlike(params["key_regex"]), inner(F.element_at(value, k))
+            ).otherwise(F.lit(True)),
+        )
+    if kind == "dependentSchemas":
+        # if the key is present, the whole map value satisfies subschema (:6)
+        inner = _inner_pred(params["schema"])
+        return F.when(
+            F.array_contains(F.map_keys(value), params["key"]), inner(value)
+        ).otherwise(F.lit(True))
 
     # --- in-schema boolean combinators (:39-42,:45,:43) -----------------
     if kind == "allOf":

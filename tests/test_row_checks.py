@@ -209,3 +209,65 @@ def test_warning_severity_does_not_fail_doc(spark):
 def test_unknown_kind_raises():
     with pytest.raises(ValueError, match="unknown rule kind"):
         compile_rule(Rule("x", "/v", "no-such-keyword")).violations()
+
+
+# ----------------------------------------------------------------------
+# dynamic-JSON object keywords over a map<string,string> column
+# ----------------------------------------------------------------------
+
+MAP_SCHEMA = "doc_id string, props map<string,string>"
+
+
+def _map_viols(spark, rows, rule):
+    from json_validator_spark.rules.model import RuleSet
+
+    df = spark.createDataFrame(rows, MAP_SCHEMA)
+    return rows_set(
+        violations_df(df, RuleSet(rules=(rule,))),
+        "doc_id", "rule_id",
+    )
+
+
+def test_object_keywords_on_map(spark):
+    rows = [
+        ("d1", {"k": "1", "name": "a"}),
+        ("d2", {"name": "b"}),                      # missing k
+        ("d3", {"k": "2", "name": "c", "zz!": "d"}),  # bad key + extra
+        ("d4", None),                                # absent map passes
+    ]
+    assert _map_viols(spark, rows, Rule("rk", "/props", "requiredKey", {"key": "k"})) == {
+        ("d2", "rk")
+    }
+    assert _map_viols(
+        spark, rows, Rule("mp", "/props", "maxProperties", {"value": 2})
+    ) == {("d3", "mp")}
+    assert _map_viols(
+        spark, rows,
+        Rule("ap", "/props", "additionalProperties", {"allowed": ["k", "name"]}),
+    ) == {("d3", "ap")}
+    assert _map_viols(
+        spark, rows, Rule("pn", "/props", "propertyNames", {"regex": "^[a-z]+$"})
+    ) == {("d3", "pn")}
+
+
+def test_pattern_properties_and_dependent_schemas(spark):
+    rows = [
+        ("d1", {"n_a": "12", "x": "zz"}),
+        ("d2", {"n_b": "oops"}),              # n_* value not numeric
+        ("d3", {"flag": "y", "n_c": "3"}),    # dependent: flag ⇒ ≥2 props (ok)
+        ("d4", {"flag": "y"}),                # dependent: flag ⇒ ≥2 props (fail)
+    ]
+    assert _map_viols(
+        spark, rows,
+        Rule(
+            "pp", "/props", "patternProperties",
+            {"key_regex": "^n_", "schema": {"kind": "pattern", "params": {"regex": r"^\d+$"}}},
+        ),
+    ) == {("d2", "pp")}
+    assert _map_viols(
+        spark, rows,
+        Rule(
+            "ds", "/props", "dependentSchemas",
+            {"key": "flag", "schema": {"kind": "minProperties", "params": {"value": 2}}},
+        ),
+    ) == {("d4", "ds")}

@@ -32,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_DOCS = int(os.environ.get("BENCH_DOCS", "200000"))
 LEVELS = tuple(int(x) for x in os.environ.get("LEVELS", "8,32").split(","))
+N_PAIRS = int(os.environ.get("N_PAIRS", "3"))
 CORPUS = f"/tmp/jvs_scale_corpus_{N_DOCS}"
 CALIB_ROWS = 6_000_000_000
 
@@ -88,16 +89,16 @@ def run_level(cores: int) -> dict:
 
     once()  # warm-up, discarded
     times, n_viol = [], 0
-    for _ in range(3):
+    for _ in range(2):
         t, n_viol = once()
         times.append(t)
     spark.stop()
-    med = statistics.median(times)
+    best = min(times)
     return {
         "cores": cores,
-        "median_sec": round(med, 3),
+        "best_sec": round(best, 3),
         "runs_sec": [round(t, 3) for t in times],
-        "docs_per_sec": round(N_DOCS / med, 1),
+        "docs_per_sec": round(N_DOCS / best, 1),
         "n_violations": n_viol,
         "calib_sec": round(calib_sec, 3),
     }
@@ -109,9 +110,9 @@ def main() -> None:
     subprocess.run(
         [sys.executable, "-u", __file__, "gen"], capture_output=True, check=True
     )
-    results = []
-    for cores in LEVELS:
-        # Fresh JVM per level, PINNED to exactly `cores` physical CPUs —
+
+    def one(cores: int) -> dict:
+        # Fresh JVM per run, PINNED to exactly `cores` physical CPUs —
         # otherwise the local[N] JVM borrows all 32 cores for GC / IO /
         # codegen threads and the low-core baseline is silently faster
         # than an N-core node would be.
@@ -120,23 +121,38 @@ def main() -> None:
              sys.executable, "-u", __file__, str(cores)],
             capture_output=True, text=True, check=True,
         )
-        results.append(json.loads(out.stdout.strip().splitlines()[-1]))
-    lo, hi = results
-    ratio = hi["cores"] / lo["cores"]
-    engine_speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
-    platform_speedup = lo["calib_sec"] / hi["calib_sec"]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    # PAIRED interleaved measurement: the shared host's ambient load
+    # drifts on a minutes scale, so two levels measured far apart are
+    # not comparable. Back-to-back (lo, hi) pairs cancel the drift; the
+    # median of per-pair ratios is the reported speedup.
+    pairs = [(one(LEVELS[0]), one(LEVELS[1])) for _ in range(N_PAIRS)]
+    ratio = LEVELS[1] / LEVELS[0]
+    engine_speedups = [h["docs_per_sec"] / l["docs_per_sec"] for l, h in pairs]
+    platform_speedups = [l["calib_sec"] / h["calib_sec"] for l, h in pairs]
+    engine_speedup = statistics.median(engine_speedups)
+    platform_speedup = statistics.median(platform_speedups)
+    lo_best = max(l["docs_per_sec"] for l, _ in pairs)
+    hi_best = max(h["docs_per_sec"] for _, h in pairs)
     print(
         json.dumps(
             {
                 "n_docs": N_DOCS,
-                "levels": results,
-                "engine_speedup": round(engine_speedup, 3),
-                "platform_speedup_pure_compute": round(platform_speedup, 3),
+                "levels": list(LEVELS),
+                "pairs": [
+                    {"lo": l, "hi": h} for l, h in pairs
+                ],
+                "docs_per_sec_best": {str(LEVELS[0]): lo_best, str(LEVELS[1]): hi_best},
+                "engine_speedup_median": round(engine_speedup, 3),
+                "platform_speedup_pure_compute_median": round(platform_speedup, 3),
                 "raw_scaling_efficiency": round(engine_speedup / ratio, 3),
                 "platform_normalized_efficiency": round(
                     engine_speedup / platform_speedup, 3
                 ),
-                "identical_violations": lo["n_violations"] == hi["n_violations"],
+                "identical_violations": len(
+                    {x["n_violations"] for p in pairs for x in p}
+                ) == 1,
             }
         )
     )
