@@ -93,7 +93,11 @@ def q_corpus_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.row_checks import violations_df
     from json_validator_spark.sources.derive import derive_corpus, derived_corpus_ruleset
 
-    docs = _load(spark, sf_dir, "documents")
+    # the documents parquet is one tiny file → one input partition; spread
+    # it before the compute-heavy span derivation so all cores participate
+    docs = _load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     corpus = derive_corpus(docs)
     return violations_df(corpus, derived_corpus_ruleset())
 

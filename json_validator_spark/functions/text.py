@@ -64,6 +64,20 @@ def unit_uniform(*cols: Column) -> Column:
     return hash_long(*cols, hex_chars=6) / F.lit(float(1 << 24))
 
 
+def let(bound: Column, body) -> Column:
+    """Single-evaluation let-binding for Column expressions.
+
+    Higher-order-function lambdas re-evaluate any *expression* they
+    reference on every element (and HOFs run interpreted, outside
+    codegen) — referencing an expensive expression like a tokenization
+    inside a per-element lambda is O(elements × cost). Wrapping it as
+    ``transform(array(bound), v -> body(v))[1]`` evaluates ``bound``
+    exactly once and hands the materialized VALUE to ``body`` as a
+    lambda variable. See operators/dedup.py for the aggregation-barrier
+    variant of the same fix."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def seq1(n: Column) -> Column:
     """``[1..n]``, or an EMPTY array when n < 1. Plain ``F.sequence(1, 0)``
     yields a *descending* ``[1, 0]`` (step defaults to -1), which poisons

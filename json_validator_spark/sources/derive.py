@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from json_validator_spark.functions.text import tokens, unit_uniform
+from json_validator_spark.functions.text import let, tokens, unit_uniform
 from json_validator_spark.rules.model import Rule, RuleSet
 
 CHUNK_TOKENS = 8
@@ -37,45 +37,52 @@ SPAN_SCHEMA = "array<struct<kind:string,text:string,media_ref:string,offset:int>
 def derive_corpus(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """``(doc_id, spans)`` — one narrow projection, no shuffle."""
+    """``(doc_id, spans)`` — one narrow projection, no shuffle.
+
+    The token array is ``let``-bound (``functions/text.let``) so the
+    document is tokenized ONCE, not once per span — per-span lambdas
+    re-evaluate referenced expressions otherwise."""
     doc = F.col(id_col)
-    toks = tokens(F.col(text_col))
-    n_spans = F.greatest(
-        F.ceil(F.size(toks) / F.lit(float(CHUNK_TOKENS))).cast("int"), F.lit(1)
-    )
     off_broken = unit_uniform(doc, F.lit("off")) < 0.01
 
-    def make_span(i: Column) -> Column:
-        u_kind = unit_uniform(doc, F.lit("kind"), i)
-        kind = (
-            F.when(u_kind < 0.004, F.lit("imge"))
-            .when(u_kind < 0.3, F.lit("media"))
-            .otherwise(F.lit("text"))
-        )
-        chunk = F.array_join(F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " ")
-        text_null = unit_uniform(doc, F.lit("null"), i) < 0.02
-        text = F.when((kind == "text") & ~text_null, chunk).otherwise(
-            F.lit(None).cast("string")
-        )
-        bad = unit_uniform(doc, F.lit("bad"), i) < 0.02
-        media_ref = F.when(
-            kind == "media",
-            F.when(bad, F.lit("media:/broken")).otherwise(
-                F.concat(
-                    F.lit("media://"),
-                    F.md5(F.concat_ws(":", doc.cast("string"), F.lit("ref"), i.cast("string"))),
-                )
-            ),
-        ).otherwise(F.lit(None).cast("string"))
-        offset = F.when(off_broken, F.lit(5)).otherwise(i * CHUNK_TOKENS).cast("int")
-        return F.struct(
-            kind.alias("kind"),
-            text.alias("text"),
-            media_ref.alias("media_ref"),
-            offset.alias("offset"),
+    def build_spans(toks: Column) -> Column:
+        n_spans = F.greatest(
+            F.ceil(F.size(toks) / F.lit(float(CHUNK_TOKENS))).cast("int"), F.lit(1)
         )
 
-    spans = F.transform(F.sequence(F.lit(0), n_spans - 1), make_span)
+        def make_span(i: Column) -> Column:
+            u_kind = unit_uniform(doc, F.lit("kind"), i)
+            kind = (
+                F.when(u_kind < 0.004, F.lit("imge"))
+                .when(u_kind < 0.3, F.lit("media"))
+                .otherwise(F.lit("text"))
+            )
+            chunk = F.array_join(F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " ")
+            text_null = unit_uniform(doc, F.lit("null"), i) < 0.02
+            text = F.when((kind == "text") & ~text_null, chunk).otherwise(
+                F.lit(None).cast("string")
+            )
+            bad = unit_uniform(doc, F.lit("bad"), i) < 0.02
+            media_ref = F.when(
+                kind == "media",
+                F.when(bad, F.lit("media:/broken")).otherwise(
+                    F.concat(
+                        F.lit("media://"),
+                        F.md5(F.concat_ws(":", doc.cast("string"), F.lit("ref"), i.cast("string"))),
+                    )
+                ),
+            ).otherwise(F.lit(None).cast("string"))
+            offset = F.when(off_broken, F.lit(5)).otherwise(i * CHUNK_TOKENS).cast("int")
+            return F.struct(
+                kind.alias("kind"),
+                text.alias("text"),
+                media_ref.alias("media_ref"),
+                offset.alias("offset"),
+            )
+
+        return F.transform(F.sequence(F.lit(0), n_spans - 1), make_span)
+
+    spans = let(tokens(F.col(text_col)), build_spans)
     return docs.select(doc.alias("doc_id"), spans.cast(SPAN_SCHEMA).alias("spans"))
 
 
