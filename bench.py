@@ -37,7 +37,9 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
-    n_docs = int(os.environ.get("BENCH_DOCS", "200000"))
+    # 1M docs: large enough that per-action fixed costs (~2-3 s of driver
+    # planning + job scheduling) stop dominating the docs/sec figure
+    n_docs = int(os.environ.get("BENCH_DOCS", "1000000"))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry
@@ -88,6 +90,16 @@ def main() -> None:
         n_viol = res.violations.count()
         n_fail = res.partition_verdicts.filter(F.col("result") == "FAILURE").count()
         return n_viol, n_fail
+
+    # warm-up run, discarded (BASELINE.md protocol): the first validation
+    # pass in a fresh JVM pays tens of seconds of C2/janino compilation
+    # of the rule-expression evaluators — steady state is what scales
+    res_warm = validate_run(
+        spark, spark.read.parquet(corpus_path).limit(50000),
+        corpus_ruleset(), media_catalog=synth_media_catalog(spark),
+    )
+    res_warm.violations.count()
+    res_warm.partition_verdicts.count()
 
     n_viol, _ = timed("validate_synth", q_validate_synth)
 

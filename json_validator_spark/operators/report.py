@@ -25,11 +25,18 @@ def doc_verdicts(with_viols: DataFrame, doc_id: str = "doc_id") -> DataFrame:
     warnings/infos are counted but do not fail the document."""
     n_err = F.size(F.filter(F.col("violations"), lambda v: v["severity"] == "error"))
     n_warn = F.size(F.filter(F.col("violations"), lambda v: v["severity"] == "warning"))
+    # result derives from n_errors, not doc_pass: by construction every
+    # failing combination emits ≥1 error-severity violation (ANY/ONE_OF
+    # failures add an error header), and referencing doc_pass would
+    # re-evaluate every branch expression a third time (HOFs are
+    # CodegenFallback — each reference is a full re-evaluation).
     return with_viols.select(
         F.col(doc_id).alias("doc_id"),
         n_err.alias("n_errors"),
         n_warn.alias("n_warnings"),
-        F.when(F.col("doc_pass"), F.lit("SUCCESS")).otherwise(F.lit("FAILURE")).alias("result"),
+    ).withColumn(
+        "result",
+        F.when(F.col("n_errors") == 0, F.lit("SUCCESS")).otherwise(F.lit("FAILURE")),
     )
 
 

@@ -144,8 +144,14 @@ def violations_df(
     """Exploded violation rows ``(doc_id, span_path, rule_id, severity,
     message)`` — the reference's report items (``JSONValidator.java:461-465``)."""
     vdf = with_violations(df, ruleset, definitions)
+    # explode_outer + isNotNull, NOT plain explode: the optimizer guards a
+    # non-outer Generate with a size(violations)>0 pre-filter, and because
+    # higher-order functions are CodegenFallback (no cross-reference CSE)
+    # that filter re-evaluates the entire rule expression a second time —
+    # measured 1.6x slower on a 4M-doc corpus.
     return (
-        vdf.select(F.col(doc_id).alias("doc_id"), F.explode("violations").alias("v"))
+        vdf.select(F.col(doc_id).alias("doc_id"), F.explode_outer("violations").alias("v"))
+        .filter(F.col("v").isNotNull())
         .select(
             "doc_id",
             F.col("v.span_path").alias("span_path"),

@@ -62,8 +62,11 @@ def validate_run(
         docs = salted_repartition(docs, repartition_to, key=doc_id)
 
     wv = with_violations(docs, ruleset, definitions)
+    # explode_outer: see operators/row_checks.violations_df — avoids the
+    # optimizer's size>0 pre-filter double-evaluating the rule expression
     row_viols = (
-        wv.select(F.col(doc_id).cast("string").alias("doc_id"), F.explode("violations").alias("v"))
+        wv.select(F.col(doc_id).cast("string").alias("doc_id"), F.explode_outer("violations").alias("v"))
+        .filter(F.col("v").isNotNull())
         .select("doc_id", "v.span_path", "v.rule_id", "v.severity", "v.message")
     )
 

@@ -47,7 +47,8 @@ def validate_stream(
     stream = spark.readStream.schema(schema).parquet(input_path)
     wv = with_violations(stream, ruleset, definitions)
     viols = (
-        wv.select(F.col(doc_id).cast("string").alias("doc_id"), F.explode("violations").alias("v"))
+        wv.select(F.col(doc_id).cast("string").alias("doc_id"), F.explode_outer("violations").alias("v"))
+        .filter(F.col("v").isNotNull())
         .select("doc_id", "v.span_path", "v.rule_id", "v.severity", "v.message")
     )
 
