@@ -385,6 +385,70 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_combination_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.row_checks import with_violations
+    from json_validator_spark.rules.model import Combination, Rule, RuleSet
+
+    rs = RuleSet(
+        name="any",
+        combination=Combination.ANY,
+        rules=(
+            Rule("a.range.n_chars", "/n_chars", "range", {"min": 50, "max": 250}, ruleset="A"),
+            Rule("b.enum.lang", "/lang", "enum", {"values": ["en"]}, ruleset="B"),
+        ),
+    )
+    wv = with_violations(_load(spark, sf_dir, "documents"), rs)
+    return wv.select(
+        "doc_id",
+        F.col("n_branches_passed").cast("long").alias("n_branches_passed"),
+        F.when(F.col("doc_pass"), F.lit("SUCCESS")).otherwise(F.lit("FAILURE")).alias("result"),
+    )
+
+
+def q_windowed_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed verdict rollup (streaming/validate_stream's
+    aggregation, batch mode) — hourly event counts + per-window rule
+    violation counts."""
+    ev = _load(spark, sf_dir, "events")
+    bad_value = F.col("value").isNotNull() & ~F.col("value").between(0.0, 100.0)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(bad_value.cast("long")).alias("n_bad_value"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_error_events"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events", "n_bad_value", "n_error_events",
+        )
+    )
+
+
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB stats path — approx_count_distinct (HLL) + GK
+    percentile sketches in one agg pass. No SQL oracle (approximate by
+    design) → driver records the weaker rows-only check; the exact
+    variant is oracle-checked as ``column_stats``."""
+    from json_validator_spark.operators.set_checks import column_stats
+
+    li = _load(spark, sf_dir, "lineitem")
+    return column_stats(li, ["l_quantity", "l_extendedprice", "l_orderkey"])
+
+
+def q_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable centroid-digest quantiles (partial via Arrow, final at
+    driver). repartition(1) pins batch boundaries so the sketch is
+    deterministic for the rows-only check; at scale you run it wide and
+    accept sketch variance."""
+    from json_validator_spark.operators.set_checks import tdigest_quantiles
+
+    li = _load(spark, sf_dir, "lineitem").select("l_extendedprice").repartition(1)
+    qs = tdigest_quantiles(li, "l_extendedprice", probs=(0.5, 0.9, 0.99))
+    rows = [(float(p), round(v, 2)) for p, v in sorted(qs.items())]
+    return spark.createDataFrame(rows, "p double, quantile double")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: sf0.001 documents → interleaved span corpus → full
     validation run (row rules + uniqueness + verdicts), return the
@@ -424,6 +488,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "winnow": q_winnow,
         "events_json": q_events_json,
+        "combination_any": q_combination_any,
+        "windowed_event_rates": q_windowed_event_rates,
+        "approx_stats": q_approx_stats,
+        "tdigest": q_tdigest,
     }
 
 
@@ -802,4 +870,22 @@ def oracle_sql() -> dict[str, str]:
         "language_id": _LANG_SQL,
         "winnow": _WINNOW_SQL,
         "events_json": _EVENTS_SQL,
+        "combination_any": """
+            SELECT doc_id,
+                   ((CASE WHEN n_chars BETWEEN 50 AND 250 THEN 1 ELSE 0 END)
+                  + (CASE WHEN lang = 'en' THEN 1 ELSE 0 END))::BIGINT AS n_branches_passed,
+                   CASE WHEN n_chars BETWEEN 50 AND 250 OR lang = 'en'
+                        THEN 'SUCCESS' ELSE 'FAILURE' END AS result
+            FROM documents
+        """,
+        "windowed_event_rates": """
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   count(*)::BIGINT AS n_events,
+                   sum(CASE WHEN value IS NOT NULL AND NOT (value BETWEEN 0.0 AND 100.0)
+                            THEN 1 ELSE 0 END)::BIGINT AS n_bad_value,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error_events
+            FROM events GROUP BY 1
+        """,
+        # approx_stats / tdigest: approximate by design → no SQL oracle
+        # (driver records rows-only checks for them)
     }

@@ -119,8 +119,12 @@ def compile_rule(
     rule: Rule,
     definitions: dict[str, dict[str, Any]] | None = None,
 ) -> CompiledRule:
+    from json_validator_spark.rules.vocabulary import ALIASES
+
     schema = resolve_refs({"kind": rule.kind, "params": rule.params}, definitions)
-    kind, params = schema["kind"], schema["params"]
+    # normalize catalog aliases BEFORE dispatch so presence semantics
+    # (e.g. readOnly → forbidden must see nulls) resolve correctly
+    kind, params = ALIASES.get(schema["kind"], schema["kind"]), schema["params"]
     r = Rule(rule.rule_id, rule.target, kind, params, rule.severity, rule.ruleset)
     if r.level == "span":
         return _compile_span_rule(r)

@@ -43,10 +43,30 @@ def _inner_pred(schema: dict[str, Any]) -> Callable[[Column], Column]:
     return pred
 
 
+# Reference-catalog keywords that are exact semantic aliases of another
+# builder in our flat-table model (jsv-messages.properties lines in
+# parens): draft-4 `dependencies` (:4) ≡ dependentRequired; positional
+# `additionalItems` (:50) / `unevaluatedItems` (:49) ≡ items over the
+# remainder; `unevaluatedProperties` (:48) ≡ additionalProperties;
+# `readOnly`/`writeOnly` (:25,:35) ≡ forbidden; `unionType` (:28) ≡ type
+# with a types list; `notAllowed` (:46) ≡ false.
+ALIASES = {
+    "dependencies": "dependentRequired",
+    "additionalItems": "items",
+    "unevaluatedItems": "items",
+    "unevaluatedProperties": "additionalProperties",
+    "readOnly": "forbidden",
+    "writeOnly": "forbidden",
+    "unionType": "type",
+    "notAllowed": "false",
+}
+
+
 def build_pass(kind: str, value: Column, params: dict[str, Any]) -> Column:
     """Dispatch one keyword to its Column predicate. Raises on unknown
     kinds — an unknown keyword is a rule-table authoring error, surfaced
     at compile time like the reference's schema-parse failures."""
+    kind = ALIASES.get(kind, kind)
 
     # --- presence (jsv-messages.properties:26,25,35) -------------------
     if kind == "required":

@@ -88,3 +88,31 @@ def test_checkpoint_resume_identity(spark, tmp_path):
 
     resumed_set = {tuple(r) for r in read_violations(spark, ck).collect()}
     assert resumed_set == fresh_set
+
+
+def test_row_rules_plan_is_narrow(spark, tmp_path):
+    """The row-rule layer must stay a single narrow scan→project: no
+    Exchange (shuffle), no Python eval in the plan — the property that
+    makes it scan-bound at 100 TB."""
+    from json_validator_spark.operators.row_checks import violations_df
+
+    path = str(tmp_path / "docs")
+    synth_documents(spark, 200).write.parquet(path)
+    v = violations_df(spark.read.parquet(path), corpus_ruleset())
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_uniqueness_plan_partial_agg(spark, tmp_path):
+    """Uniqueness groupBy must show map-side partial aggregation and a
+    column-pruned scan (only the key column read)."""
+    from json_validator_spark.operators.set_checks import uniqueness_violations
+
+    path = str(tmp_path / "docs2")
+    synth_documents(spark, 200).write.parquet(path)
+    v = uniqueness_violations(spark.read.parquet(path), key="doc_id")
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan
+    assert "ReadSchema: struct<doc_id:string>" in plan

@@ -271,3 +271,30 @@ def test_pattern_properties_and_dependent_schemas(spark):
             {"key": "flag", "schema": {"kind": "minProperties", "params": {"value": 2}}},
         ),
     ) == {("d4", "ds")}
+
+
+def test_catalog_aliases(spark):
+    """Reference-catalog keywords that alias another builder resolve with
+    the right (incl. presence) semantics."""
+    rows = [
+        ("d1", [span("text", "hi", "media://oops", 0)]),   # readOnly fails
+        ("d2", [span("text", "ok", None, 0)]),
+    ]
+    got = viols(
+        spark, rows,
+        Rule("ro", "/spans/*/media_ref", "readOnly",
+             {"when": {"field": "kind", "eq": "text"}}),
+    )
+    assert got == {("d1", "/spans/0/media_ref", "ro", "error")}
+
+    df = spark.createDataFrame(
+        [("a", "5", None), ("b", "x", None), ("c", None, "y")],
+        "doc_id string, v string, w string",
+    )
+    from json_validator_spark.rules.model import RuleSet
+    rs = RuleSet(rules=(
+        Rule("ut", "/v", "unionType", {"types": ["integer", "boolean"], "lexical": True}),
+        Rule("dep", "/w", "dependencies", {"if_target": "/v"}),
+    ))
+    got2 = rows_set(violations_df(df, rs), "doc_id", "rule_id")
+    assert got2 == {("b", "ut"), ("a", "dep"), ("b", "dep")}
