@@ -115,17 +115,24 @@ class CompiledRule:
     pass_flag: Callable[[], Column]   # () -> boolean per row (True = pass)
 
 
+def normalize_rule(
+    rule: Rule, definitions: dict[str, dict[str, Any]] | None = None
+) -> Rule:
+    """$ref inlining + catalog-alias normalization (aliases BEFORE
+    dispatch so presence semantics — e.g. readOnly → forbidden must see
+    nulls — resolve correctly)."""
+    from json_validator_spark.rules.vocabulary import ALIASES
+
+    schema = resolve_refs({"kind": rule.kind, "params": rule.params}, definitions)
+    kind, params = ALIASES.get(schema["kind"], schema["kind"]), schema["params"]
+    return Rule(rule.rule_id, rule.target, kind, params, rule.severity, rule.ruleset)
+
+
 def compile_rule(
     rule: Rule,
     definitions: dict[str, dict[str, Any]] | None = None,
 ) -> CompiledRule:
-    from json_validator_spark.rules.vocabulary import ALIASES
-
-    schema = resolve_refs({"kind": rule.kind, "params": rule.params}, definitions)
-    # normalize catalog aliases BEFORE dispatch so presence semantics
-    # (e.g. readOnly → forbidden must see nulls) resolve correctly
-    kind, params = ALIASES.get(schema["kind"], schema["kind"]), schema["params"]
-    r = Rule(rule.rule_id, rule.target, kind, params, rule.severity, rule.ruleset)
+    r = normalize_rule(rule, definitions)
     if r.level == "span":
         return _compile_span_rule(r)
     return _compile_doc_rule(r)
@@ -180,21 +187,50 @@ def _compile_doc_rule(rule: Rule) -> CompiledRule:
     return CompiledRule(rule, violations, pass_flag)
 
 
+def _per_span_ok(rule: Rule, s: Column) -> Column:
+    """Pass predicate for ONE span struct value — used both inside the
+    array lambda (`_compile_span_rule`) and over a posexploded scalar
+    struct column (`span_violation_expr`, the whole-stage-codegen fast
+    path)."""
+    fld = rule.span_field
+    guard = _span_guard(rule.params)
+    if rule.kind == "dependentRequired":
+        if_val = s[rule.params["if_field"]]
+        ok = F.when(if_val.isNotNull(), s[fld].isNotNull()).otherwise(F.lit(True))
+    else:
+        ok = _null_wrapped(rule.kind, s[fld], rule.params)
+    if guard is not None:
+        ok = F.when(guard(s), ok).otherwise(F.lit(True))
+    return ok
+
+
+def span_violation_expr(rule: Rule, s: Column, i: Column) -> Column:
+    """``when(span fails rule, violation struct)`` over an EXPLODED span:
+    ``s`` is the span struct value, ``i`` its position. Pure scalar
+    expressions — stays inside whole-stage codegen, unlike the
+    higher-order-function array path (HOFs are CodegenFallback and run
+    interpreted)."""
+    msg = _message(rule)
+    v = F.struct(
+        F.concat(
+            F.lit(f"/{rule.column}/"), i.cast("string"), F.lit(f"/{rule.span_field}")
+        ).alias("span_path"),
+        F.lit(rule.rule_id).alias("rule_id"),
+        F.lit(rule.severity).alias("severity"),
+        F.lit(msg).alias("message"),
+    )
+    return F.when(~_per_span_ok(rule, s), v).otherwise(
+        F.lit(None).cast(f"struct<{VIOLATION_FIELDS}>")
+    )
+
+
 def _compile_span_rule(rule: Rule) -> CompiledRule:
     spans_col = rule.column  # e.g. "spans"
     fld = rule.span_field
-    guard = _span_guard(rule.params)
     msg = _message(rule)
 
     def per_span_ok(s: Column) -> Column:
-        if rule.kind == "dependentRequired":
-            if_val = s[rule.params["if_field"]]
-            ok = F.when(if_val.isNotNull(), s[fld].isNotNull()).otherwise(F.lit(True))
-        else:
-            ok = _null_wrapped(rule.kind, s[fld], rule.params)
-        if guard is not None:
-            ok = F.when(guard(s), ok).otherwise(F.lit(True))
-        return ok
+        return _per_span_ok(rule, s)
 
     def violations() -> Column:
         def per_elem(s: Column, i: Column) -> Column:
