@@ -405,6 +405,24 @@ def q_combination_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_combination_any_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANY-combination failure shaping: docs failing every branch emit
+    the combination header plus each branch's violations prefixed
+    ``[n]: `` (``JSONValidator.java:279-294,305-310``)."""
+    from json_validator_spark.operators.row_checks import violations_df
+    from json_validator_spark.rules.model import Combination, Rule, RuleSet
+
+    rs = RuleSet(
+        name="any-report",
+        combination=Combination.ANY,
+        rules=(
+            Rule("a.range.n_chars", "/n_chars", "range", {"min": 50, "max": 250}, ruleset="A"),
+            Rule("b.enum.lang", "/lang", "enum", {"values": ["en"]}, ruleset="B"),
+        ),
+    )
+    return violations_df(_load(spark, sf_dir, "documents"), rs)
+
+
 def q_windowed_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed verdict rollup (streaming/validate_stream's
     aggregation, batch mode) — hourly event counts + per-window rule
@@ -489,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "events_json": q_events_json,
         "combination_any": q_combination_any,
+        "combination_any_report": q_combination_any_report,
         "windowed_event_rates": q_windowed_event_rates,
         "approx_stats": q_approx_stats,
         "tdigest": q_tdigest,
@@ -877,6 +896,24 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_chars BETWEEN 50 AND 250 OR lang = 'en'
                         THEN 'SUCCESS' ELSE 'FAILURE' END AS result
             FROM documents
+        """,
+        "combination_any_report": """
+            WITH failing AS (
+              SELECT doc_id FROM documents
+              WHERE NOT (n_chars BETWEEN 50 AND 250) AND lang <> 'en'
+            )
+            SELECT doc_id, '/' AS span_path, 'combination.any' AS rule_id,
+                   'error' AS severity,
+                   'content does not match any of the configured schemas' AS message
+            FROM failing
+            UNION ALL
+            SELECT doc_id, '/n_chars', 'a.range.n_chars', 'error',
+                   '[0]: [/n_chars] constraint ''range'' violated'
+            FROM failing
+            UNION ALL
+            SELECT doc_id, '/lang', 'b.enum.lang', 'error',
+                   '[1]: [/lang] value is not in the allowed set'
+            FROM failing
         """,
         "windowed_event_rates": """
             SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -1,0 +1,96 @@
+"""format.* keyword family: table-driven valid/invalid samples per
+format (the reference's ~20 formats, jsv-messages.properties:51-70) and
+a Hypothesis property check that the Java regex engine (Spark rlike) and
+Python ``re`` agree on every format grammar — the Java-vs-Python regex
+divergence is SURVEY §7's top watchlist item and the foundation of the
+DuckDB-oracle parity story."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_validator_spark.functions.formats import FORMAT_REGEX
+
+SAMPLES: dict[str, tuple[list[str], list[str]]] = {
+    # format: ([valid...], [invalid...])
+    "date": (["2024-02-29", "1999-12-31"], ["2024-13-01", "2024-00-10", "24-01-01"]),
+    "time": (["23:59:59Z", "00:00:00+05:30", "12:00:00.5z"], ["24:00:00Z", "12:60:00Z", "12:00:00"]),
+    "date-time": (
+        ["2024-01-01T00:00:00Z", "2024-01-01 23:59:60.999-08:00"],
+        ["2024-01-01", "2024-01-01T25:00:00Z"],
+    ),
+    "duration": (["P1Y2M3DT4H5M6S", "PT0.5S", "P4W"], ["1Y", "Pxx"]),
+    "email": (["a.b+c@example.com", "x@sub.domain.org"], ["@nope.com", "a@b", "a b@c.de"]),
+    "ipv4": (["0.0.0.0", "255.255.255.255", "192.168.1.1"], ["256.1.1.1", "1.2.3", "1.2.3.4.5"]),
+    "ipv6": (["::1", "2001:db8::8a2e:370:7334", "fe80::"], ["12345::", "g::1"]),
+    "hostname": (["example.com", "a-b.c-d.e"], ["-bad.com", "bad-.com", "a..b"]),
+    "uri": (["https://x.org/p?q=1#f", "urn:isbn:0451450523"], ["not a uri", "//missing.scheme"]),
+    "uuid": (
+        ["123e4567-e89b-12d3-a456-426614174000"],
+        ["123e4567e89b12d3a456426614174000", "123e4567-e89b-12d3-a456-42661417400g"],
+    ),
+    "json-pointer": (["", "/a/b~0c/0", "/~1x"], ["a/b", "/a~2b"]),
+    "relative-json-pointer": (["0", "1/a/b", "0#"], ["/a", "01", "-1"]),
+    "media-ref": (
+        ["media://123e4567-e89b-12d3-a456-426614174000"],
+        ["media:/broken", "http://not-media", "media://xyz"],
+    ),
+    "media-type": (["image/png", "application/vnd.api+json"], ["image png", "/png", "image/"]),
+}
+
+
+def test_format_samples(spark):
+    rows = [
+        (fmt, s, expected)
+        for fmt, (good, bad) in SAMPLES.items()
+        for s, expected in [*((g, True) for g in good), *((b, False) for b in bad)]
+    ]
+    df = spark.createDataFrame(rows, "fmt string, s string, expected boolean")
+    checks = F.lit(False)
+    for fmt in SAMPLES:
+        checks = F.when(F.col("fmt") == fmt, F.col("s").rlike(FORMAT_REGEX[fmt])).otherwise(checks)
+    bad = df.withColumn("got", checks).filter(F.col("got") != F.col("expected"))
+    assert bad.count() == 0, bad.collect()
+
+
+def test_python_re_agrees_on_samples():
+    """The same regexes under Python re (what a pandas-UDF path or the
+    DuckDB RE2 oracle would see) give identical verdicts."""
+    for fmt, (good, bad) in SAMPLES.items():
+        rx = re.compile(FORMAT_REGEX[fmt])
+        for s in good:
+            assert rx.search(s), (fmt, s)
+        for s in bad:
+            assert not rx.search(s), (fmt, s)
+
+
+def test_hypothesis_java_python_regex_agreement(spark):
+    """Property: for random strings, Spark rlike == Python re.search for
+    every format regex (no lookaround/backrefs ⇒ engines must agree)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(
+        list("abcZ019.:-/@+TZz #%~{}") + ["::", "2024-", "media://", "P1Y", "e89b"]
+    )
+    cases: list[str] = []
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(alphabet, min_size=0, max_size=12))
+    def collect(parts):
+        cases.append("".join(parts))
+
+    collect()
+    rows = [(s,) for s in set(cases)]
+    df = spark.createDataFrame(rows, "s string")
+    for fmt, rx in FORMAT_REGEX.items():
+        got = {
+            r["s"]: r["m"]
+            for r in df.withColumn("m", F.col("s").rlike(rx)).collect()
+        }
+        pat = re.compile(rx)
+        for s, jm in got.items():
+            assert jm == bool(pat.search(s)), (fmt, s)
