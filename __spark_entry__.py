@@ -295,6 +295,23 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (deterministic mini-k-means codebook,
+    Arrow-batched assignment, probe-2-of-8 clusters). Approximate by
+    design → rows-only check; exact paths are oracle-checked as
+    knn_bruteforce / knn_numpy."""
+    from json_validator_spark.operators.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=2)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim"
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.similarity import cosine
 
@@ -500,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_numpy": q_knn_numpy,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "embedding_neardup": q_embedding_neardup,
         "token_stats": q_token_stats,
         "quality": q_quality,

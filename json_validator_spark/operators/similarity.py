@@ -140,6 +140,141 @@ def cosine_topk_numpy(
 
 
 # ----------------------------------------------------------------------
+# IVF (inverted-file / coarse k-means) buckets
+# ----------------------------------------------------------------------
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic coarse k-means (the IVF codebook). Init = the k
+    lowest-id vectors (reproducible, no RNG); each iteration is one
+    Arrow-batched assignment pass + one posexplode/groupBy centroid
+    update (dimension-wise mean — tiny shuffle: k × dim rows). Returns a
+    numpy array (k, dim); at 100 TB you train on a sample and broadcast."""
+    import numpy as np
+
+    cents = np.array(
+        [
+            r[vec_col]
+            for r in vectors.orderBy(id_col).limit(k).collect()
+        ],
+        dtype=np.float64,
+    )
+    sc = vectors.sparkSession.sparkContext
+    for _ in range(iters):
+        bc = sc.broadcast(cents)
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = bc.value
+            cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+            for batch in batches:
+                if not len(batch):
+                    continue
+                v = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+                vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+                cl = (vn @ cn.T).argmax(axis=1)
+                yield pd.DataFrame(
+                    {"cluster": cl, vec_col: batch[vec_col]}
+                )
+
+        assigned = vectors.select(vec_col).mapInPandas(
+            assign, schema=f"cluster int, {vec_col} array<float>"
+        )
+        upd = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = cents.copy()
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in upd:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+        for ci, dims in by_cluster.items():
+            for d, m in dims.items():
+                new[ci, d] = m
+        cents = new
+    return cents
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: assign the corpus to its nearest coarse
+    centroid (one Arrow pass), probe each query's ``n_probe`` nearest
+    clusters, exact cosine rerank inside the probed lists. The probe
+    join is ``cluster IN (...)`` against a broadcast query list — the
+    corpus never shuffles, and each query scans ≈ n_probe/n_clusters of
+    it. Recall is tunable via n_probe."""
+    import numpy as np
+
+    cents = kmeans_centroids(vectors, n_clusters, id_col=id_col, vec_col=vec_col)
+    sc = vectors.sparkSession.sparkContext
+    bc = sc.broadcast(cents)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        for batch in batches:
+            if not len(batch):
+                continue
+            v = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": batch[id_col],
+                    "cluster": (vn @ cn.T).argmax(axis=1),
+                    "v": batch[vec_col],
+                }
+            )
+
+    assigned = vectors.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"neighbor_id long, cluster int, v array<float>"
+    )
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    probe_rows = []
+    for r in q_rows:
+        qv = np.array(r[vec_col], dtype=np.float64)
+        qn = qv / np.linalg.norm(qv)
+        order = (cn @ qn).argsort()[::-1][:n_probe]
+        for cl in order:
+            probe_rows.append((int(r[query_id_col]), int(cl), [float(x) for x in qv]))
+    probes = vectors.sparkSession.createDataFrame(
+        probe_rows, "query_id long, cluster int, q_vec array<float>"
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("v")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+        .distinct()
+    )
+
+
+# ----------------------------------------------------------------------
 # LSH (sign random projection) buckets
 # ----------------------------------------------------------------------
 

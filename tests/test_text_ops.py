@@ -151,3 +151,22 @@ def test_frame_sample(spark):
     assert len(frames) >= 20  # ≥1 frame per media row
     for r in frames[:5]:
         assert r["frame_offset_ms"] == r["frame_idx"] * 10000
+
+
+def test_ivf_topk(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             similarity.cosine_topk(vectors, queries, k=5).collect()}
+    approx = similarity.ivf_topk(vectors, queries, k=5, n_clusters=4, n_probe=2).collect()
+    assert len(approx) > 0
+    per_q = {}
+    for r in approx:
+        assert -1.0 <= r["sim"] <= 1.0 and r["neighbor_id"] != r["query_id"]
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # smooth dataset + 2/4 probes → decent recall
+    hits = sum(1 for r in approx if (r["query_id"], r["neighbor_id"]) in exact)
+    assert hits >= len(approx) * 0.4
