@@ -23,7 +23,7 @@ These generalize the reference's report counters / aggregate rollup
 from __future__ import annotations
 
 import math
-from typing import Iterable, Iterator, Sequence
+from typing import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame

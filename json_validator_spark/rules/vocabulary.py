@@ -226,7 +226,6 @@ def build_pass(kind: str, value: Column, params: dict[str, Any]) -> Column:
 
 
 def _pandas_regex_pass(value: Column, regex: str) -> Column:
-    import pandas as pd  # noqa: F401 — signature typing
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("boolean")
