@@ -29,8 +29,48 @@ from pyspark.sql import functions as F
 from json_validator_spark.rules.compiler import (
     VIOLATION_ARRAY_TYPE,
     compile_rule,
+    normalize_rule,
+    span_violation_expr,
 )
-from json_validator_spark.rules.model import Combination, RuleSet
+from json_validator_spark.rules.model import Combination, Rule, RuleSet
+
+
+def _branch_violations(
+    rules: list[Rule], definitions: dict[str, dict[str, Any]] | None
+) -> Column:
+    """All of one branch's violations as ONE array Column.
+
+    Span rules are FUSED: one ``transform`` over the spans array
+    evaluates every span rule per element (``span_violation_expr``) —
+    higher-order functions run interpreted, so k separate per-rule
+    transforms cost k array traversals per row; fusing them into one
+    traversal keeps the predicate work and drops the overhead. Doc-level
+    rules (array-shaped: monotonic, minItems, …) keep their per-rule
+    arrays and concat on."""
+    norm = [normalize_rule(r, definitions) for r in rules]
+    arrays: list[Column] = []
+    span_rules = [r for r in norm if r.level == "span"]
+    def _per_span_fn(group: list[Rule]):
+        # factory, not default-arg binding: pyspark dispatches HOF lambdas
+        # on parameter count, so the callable must be exactly (s, i)
+        def per_span(s: Column, i: Column) -> Column:
+            return F.array_compact(
+                F.array(*[span_violation_expr(r, s, i) for r in group])
+            )
+
+        return per_span
+
+    for spans_col in sorted({r.column for r in span_rules}):
+        group = [r for r in span_rules if r.column == spans_col]
+        per_span = _per_span_fn(group)
+        arrays.append(
+            F.when(
+                F.col(spans_col).isNotNull(),
+                F.flatten(F.transform(F.col(spans_col), per_span)),
+            ).otherwise(F.array().cast(VIOLATION_ARRAY_TYPE))
+        )
+    arrays.extend(compile_rule(r).violations() for r in norm if r.level == "doc")
+    return _concat_arrays(arrays)
 
 def _concat_arrays(arrays: list[Column]) -> Column:
     if not arrays:
@@ -73,8 +113,7 @@ def with_violations(
     branch_viols: list[Column] = []
     branch_pass: list[Column] = []
     for b in branches:
-        arrays = [compile_rule(r, definitions).violations() for r in ruleset.branch(b)]
-        viols = _concat_arrays(arrays)
+        viols = _branch_violations(ruleset.branch(b), definitions)
         branch_viols.append(viols)
         branch_pass.append(
             F.size(F.filter(viols, lambda v: v["severity"] == "error")) == 0
