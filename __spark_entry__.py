@@ -402,6 +402,69 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_corpus_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document verdicts over the DERIVED span corpus — the TAR
+    result/counter contract (result, n_errors) checked end-to-end
+    against the oracle's independent reconstruction."""
+    from json_validator_spark.operators.report import doc_verdicts
+    from json_validator_spark.operators.row_checks import with_violations
+    from json_validator_spark.sources.derive import derive_corpus, derived_corpus_ruleset
+
+    docs = _load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    wv = with_violations(derive_corpus(docs), derived_corpus_ruleset())
+    return doc_verdicts(wv).select(
+        "doc_id", F.col("n_errors").cast("long").alias("n_errors"), "result"
+    )
+
+
+def q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-row span-sequence-equality invariant (BASELINE.json
+    input_hint): signatures (kind, text, media_ref, positional order)
+    before vs after the salted repartition — every row must hold. No
+    SQL oracle (sha2-of-to_json formatting is engine-specific) → rows-
+    only; the violated-count column makes regressions visible."""
+    from json_validator_spark.plans.pipeline import salted_repartition
+    from json_validator_spark.sources.derive import derive_corpus
+    from json_validator_spark.sources.synth import span_signature
+
+    docs = _load(spark, sf_dir, "documents")
+    corpus = derive_corpus(docs)
+    before = span_signature(corpus).select("doc_id", F.col("span_sig").alias("sig_before"))
+    after = span_signature(salted_repartition(corpus, 16)).select(
+        "doc_id", F.col("span_sig").alias("sig_after")
+    )
+    return (
+        before.join(after, "doc_id")
+        .select(
+            "doc_id", "sig_before",
+            (F.col("sig_before") == F.col("sig_after")).alias("invariant_holds"),
+        )
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads → Arrow-batched decode →
+    per-mime feature aggregates. Deterministic synthetic media (no
+    media table in the driver testdata); codec stubbed, plumbing real.
+    Rows-only (no SQL analogue of the binary pipeline)."""
+    from json_validator_spark.operators.media import decode_features, synth_media_table
+    from json_validator_spark.sources.synth import synth_media_catalog
+
+    media = synth_media_table(spark, synth_media_catalog(spark, catalog_size=500))
+    feats = decode_features(media, dim=16)
+    return (
+        feats.groupBy("mime_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("byte_mean"), 6).alias("avg_byte_mean"),
+            F.round(F.avg("byte_entropy_proxy"), 6).alias("avg_entropy"),
+        )
+        .orderBy("mime_type")
+    )
+
+
 def q_combination_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.row_checks import with_violations
     from json_validator_spark.rules.model import Combination, Rule, RuleSet
@@ -529,6 +592,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_rates": q_windowed_event_rates,
         "approx_stats": q_approx_stats,
         "tdigest": q_tdigest,
+        "corpus_doc_verdicts": q_corpus_doc_verdicts,
+        "span_invariant": q_span_invariant,
+        "media_features": q_media_features,
     }
 
 
@@ -914,6 +980,18 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_chars BETWEEN 50 AND 250 OR lang = 'en'
                         THEN 'SUCCESS' ELSE 'FAILURE' END AS result
             FROM documents
+        """,
+        "corpus_doc_verdicts": f"""
+            SELECT d.doc_id,
+                   coalesce(v.n, 0)::BIGINT AS n_errors,
+                   CASE WHEN coalesce(v.n, 0) = 0 THEN 'SUCCESS' ELSE 'FAILURE' END AS result
+            FROM documents d
+            LEFT JOIN (
+              SELECT doc_id, count(*) AS n
+              FROM ({_CORPUS_SQL}) viol
+              WHERE severity = 'error'
+              GROUP BY doc_id
+            ) v ON v.doc_id = d.doc_id
         """,
         "combination_any_report": """
             WITH failing AS (
