@@ -31,6 +31,17 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+def _load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like ``_load`` but repartitioned to the session parallelism: the
+    sf testdata tables are single small parquet files → ONE input split,
+    which serializes any CPU-heavy (tokenize/hash) query on one core.
+    The tiny round-robin shuffle buys full-width execution; a real
+    corpus has many files and never needs this."""
+    return _load(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _doc_ruleset():
     from json_validator_spark.rules.model import Rule, RuleSet
 
@@ -60,7 +71,8 @@ def _oneof_ruleset():
 
 def _union_dup_docs(docs: DataFrame) -> DataFrame:
     """documents ∪ copies of every 10th doc (id+100000) — deterministic
-    injected duplicates for the dedup operators."""
+    injected duplicates for the dedup operators. Callers pass a
+    ``_load_spread`` frame so the shingle/hash work runs full-width."""
     extra = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
@@ -217,14 +229,14 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.dedup import exact_duplicates
 
-    return exact_duplicates(_union_dup_docs(_load(spark, sf_dir, "documents")))
+    return exact_duplicates(_union_dup_docs(_load_spread(spark, sf_dir, "documents")))
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _load(spark, sf_dir, "documents"), k=3, threshold=0.1, max_df=None
+        _load_spread(spark, sf_dir, "documents"), k=3, threshold=0.1, max_df=None
     ).select(
         "doc_id_a", "doc_id_b",
         F.col("n_common").cast("long").alias("n_common"),
@@ -238,7 +250,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.dedup import minhash_neardup_pairs
 
     return minhash_neardup_pairs(
-        _union_dup_docs(_load(spark, sf_dir, "documents")),
+        _union_dup_docs(_load_spread(spark, sf_dir, "documents")),
         k=3, n_hashes=16, n_bands=8, threshold=0.999,
     )
 
@@ -246,13 +258,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.dedup import simhash
 
-    return simhash(_load(spark, sf_dir, "documents"))
+    return simhash(_load_spread(spark, sf_dir, "documents"))
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.dedup import simhash, simhash_neardup_pairs
 
-    sims = simhash(_union_dup_docs(_load(spark, sf_dir, "documents")))
+    sims = simhash(_union_dup_docs(_load_spread(spark, sf_dir, "documents")))
     return simhash_neardup_pairs(sims, max_hamming=3, n_bands=4)
 
 
@@ -328,7 +340,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.text_checks import token_stats
 
-    out = token_stats(_load(spark, sf_dir, "documents"))
+    out = token_stats(_load_spread(spark, sf_dir, "documents"))
     return out.select(
         "doc_id",
         F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
@@ -340,7 +352,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.text_checks import quality_scores
 
-    out = quality_scores(_load(spark, sf_dir, "documents"), min_tokens=10)
+    out = quality_scores(_load_spread(spark, sf_dir, "documents"), min_tokens=10)
     return out.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -351,7 +363,7 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.text_checks import language_id
 
-    out = language_id(_load(spark, sf_dir, "documents"), claimed_col="lang")
+    out = language_id(_load_spread(spark, sf_dir, "documents"), claimed_col="lang")
     return out.select(
         "doc_id", "pred_lang", F.col("best_score").cast("long").alias("best_score"), "lang_match"
     )
@@ -360,7 +372,7 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.text_checks import winnow_fingerprints
 
-    return winnow_fingerprints(_load(spark, sf_dir, "documents"), k=20, window=8)
+    return winnow_fingerprints(_load_spread(spark, sf_dir, "documents"), k=20, window=8)
 
 
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
