@@ -160,14 +160,22 @@ def build_pass(kind: str, value: Column, params: dict[str, Any]) -> Column:
     if kind == "monotonic":
         # Strictly-increasing struct field across the array (the corpus'
         # span-offset ordering invariant, FIXTURES.md §1). zip_with the
-        # array against its own tail — narrow, codegen'd.
+        # array against its own tail. The extracted-field array is
+        # let-bound (functions/text.let): head/tail/size reference it 4x,
+        # and HOF lambdas re-evaluate referenced expressions per use.
+        from json_validator_spark.functions.text import let
+
         fld = params["field"]
-        arr = F.transform(value, lambda s: s[fld])
-        head = F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0)))
-        tail = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
         strict = params.get("strict", True)
         cmp = (lambda a, b: a < b) if strict else (lambda a, b: a <= b)
-        return F.forall(F.zip_with(head, tail, cmp), lambda x: x)
+
+        def check(arr: Column) -> Column:
+            n1 = F.greatest(F.size(arr) - 1, F.lit(0))
+            head = F.slice(arr, 1, n1)
+            tail = F.slice(arr, 2, n1)
+            return F.forall(F.zip_with(head, tail, cmp), lambda x: x)
+
+        return let(F.transform(value, lambda s: s[fld]), check)
 
     # --- object keywords over dynamic JSON (:14,:15,:38,:47) -----------
     # value is a map<string,string> column (from_json at source level).
