@@ -103,6 +103,21 @@ def run_with_checkpoint(
     # buckets with zero docs still count as done
     seen = {r[1] for r in lineage_rows}
     lineage_rows += [(run_id, b, "done", 0, 0, now) for b in pending if b not in seen]
+
+    # rule-level metrics per bucket (the north-rule's "per-partition
+    # lineage + rule-level metrics"): same idempotence contract as the
+    # violations — dynamic-partition overwrite per bucket, so a redone
+    # bucket replaces its own metrics. Tiny: buckets × rules rows.
+    (
+        out.groupBy("bucket", "rule_id", "severity")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .withColumn("run_id", F.lit(run_id))
+        .select("run_id", "rule_id", "severity", "count", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(ckpt_dir, "metrics"))
+    )
+
     spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).write.mode("append").parquet(
         os.path.join(ckpt_dir, "lineage")
     )
@@ -111,3 +126,10 @@ def run_with_checkpoint(
 
 def read_violations(spark: SparkSession, ckpt_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(ckpt_dir, "violations")).drop("bucket")
+
+
+def read_rule_metrics(spark: SparkSession, ckpt_dir: str) -> DataFrame:
+    """Per-bucket rule-level metrics ``(run_id, bucket, rule_id,
+    severity, count)``; corpus-level rollup = groupBy(rule_id, severity)
+    sum — equals ``report.aggregate_report`` of the resumed violations."""
+    return spark.read.parquet(os.path.join(ckpt_dir, "metrics"))

@@ -116,3 +116,29 @@ def test_uniqueness_plan_partial_agg(spark, tmp_path):
     plan = v._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan
     assert "ReadSchema: struct<doc_id:string>" in plan
+
+
+def test_checkpoint_rule_metrics(spark, tmp_path):
+    """Rule-level metrics per bucket survive resume and roll up to the
+    same aggregate as the violations themselves."""
+    from json_validator_spark.operators.report import aggregate_report
+    from json_validator_spark.plans.checkpoint import read_rule_metrics
+
+    docs = synth_documents(spark, 600)
+    rs = corpus_ruleset()
+    ck = str(tmp_path / "ckpt_m")
+    run_id = str(uuid.uuid4())
+    run_with_checkpoint(spark, docs, rs, ck, run_id, n_buckets=4, max_buckets_this_call=2)
+    run_with_checkpoint(spark, docs, rs, ck, run_id, n_buckets=4)
+
+    metrics = read_rule_metrics(spark, ck)
+    rollup = {
+        (r["rule_id"], r["severity"]): r["total"]
+        for r in metrics.groupBy("rule_id", "severity")
+        .agg(F.sum("count").alias("total")).collect()
+    }
+    expected = {
+        (r["rule_id"], r["severity"]): r["count"]
+        for r in aggregate_report(read_violations(spark, ck)).collect()
+    }
+    assert rollup == expected and len(rollup) > 0
