@@ -337,6 +337,24 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.embedding_checks import embedding_stats
+
+    return embedding_stats(_load(spark, sf_dir, "embeddings"))
+
+
+def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.embedding_checks import label_centroid_similarity
+
+    return label_centroid_similarity(_load(spark, sf_dir, "embeddings"))
+
+
+def q_embedding_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.embedding_checks import embedding_violations
+
+    return embedding_violations(_load(spark, sf_dir, "embeddings"), expected_dim=DIM)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.text_checks import token_stats
 
@@ -594,6 +612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_stats": q_embedding_stats,
+        "label_centroid_sim": q_label_centroid_sim,
+        "embedding_violations": q_embedding_violations,
         "token_stats": q_token_stats,
         "quality": q_quality,
         "language_id": q_language_id,
@@ -973,6 +994,57 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND round({_cos("a.embedding", "b.embedding")}, 6) >= 0.45
+        """,
+        "embedding_stats": """
+            WITH e AS (
+              SELECT label, len(embedding) AS dim,
+                     sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+              FROM embeddings
+            )
+            SELECT label, count(*)::BIGINT AS n,
+                   min(dim)::BIGINT AS dim_min, max(dim)::BIGINT AS dim_max,
+                   round(min(nrm), 6) AS norm_min, round(avg(nrm), 6) AS norm_avg,
+                   round(max(nrm), 6) AS norm_max
+            FROM e GROUP BY label
+        """,
+        "label_centroid_sim": """
+            WITH pd AS (
+              SELECT vec_id, label, j, embedding[j]::DOUBLE AS x
+              FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS j) js
+            ), cent AS (
+              SELECT label, j, avg(x) AS m FROM pd GROUP BY label, j
+            ), per_vec AS (
+              SELECT pd.vec_id, pd.label,
+                     sum(pd.x * cent.m) AS dot,
+                     sqrt(sum(pd.x * pd.x)) AS vn,
+                     sqrt(sum(cent.m * cent.m)) AS cn
+              FROM pd JOIN cent ON pd.label = cent.label AND pd.j = cent.j
+              GROUP BY pd.vec_id, pd.label
+            )
+            SELECT label, count(*)::BIGINT AS n,
+                   round(avg(dot / (vn * cn)), 6) AS avg_cos,
+                   round(min(dot / (vn * cn)), 6) AS min_cos
+            FROM per_vec GROUP BY label
+        """,
+        "embedding_violations": """
+            WITH e AS (
+              SELECT vec_id, embedding,
+                     len(list_filter(embedding, x -> isnan(x::DOUBLE) OR isinf(x::DOUBLE))) > 0 AS bad,
+                     sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+              FROM embeddings
+            )
+            SELECT vec_id::VARCHAR AS doc_id, '/embedding' AS span_path,
+                   'dim.embedding' AS rule_id, 'error' AS severity,
+                   'unexpected embedding dimension' AS message
+            FROM e WHERE len(embedding) <> 64
+            UNION ALL
+            SELECT vec_id::VARCHAR, '/embedding', 'finite.embedding', 'error',
+                   'non-finite embedding component'
+            FROM e WHERE bad
+            UNION ALL
+            SELECT vec_id::VARCHAR, '/embedding', 'norm.embedding', 'error',
+                   'embedding norm out of bounds'
+            FROM e WHERE NOT bad AND NOT (nrm BETWEEN 1e-6 AND 1e6)
         """,
         "token_stats": f"""
             SELECT doc_id,

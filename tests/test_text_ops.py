@@ -170,3 +170,30 @@ def test_ivf_topk(spark, vectors):
     # smooth dataset + 2/4 probes → decent recall
     hits = sum(1 for r in approx if (r["query_id"], r["neighbor_id"]) in exact)
     assert hits >= len(approx) * 0.4
+
+
+def test_embedding_checks(spark):
+    from json_validator_spark.operators import embedding_checks as ec
+
+    rows = [
+        (1, [3.0, 4.0], 0),          # norm 5
+        (2, [3.0, 4.0], 0),          # identical → cos 1 to centroid
+        (3, [0.0, 1.0], 1),
+        (4, [0.0, 2.0], 1),          # same direction → cos 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    stats = {r["label"]: r for r in ec.embedding_stats(df).collect()}
+    assert stats[0]["norm_min"] == stats[0]["norm_max"] == 5.0
+    assert stats[1]["dim_min"] == 2
+
+    sim = {r["label"]: r for r in ec.label_centroid_similarity(df).collect()}
+    assert sim[0]["avg_cos"] == pytest.approx(1.0, abs=1e-6)
+    assert sim[1]["avg_cos"] == pytest.approx(1.0, abs=1e-6)
+
+    bad = spark.createDataFrame(
+        [(9, [1.0, 2.0, 3.0], 0), (10, [float("nan"), 1.0], 0), (11, [0.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    v = ec.embedding_violations(bad, expected_dim=2)
+    got = {(r["doc_id"], r["rule_id"]) for r in v.collect()}
+    assert got == {("9", "dim.embedding"), ("10", "finite.embedding"), ("11", "norm.embedding")}
