@@ -533,6 +533,15 @@ def q_combination_any_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return violations_df(_load(spark, sf_dir, "documents"), rs)
 
 
+def q_combination_oneof_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE_OF failure shaping: 0 branches → header + branch-tagged
+    violations; >1 branches → the multiple-match violation
+    (``JSONValidator.java:259-278``, ``validator_en.properties:17,21``)."""
+    from json_validator_spark.operators.row_checks import violations_df
+
+    return violations_df(_load(spark, sf_dir, "documents"), _oneof_ruleset())
+
+
 def q_windowed_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed verdict rollup (streaming/validate_stream's
     aggregation, batch mode) — hourly event counts + per-window rule
@@ -622,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "combination_any": q_combination_any,
         "combination_any_report": q_combination_any_report,
+        "combination_oneof_report": q_combination_oneof_report,
         "windowed_event_rates": q_windowed_event_rates,
         "approx_stats": q_approx_stats,
         "tdigest": q_tdigest,
@@ -1094,6 +1104,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, '/lang', 'b.enum.lang', 'error',
                    '[1]: [/lang] value is not in the allowed set'
             FROM failing
+        """,
+        "combination_oneof_report": """
+            WITH f AS (
+              SELECT doc_id,
+                     (CASE WHEN n_chars BETWEEN 50 AND 250 THEN 1 ELSE 0 END)
+                   + (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+                     (n_chars BETWEEN 50 AND 250) AS a_ok, (lang = 'en') AS b_ok
+              FROM documents
+            )
+            SELECT doc_id, '/' AS span_path, 'combination.oneOf' AS rule_id,
+                   'error' AS severity,
+                   'content does not match any of the configured schemas' AS message
+            FROM f WHERE np = 0
+            UNION ALL
+            SELECT doc_id, '/n_chars', 'a.range.n_chars', 'error',
+                   '[0]: [/n_chars] constraint ''range'' violated'
+            FROM f WHERE np = 0 AND NOT a_ok
+            UNION ALL
+            SELECT doc_id, '/lang', 'b.enum.lang', 'error',
+                   '[1]: [/lang] value is not in the allowed set'
+            FROM f WHERE np = 0 AND NOT b_ok
+            UNION ALL
+            SELECT doc_id, '/', 'combination.oneOf.multiple', 'error',
+                   'content matches more than one configured schema'
+            FROM f WHERE np > 1
         """,
         "windowed_event_rates": """
             SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
