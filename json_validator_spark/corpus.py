@@ -48,5 +48,18 @@ def corpus_ruleset() -> RuleSet:
                 "minimum",
                 {"value": 0},
             ),
+            # a document should carry at least one text span (all-media
+            # docs are flagged, not failed) — exercises contains/min
+            Rule(
+                "contains.text_span",
+                "/spans",
+                "contains",
+                {
+                    "field": "kind",
+                    "schema": {"kind": "enum", "params": {"values": ["text"]}},
+                    "min": 1,
+                },
+                severity="warning",
+            ),
         ),
     )

@@ -110,6 +110,13 @@ def with_violations(
     """Append ``violations array<struct>``, ``doc_pass boolean`` and
     ``n_branches_passed int`` to ``df`` — still un-exploded, still narrow."""
     branches = ruleset.branch_names
+    # NOTE: the combination algebra references each branch array 2-3x
+    # (pass flag + final union / tagged copy), and expression references
+    # re-evaluate (no CSE across output columns). A let-wrapper does NOT
+    # help here — the wrapper itself is re-referenced per column. The
+    # known-good mitigations (aggregation barrier / persist) cost more
+    # than the 2-3x for the ANY/ONE_OF shapes, so this is deliberate;
+    # the hot ALL path explodes violations ONCE via violations_df.
     branch_viols: list[Column] = []
     branch_pass: list[Column] = []
     for b in branches:
