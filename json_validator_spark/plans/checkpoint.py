@@ -22,6 +22,11 @@ from pyspark.sql import functions as F
 from json_validator_spark.rules.model import RuleSet
 
 LINEAGE_SCHEMA = "run_id string, bucket int, status string, n_docs long, n_errors long, ts double"
+VIOLATIONS_SCHEMA = (
+    "doc_id string, span_path string, rule_id string, severity string, "
+    "message string, bucket int"
+)
+METRICS_SCHEMA = "run_id string, rule_id string, severity string, count long, bucket int"
 
 
 def bucket_col(doc_id: str = "doc_id", n_buckets: int = 64) -> F.Column:
@@ -124,12 +129,24 @@ def run_with_checkpoint(
     return pending
 
 
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Schema-explicit read tolerating an all-clean run: a zero-violation
+    write under partitionBy emits NO parquet files, so inference fails
+    even though the run is valid."""
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
 def read_violations(spark: SparkSession, ckpt_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(ckpt_dir, "violations")).drop("bucket")
+    return _read_or_empty(
+        spark, os.path.join(ckpt_dir, "violations"), VIOLATIONS_SCHEMA
+    ).drop("bucket")
 
 
 def read_rule_metrics(spark: SparkSession, ckpt_dir: str) -> DataFrame:
     """Per-bucket rule-level metrics ``(run_id, bucket, rule_id,
     severity, count)``; corpus-level rollup = groupBy(rule_id, severity)
     sum — equals ``report.aggregate_report`` of the resumed violations."""
-    return spark.read.parquet(os.path.join(ckpt_dir, "metrics"))
+    return _read_or_empty(spark, os.path.join(ckpt_dir, "metrics"), METRICS_SCHEMA)

@@ -142,3 +142,38 @@ def test_checkpoint_rule_metrics(spark, tmp_path):
         for r in aggregate_report(read_violations(spark, ck)).collect()
     }
     assert rollup == expected and len(rollup) > 0
+
+
+def test_property_determinism_arbitrary_docs(spark):
+    """Property (hypothesis): for ARBITRARY span documents — any kinds,
+    texts, offsets, nulls — the violation set is invariant under
+    repartitioning. Complements the fixed-corpus determinism test."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    kind = st.one_of(st.none(), st.sampled_from(["text", "media", "imge", ""]))
+    txt = st.one_of(st.none(), st.text(alphabet="ab :/1", max_size=8))
+    ref = st.one_of(st.none(), st.sampled_from(["media://x", "media:/bad", "media://123e4567-e89b-12d3-a456-426614174000"]))
+    off = st.one_of(st.none(), st.integers(min_value=-5, max_value=50))
+    span = st.tuples(kind, txt, ref, off)
+    doc = st.tuples(st.text(alphabet="dx19-", min_size=1, max_size=12), st.lists(span, max_size=5))
+    collected: list = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(doc, min_size=0, max_size=6))
+    def collect(batch):
+        collected.extend(batch)
+
+    collect()
+    if not collected:
+        return
+    from json_validator_spark.operators.row_checks import violations_df
+
+    df = spark.createDataFrame(
+        collected,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    rs = corpus_ruleset()
+    v1 = {tuple(r) for r in violations_df(df.repartition(1), rs).collect()}
+    v8 = {tuple(r) for r in violations_df(df.repartition(8), rs).collect()}
+    assert v1 == v8

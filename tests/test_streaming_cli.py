@@ -101,3 +101,30 @@ def test_cli_validate(tmp_path, spark, landing):
     assert set(v.columns) == {"doc_id", "span_path", "rule_id", "severity", "message"}
     agg = spark.read.parquet(f"{out}/aggregate")
     assert {r["rule_id"] for r in agg.collect()} <= {"enum.kind", "min.spans"}
+
+
+def test_cli_validate_with_checkpoint(tmp_path, spark, landing):
+    from json_validator_spark.cli import main
+
+    path, corpus = landing
+    out = str(tmp_path / "cli_ck_out")
+    ck = str(tmp_path / "cli_ck")
+    rules = {
+        "name": "ck-test",
+        "rules": [
+            {"rule_id": "enum.kind", "target": "/spans/*/kind", "kind": "enum",
+             "params": json.dumps({"values": ["text", "media"]}), "severity": "error"},
+        ],
+    }
+    rules_path = tmp_path / "rules_ck.json"
+    rules_path.write_text(json.dumps(rules))
+    rc = main([
+        "validate", "--input", path, "--output", out,
+        "--rules", str(rules_path), "--checkpoint", ck, "--run-id", "r1",
+    ])
+    assert rc == 0
+    v = spark.read.parquet(f"{out}/violations")
+    assert {r["rule_id"] for r in v.collect()} <= {"enum.kind", "unique.doc_id"}
+    # lineage recorded all buckets done
+    lineage = spark.read.parquet(f"{ck}/lineage")
+    assert lineage.filter("status = 'done'").count() >= 64
