@@ -325,6 +325,10 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE-ONLY: exact all-pairs cosine (BroadcastNestedLoopJoin,
+    O(n²)) — exists purely as the oracle-checked ground truth at test
+    scale. NEVER run this on a real corpus; the scale path is
+    ``embedding_neardup_lsh`` (bucketed, candidate-only rerank)."""
     from json_validator_spark.operators.similarity import cosine
 
     emb = _load(spark, sf_dir, "embeddings")
@@ -335,6 +339,16 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
         .filter(F.col("sim") >= 0.45)
     )
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale embedding near-dup: LSH-bucket self-join (2 hash
+    tables × 4 planes) + exact in-bucket cosine — pairs ⊆ the brute-force
+    set at the same threshold, candidate volume Σ|bucket|² instead of n²."""
+    from json_validator_spark.operators.similarity import lsh_neardup_pairs
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(emb, dim=DIM, threshold=0.45, n_planes=4, n_tables=2)
 
 
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,9 +466,11 @@ def q_corpus_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-row span-sequence-equality invariant (BASELINE.json
     input_hint): signatures (kind, text, media_ref, positional order)
-    before vs after the salted repartition — every row must hold. No
-    SQL oracle (sha2-of-to_json formatting is engine-specific) → rows-
-    only; the violated-count column makes regressions visible."""
+    before vs after the salted repartition — every row must hold. The
+    md5-based ``span_signature`` is reconstructed independently by the
+    DuckDB oracle (same md5-of-joined-fields discipline as everything
+    else), so this is a HARD oracle row: the oracle recomputes every
+    signature from the raw documents table and asserts the invariant."""
     from json_validator_spark.plans.pipeline import salted_repartition
     from json_validator_spark.sources.derive import derive_corpus
     from json_validator_spark.sources.synth import span_signature
@@ -542,6 +558,42 @@ def q_combination_oneof_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return violations_df(_load(spark, sf_dir, "documents"), _oneof_ruleset())
 
 
+def q_combination_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group composition (``JSONValidator.java:423-435``): an
+    external ANY-group ⊕ a preconfigured ALL-group, conjoined allOf-style
+    while each keeps its own approach — the ``userAnyOf``-style profiles
+    of ``etc/dev/test/config.properties:8-11``."""
+    from json_validator_spark.operators.row_checks import with_violations
+    from json_validator_spark.rules.model import Combination, Rule, RuleSet, RuleSetGroup
+
+    grp = RuleSetGroup(
+        groups=(
+            RuleSet(
+                name="external",
+                combination=Combination.ANY,
+                rules=(
+                    Rule("a.range.n_chars", "/n_chars", "range", {"min": 50, "max": 250}, ruleset="A"),
+                    Rule("b.enum.lang", "/lang", "enum", {"values": ["en"]}, ruleset="B"),
+                ),
+            ),
+            RuleSet(
+                name="preconfigured",
+                rules=(
+                    Rule("pattern.source", "/source", "pattern", {"regex": "^src[0-9]$"}),
+                    Rule("required.text", "/text", "required"),
+                ),
+            ),
+        )
+    )
+    wv = with_violations(_load(spark, sf_dir, "documents"), grp)
+    return wv.select(
+        "doc_id",
+        F.col("n_branches_passed").cast("long").alias("n_groups_passed"),
+        F.size("violations").cast("long").alias("n_violations"),
+        F.when(F.col("doc_pass"), F.lit("SUCCESS")).otherwise(F.lit("FAILURE")).alias("result"),
+    )
+
+
 def q_windowed_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed verdict rollup (streaming/validate_stream's
     aggregation, batch mode) — hourly event counts + per-window rule
@@ -566,24 +618,40 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB stats path — approx_count_distinct (HLL) + GK
     percentile sketches in one agg pass. No SQL oracle (approximate by
     design) → driver records the weaker rows-only check; the exact
-    variant is oracle-checked as ``column_stats``."""
+    variant is oracle-checked as ``column_stats``.
+
+    The ``quantiles array<double>`` column is serialized with
+    ``to_json``: the driver's canonicalizer sorts pandas cells and list
+    cells are unhashable (CORRECTNESS_r01 ``approx_stats`` traceback)."""
     from json_validator_spark.operators.set_checks import column_stats
 
     li = _load(spark, sf_dir, "lineitem")
-    return column_stats(li, ["l_quantity", "l_extendedprice", "l_orderkey"])
+    out = column_stats(li, ["l_quantity", "l_extendedprice", "l_orderkey"])
+    return out.withColumn("quantiles", F.to_json("quantiles"))
 
 
 def q_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable centroid-digest quantiles (partial via Arrow, final at
-    driver). repartition(1) pins batch boundaries so the sketch is
-    deterministic for the rows-only check; at scale you run it wide and
-    accept sketch variance."""
+    driver), run WIDE — no repartition(1) pin (VERDICT r01 #5): the
+    final merge sorts centroids before interpolating, so it is
+    merge-order-invariant and partition-count variance stays inside the
+    stated tolerance. Oracle contract: ``exact_quantile`` is the true
+    percentile (DuckDB ``quantile_cont`` reproduces it bit-for-bit) and
+    ``within_tol`` asserts the sketch lands within 0.5% of it — a drifting
+    sketch flips the boolean and reds the hash check."""
     from json_validator_spark.operators.set_checks import tdigest_quantiles
 
-    li = _load(spark, sf_dir, "lineitem").select("l_extendedprice").repartition(1)
-    qs = tdigest_quantiles(li, "l_extendedprice", probs=(0.5, 0.9, 0.99))
-    rows = [(float(p), round(v, 2)) for p, v in sorted(qs.items())]
-    return spark.createDataFrame(rows, "p double, quantile double")
+    probs = (0.5, 0.9, 0.99)
+    li = _load_spread(spark, sf_dir, "lineitem").select("l_extendedprice")
+    qs = tdigest_quantiles(li, "l_extendedprice", probs=probs)
+    exact = _load(spark, sf_dir, "lineitem").agg(
+        F.percentile(F.col("l_extendedprice").cast("double"), F.array(*[F.lit(p) for p in probs])).alias("qs")
+    ).collect()[0]["qs"]
+    rows = [
+        (float(p), round(float(e), 6), bool(abs(qs[p] - e) <= 0.005 * abs(e)))
+        for p, e in zip(probs, exact)
+    ]
+    return spark.createDataFrame(rows, "p double, exact_quantile double, within_tol boolean")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -621,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "embedding_stats": q_embedding_stats,
         "label_centroid_sim": q_label_centroid_sim,
         "embedding_violations": q_embedding_violations,
@@ -632,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combination_any": q_combination_any,
         "combination_any_report": q_combination_any_report,
         "combination_oneof_report": q_combination_oneof_report,
+        "combination_grouped": q_combination_grouped,
         "windowed_event_rates": q_windowed_event_rates,
         "approx_stats": q_approx_stats,
         "tdigest": q_tdigest,
@@ -780,6 +850,56 @@ WITH v AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
+"""
+
+def _duck_lsh_bucket(v: str, n_planes: int, offset: int) -> str:
+    """Sign-projection bucket with a plane-family offset — mirrors
+    ``operators/similarity.with_lsh_bucket(plane_offset=offset)``."""
+    return (
+        f"list_sum(list_transform(generate_series(0, {n_planes - 1}), p -> CASE WHEN "
+        f"list_sum(list_transform(generate_series(1, 64), j -> {v}[j]::DOUBLE * "
+        f"(CASE WHEN (('0x' || substr(md5((p + {offset})::VARCHAR || ':' || (j - 1)::VARCHAR), 1, 2))::INT & 1) = 1 "
+        f"THEN 1.0 ELSE -1.0 END))) >= 0 THEN (1 << p) ELSE 0 END))::INT"
+    )
+
+
+# Mirrors sources/derive.derive_corpus + sources/synth.span_signature:
+# rebuild every span (kind, text chunk, media_ref) from the raw documents
+# table and md5 the '|'/' ;'-joined sequence — the hard oracle for the
+# BASELINE.json per-row span-sequence invariant.
+_SPAN_SIG_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks,
+         greatest(ceil(len({_DUCK_TOKS}) / 8.0)::INT, 1) AS n_spans
+  FROM documents
+), spans0 AS (
+  SELECT doc_id, toks, unnest(generate_series(0, n_spans - 1)) AS i
+  FROM base
+), spans AS (
+  SELECT doc_id, i,
+         CASE WHEN {_duck_u("doc_id::VARCHAR, 'kind', i::VARCHAR")} < 0.004 THEN 'imge'
+              WHEN {_duck_u("doc_id::VARCHAR, 'kind', i::VARCHAR")} < 0.3 THEN 'media'
+              ELSE 'text' END AS kind,
+         {_duck_u("doc_id::VARCHAR, 'null', i::VARCHAR")} < 0.02 AS text_null,
+         {_duck_u("doc_id::VARCHAR, 'bad', i::VARCHAR")} < 0.02 AS ref_bad,
+         array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ') AS chunk
+  FROM spans0
+), spans2 AS (
+  SELECT doc_id, i, kind,
+         CASE WHEN kind = 'text' AND NOT text_null THEN chunk END AS text,
+         CASE WHEN kind = 'media' THEN
+           CASE WHEN ref_bad THEN 'media:/broken'
+                ELSE 'media://' || md5(concat_ws(':', doc_id::VARCHAR, 'ref', i::VARCHAR)) END
+         END AS media_ref
+  FROM spans
+)
+SELECT doc_id,
+       md5(string_agg(
+         concat_ws('|', coalesce(kind, '∅'), coalesce(text, '∅'), coalesce(media_ref, '∅')),
+         ';' ORDER BY i)) AS sig_before,
+       true AS invariant_holds
+FROM spans2
+GROUP BY doc_id
 """
 
 _SIMHASH_CTE = f"""
@@ -1005,6 +1125,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND round({_cos("a.embedding", "b.embedding")}, 6) >= 0.45
         """,
+        "embedding_neardup_lsh": f"""
+            WITH v0 AS (
+              SELECT vec_id, embedding,
+                     {_duck_lsh_bucket("embedding", 4, 0)} AS b0,
+                     {_duck_lsh_bucket("embedding", 4, 4)} AS b1
+              FROM embeddings
+            ), pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round({_cos("a.embedding", "b.embedding")}, 6) AS sim
+              FROM v0 a JOIN v0 b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+              UNION
+              SELECT a.vec_id, b.vec_id,
+                     round({_cos("a.embedding", "b.embedding")}, 6)
+              FROM v0 a JOIN v0 b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.45
+        """,
         "embedding_stats": """
             WITH e AS (
               SELECT label, len(embedding) AS dim,
@@ -1130,6 +1267,43 @@ def oracle_sql() -> dict[str, str]:
                    'content matches more than one configured schema'
             FROM f WHERE np > 1
         """,
+        "combination_grouped": """
+            WITH f AS (
+              SELECT doc_id,
+                     (n_chars IS NULL OR n_chars BETWEEN 50 AND 250) AS a_ok,
+                     (lang IS NULL OR lang = 'en') AS b_ok,
+                     (source IS NULL OR regexp_matches(source, '^src[0-9]$')) AS pat_ok,
+                     (text IS NOT NULL) AS txt_ok
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     (a_ok OR b_ok) AS ga_pass,
+                     (pat_ok AND txt_ok) AS gb_pass,
+                     CASE WHEN a_ok OR b_ok THEN 0
+                          ELSE 1 + (CASE WHEN a_ok THEN 0 ELSE 1 END)
+                                 + (CASE WHEN b_ok THEN 0 ELSE 1 END) END AS ga_viols,
+                     (CASE WHEN pat_ok THEN 0 ELSE 1 END)
+                   + (CASE WHEN txt_ok THEN 0 ELSE 1 END) AS gb_viols
+              FROM f
+            )
+            SELECT doc_id,
+                   (ga_pass::INT + gb_pass::INT)::BIGINT AS n_groups_passed,
+                   (ga_viols + gb_viols)::BIGINT AS n_violations,
+                   CASE WHEN ga_pass AND gb_pass THEN 'SUCCESS' ELSE 'FAILURE' END AS result
+            FROM g
+        """,
+        "span_invariant": _SPAN_SIG_SQL,
+        "tdigest": """
+            SELECT 0.5::DOUBLE AS p,
+                   round(quantile_cont(l_extendedprice::DOUBLE, 0.5), 6) AS exact_quantile,
+                   true AS within_tol FROM lineitem
+            UNION ALL
+            SELECT 0.9::DOUBLE,
+                   round(quantile_cont(l_extendedprice::DOUBLE, 0.9), 6), true FROM lineitem
+            UNION ALL
+            SELECT 0.99::DOUBLE,
+                   round(quantile_cont(l_extendedprice::DOUBLE, 0.99), 6), true FROM lineitem
+        """,
         "windowed_event_rates": """
             SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                    count(*)::BIGINT AS n_events,
@@ -1138,6 +1312,7 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error_events
             FROM events GROUP BY 1
         """,
-        # approx_stats / tdigest: approximate by design → no SQL oracle
-        # (driver records rows-only checks for them)
+        # approx_stats: approximate by design → no SQL oracle (driver
+        # records the rows-only check); its exact twin column_stats and
+        # tdigest's tolerance-boolean contract are both oracle-checked.
     }

@@ -32,7 +32,7 @@ from json_validator_spark.rules.compiler import (
     normalize_rule,
     span_violation_expr,
 )
-from json_validator_spark.rules.model import Combination, Rule, RuleSet
+from json_validator_spark.rules.model import Combination, Rule, RuleSet, RuleSetGroup
 
 
 def _branch_violations(
@@ -102,13 +102,12 @@ def _tag_branch(arr: Column, branch_idx: int) -> Column:
     )
 
 
-def with_violations(
-    df: DataFrame,
+def _combine(
     ruleset: RuleSet,
     definitions: dict[str, dict[str, Any]] | None = None,
-) -> DataFrame:
-    """Append ``violations array<struct>``, ``doc_pass boolean`` and
-    ``n_branches_passed int`` to ``df`` — still un-exploded, still narrow."""
+) -> tuple[Column, Column, Column]:
+    """One rule set's combination algebra → ``(final violations array,
+    doc_pass, n_branches_passed)`` Columns."""
     branches = ruleset.branch_names
     # NOTE: the combination algebra references each branch array 2-3x
     # (pass flag + final union / tagged copy), and expression references
@@ -172,6 +171,37 @@ def with_violations(
     else:  # pragma: no cover
         raise ValueError(f"unknown combination: {combo}")
 
+    return final, doc_pass, n_passed
+
+
+def with_violations(
+    df: DataFrame,
+    ruleset: RuleSet | RuleSetGroup,
+    definitions: dict[str, dict[str, Any]] | None = None,
+) -> DataFrame:
+    """Append ``violations array<struct>``, ``doc_pass boolean`` and
+    ``n_branches_passed int`` to ``df`` — still un-exploded, still narrow.
+
+    A ``RuleSetGroup`` conjoins groups (allOf between them,
+    ``JSONValidator.java:423-435``) while each keeps its own
+    ALL/ANY/ONE_OF algebra; ``n_branches_passed`` then counts passing
+    GROUPS. Still one projection — the group conjunction is plain
+    boolean algebra over the same narrow pass."""
+    if isinstance(ruleset, RuleSetGroup):
+        finals: list[Column] = []
+        passes: list[Column] = []
+        for g in ruleset.groups:
+            f_g, p_g, _ = _combine(g, definitions)
+            finals.append(f_g)
+            passes.append(p_g)
+        final = _concat_arrays(finals)
+        doc_pass = passes[0]
+        for p in passes[1:]:
+            doc_pass = doc_pass & p
+        n_passed = sum((p.cast("int") for p in passes), start=F.lit(0))
+    else:
+        final, doc_pass, n_passed = _combine(ruleset, definitions)
+
     return df.withColumns(
         {
             "violations": final,
@@ -183,7 +213,7 @@ def with_violations(
 
 def violations_df(
     df: DataFrame,
-    ruleset: RuleSet,
+    ruleset: RuleSet | RuleSetGroup,
     definitions: dict[str, dict[str, Any]] | None = None,
     doc_id: str = "doc_id",
 ) -> DataFrame:

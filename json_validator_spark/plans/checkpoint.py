@@ -131,12 +131,20 @@ def run_with_checkpoint(
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Schema-explicit read tolerating an all-clean run: a zero-violation
-    write under partitionBy emits NO parquet files, so inference fails
-    even though the run is valid."""
-    try:
-        return spark.read.schema(schema).parquet(path)
-    except Exception:
+    write under partitionBy emits NO parquet files (only a _SUCCESS
+    marker, or nothing at all), so inference fails even though the run
+    is valid. Only the legitimately-empty cases read as empty — a
+    corrupted checkpoint must raise, not silently report zero
+    violations (ADVICE r01: blanket ``except Exception`` here turned
+    unreadable checkpoints into empty-but-successful reports)."""
+    has_data = os.path.isdir(path) and any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(path)
+        for f in files
+    )
+    if not has_data:
         return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(path)
 
 
 def read_violations(spark: SparkSession, ckpt_dir: str) -> DataFrame:

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from json_validator_spark.operators import report as rpt
 from json_validator_spark.operators import set_checks as sc
 from json_validator_spark.operators.row_checks import with_violations
-from json_validator_spark.rules.model import RuleSet
+from json_validator_spark.rules.model import RuleSet, RuleSetGroup
 
 
 def salted_repartition(df: DataFrame, n: int, key: str = "doc_id", salt_buckets: int = 16) -> DataFrame:
@@ -47,17 +47,26 @@ class RunResult:
 def validate_run(
     spark: SparkSession,
     docs: DataFrame,
-    ruleset: RuleSet,
+    ruleset: RuleSet | RuleSetGroup,
     definitions: dict[str, dict[str, Any]] | None = None,
     media_catalog: DataFrame | None = None,
     stats_columns: list[str] | None = None,
     doc_id: str = "doc_id",
     repartition_to: int | None = None,
     check_uniqueness: bool = True,
+    extra_violations: list[DataFrame] | None = None,
 ) -> RunResult:
     """The whole engine, one call. Everything row-level happens in a
     single narrow projection; only uniqueness (groupBy) and the stats agg
-    shuffle, and the referential join broadcasts its dimension."""
+    shuffle, and the referential join broadcasts its dimension.
+
+    ``extra_violations`` is the plugin fan-out hook
+    (``JSONValidator.java:193-219``: configured plugin validators run
+    after the schema pass and their TAR reports merge into one): each
+    DataFrame must carry ``(doc_id, span_path, rule_id, severity,
+    message)`` and is unioned into the violation stream, so plugin
+    findings flow through verdicts / aggregate / metrics identically to
+    built-in rules."""
     if repartition_to:
         docs = salted_repartition(docs, repartition_to, key=doc_id)
 
@@ -80,6 +89,14 @@ def validate_run(
                 refs, "media_ref", media_catalog, "media_ref",
                 rule_id="ref.media_catalog",
                 span_path=F.col("span_path"),
+            )
+        )
+    _VIOL_COLS = ["doc_id", "span_path", "rule_id", "severity", "message"]
+    for extra in extra_violations or []:
+        all_viols.append(
+            extra.select(
+                F.col("doc_id").cast("string").alias("doc_id"),
+                *_VIOL_COLS[1:],
             )
         )
     violations = all_viols[0]

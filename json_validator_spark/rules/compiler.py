@@ -125,7 +125,22 @@ def normalize_rule(
 
     schema = resolve_refs({"kind": rule.kind, "params": rule.params}, definitions)
     kind, params = ALIASES.get(schema["kind"], schema["kind"]), schema["params"]
-    return Rule(rule.rule_id, rule.target, kind, params, rule.severity, rule.ruleset)
+    out = Rule(rule.rule_id, rule.target, kind, params, rule.severity, rule.ruleset)
+    if out.level == "span":
+        # The two pandas-UDF-backed predicates cannot run inside the
+        # higher-order-function lambdas span rules compile to — Spark
+        # rejects the plan at analysis time with an opaque error, so
+        # fail clearly here at compile time instead (ADVICE r01).
+        uses_python = (kind == "pattern" and params.get("engine") == "python") or (
+            kind == "format" and params.get("format") == "regex"
+        )
+        if uses_python:
+            raise ValueError(
+                f"rule {rule.rule_id!r}: {kind} with a Python-engine predicate "
+                f"is doc-level only — span targets ({rule.target!r}) compile to "
+                "array lambdas, where Spark forbids (pandas) UDFs"
+            )
+    return out
 
 
 def compile_rule(

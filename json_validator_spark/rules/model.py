@@ -139,3 +139,36 @@ class RuleSet:
             if dep:
                 cols.add(dep.strip("/").split("/")[0])
         return cols
+
+
+@dataclass(frozen=True)
+class RuleSetGroup:
+    """Conjunction of rule-set groups, each keeping its OWN combination.
+
+    The reference combines a *preconfigured* schema group with a
+    *user-provided* group via allOf while each group applies its own
+    ALL/ANY/ONE_OF approach (``JSONValidator.java:423-435``; profile
+    types like ``userAllOfRequired`` in
+    ``etc/dev/test/config.properties:8-11``). Here: a document passes
+    iff EVERY member ``RuleSet`` passes under its own combination; the
+    surviving violations are the union of each group's combined output.
+    """
+
+    groups: tuple[RuleSet, ...]
+    name: str = "grouped"
+
+    def __post_init__(self) -> None:
+        if not self.groups:
+            raise ValueError("RuleSetGroup needs at least one RuleSet")
+        seen: set[str] = set()
+        for g in self.groups:
+            for r in g.rules:
+                if r.rule_id in seen:
+                    raise ValueError(f"duplicate rule_id across groups: {r.rule_id}")
+                seen.add(r.rule_id)
+
+    def columns_touched(self) -> set[str]:
+        out: set[str] = set()
+        for g in self.groups:
+            out |= g.columns_touched()
+        return out

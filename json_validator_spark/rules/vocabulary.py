@@ -43,11 +43,14 @@ def _inner_pred(schema: dict[str, Any]) -> Callable[[Column], Column]:
     return pred
 
 
-# Reference-catalog keywords that are exact semantic aliases of another
+# Reference-catalog keywords that are semantic aliases of another
 # builder in our flat-table model (jsv-messages.properties lines in
 # parens): draft-4 `dependencies` (:4) ≡ dependentRequired; positional
 # `additionalItems` (:50) / `unevaluatedItems` (:49) ≡ items over the
-# remainder; `unevaluatedProperties` (:48) ≡ additionalProperties;
+# REMAINDER — pass `start` = number of prefix-tuple elements so only
+# elements beyond the prefix are checked; `unevaluatedProperties` (:48)
+# ≡ additionalProperties — pass `allowed_patterns` with the
+# patternProperties key regexes so pattern-matched keys stay evaluated;
 # `readOnly`/`writeOnly` (:25,:35) ≡ forbidden; `unionType` (:28) ≡ type
 # with a types list; `notAllowed` (:46) ≡ false.
 ALIASES = {
@@ -149,6 +152,9 @@ def build_pass(kind: str, value: Column, params: dict[str, Any]) -> Column:
         arr = value
         if "field" in params:
             arr = F.transform(value, lambda s: s[params["field"]])
+        start = int(params.get("start", 0))
+        if start:  # additionalItems/unevaluatedItems: skip the prefix tuple
+            arr = F.slice(arr, start + 1, F.greatest(F.size(arr) - start, F.lit(0)))
         return F.forall(arr, inner)
     if kind == "prefixItems":  # positional subschemas (:23)
         ok = F.lit(True)
@@ -185,7 +191,17 @@ def build_pass(kind: str, value: Column, params: dict[str, Any]) -> Column:
         return F.size(F.map_keys(value)) <= _num(params["value"])
     if kind == "additionalProperties":
         allowed = F.array(*[F.lit(k) for k in params["allowed"]])
-        return F.size(F.array_except(F.map_keys(value), allowed)) == 0
+        patterns = params.get("allowed_patterns", [])
+        extras = F.array_except(F.map_keys(value), allowed)
+        if patterns:  # unevaluatedProperties: patternProperties-matched keys pass
+            # factory, not default-arg binding: pyspark dispatches HOF
+            # lambdas on parameter count, so the callable must be (k,) only
+            def _drop_matching(rx: str):
+                return lambda k: ~k.rlike(rx)
+
+            for rx in patterns:
+                extras = F.filter(extras, _drop_matching(rx))
+        return F.size(extras) == 0
     if kind == "propertyNames":
         return F.forall(F.map_keys(value), lambda k: k.rlike(params["regex"]))
     if kind == "requiredKey":  # `required` for a dynamic-JSON property

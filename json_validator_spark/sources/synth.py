@@ -148,16 +148,28 @@ def span_signature(df: DataFrame, spans_col: str = "spans") -> DataFrame:
     """Per-row span-sequence signature (kind, text, media_ref, positional
     order) — the invariant the driver holds us to (BASELINE.json
     input_hint): any pipeline stage must leave this untouched. Offsets are
-    excluded on purpose: order is positional, not offset-keyed."""
-    sig = F.sha2(
-        F.to_json(
+    excluded on purpose: order is positional, not offset-keyed.
+
+    md5 over '|'-joined fields per span, ';'-joined across the sequence
+    — NOT sha2(to_json(...)), whose JSON formatting is engine-specific.
+    This exact construction is reproducible in DuckDB
+    (``md5(string_agg(concat_ws('|', ...), ';' ORDER BY i))``), giving
+    the per-row invariant a hard oracle (VERDICT r01 next-round #4).
+    '∅' marks absent fields (never appears in corpus values; concat_ws
+    would otherwise silently SKIP nulls and alias distinct sequences);
+    '|' / ';' never occur in kind/text/media_ref values."""
+    sig = F.md5(
+        F.array_join(
             F.transform(
                 F.col(spans_col),
-                lambda s: F.struct(
-                    s["kind"].alias("k"), s["text"].alias("t"), s["media_ref"].alias("m")
+                lambda s: F.concat_ws(
+                    "|",
+                    F.coalesce(s["kind"], F.lit("∅")),
+                    F.coalesce(s["text"], F.lit("∅")),
+                    F.coalesce(s["media_ref"], F.lit("∅")),
                 ),
-            )
-        ),
-        256,
+            ),
+            ";",
+        )
     )
     return df.withColumn("span_sig", sig)

@@ -69,3 +69,53 @@ def test_oneof_zero_pass_emits_branch_errors(spark):
     v = violations_df(df(spark), rs)
     got = rows_set(v.filter("doc_id = 'c'"), "rule_id")
     assert got == {("combination.oneOf",), ("lo.max",), ("hi.min",)}
+
+
+def test_ruleset_group_two_groups(spark):
+    """Preconfigured ⊕ external composition (JSONValidator.java:423-435):
+    each group keeps its own approach, groups conjoin allOf-style."""
+    from json_validator_spark.rules.model import RuleSetGroup
+
+    grp = RuleSetGroup(
+        groups=(
+            RuleSet(
+                name="external", combination=Combination.ANY,
+                rules=(BRANCH_LO, BRANCH_HI),
+            ),
+            RuleSet(
+                name="preconfigured",
+                rules=(Rule("pre.min", "/v", "minimum", {"value": 10}),),
+            ),
+        )
+    )
+    wv = with_violations(df(spark), grp)
+    # a(v=5): ANY passes (lo), ALL fails (min 10) → fail, 1 group passed
+    # b(v=25): both pass → pass; c(v=15): ANY fails, ALL passes → fail
+    assert rows_set(wv, "doc_id", "doc_pass", "n_branches_passed") == {
+        ("a", False, 1), ("b", True, 2), ("c", False, 1),
+    }
+    v = violations_df(df(spark), grp)
+    got = rows_set(v, "doc_id", "rule_id")
+    # a: only the preconfigured group's violation (ANY group passed → suppressed)
+    # c: ANY header + both tagged branch errors; preconfigured passed
+    assert got == {
+        ("a", "pre.min"),
+        ("c", "combination.any"), ("c", "lo.max"), ("c", "hi.min"),
+    }
+    # ANY-group failures keep their branch tag inside the group
+    msgs = {r["message"] for r in v.filter("doc_id = 'c' AND rule_id != 'combination.any'").collect()}
+    assert all(m.startswith("[0]: ") or m.startswith("[1]: ") for m in msgs)
+
+
+def test_ruleset_group_duplicate_rule_id_raises():
+    import pytest as _pytest
+
+    from json_validator_spark.rules.model import RuleSetGroup
+
+    with _pytest.raises(ValueError, match="duplicate rule_id"):
+        RuleSetGroup(
+            groups=(
+                RuleSet(rules=(BRANCH_LO,), name="g1"),
+                RuleSet(rules=(BRANCH_LO,), name="g2"),
+            )
+        )

@@ -94,3 +94,39 @@ def test_hypothesis_java_python_regex_agreement(spark):
         pat = re.compile(rx)
         for s, jm in got.items():
             assert jm == bool(pat.search(s)), (fmt, s)
+
+
+def test_format_regex_compilability(spark):
+    """format:"regex" (jsv-messages.properties:66) — the value must
+    itself compile; vectorized pandas UDF path, doc-level."""
+    from json_validator_spark.operators.row_checks import violations_df
+    from json_validator_spark.rules.model import Rule, RuleSet
+
+    df = spark.createDataFrame(
+        [
+            ("d1", r"^x[0-9]+$"),   # compiles
+            ("d2", "([unclosed"),    # re.error
+            ("d3", "a{2,1}"),        # bad quantifier range → re.error
+            ("d4", None),            # absent → passes (null semantics)
+        ],
+        "doc_id string, rx string",
+    )
+    rs = RuleSet(rules=(Rule("fmt.rx", "/rx", "format", {"format": "regex"}),))
+    got = {(r["doc_id"], r["rule_id"]) for r in violations_df(df, rs).collect()}
+    assert got == {("d2", "fmt.rx"), ("d3", "fmt.rx")}
+
+
+def test_python_engine_span_rule_raises_at_compile_time():
+    """Pandas-UDF predicates inside span lambdas are rejected clearly at
+    rule-compile time, not with Spark's opaque analysis error."""
+    import pytest as _pytest
+
+    from json_validator_spark.rules.compiler import normalize_rule
+    from json_validator_spark.rules.model import Rule
+
+    with _pytest.raises(ValueError, match="doc-level only"):
+        normalize_rule(
+            Rule("p", "/spans/*/text", "pattern", {"regex": "x", "engine": "python"})
+        )
+    with _pytest.raises(ValueError, match="doc-level only"):
+        normalize_rule(Rule("f", "/spans/*/text", "format", {"format": "regex"}))

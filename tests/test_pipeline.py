@@ -177,3 +177,51 @@ def test_property_determinism_arbitrary_docs(spark):
     v1 = {tuple(r) for r in violations_df(df.repartition(1), rs).collect()}
     v8 = {tuple(r) for r in violations_df(df.repartition(8), rs).collect()}
     assert v1 == v8
+
+
+def test_top_violations_truncation(spark):
+    """Report truncation contract (ValidationRunner.java:163-176): the
+    export caps at k rows ordered by frequency; the full rollup retains
+    every rule."""
+    from json_validator_spark.operators.report import aggregate_report, top_violations
+    from json_validator_spark.rules.model import Rule, RuleSet
+    from json_validator_spark.operators.row_checks import violations_df
+
+    docs = synth_documents(spark, 800)
+    rs = corpus_ruleset()
+    viols = violations_df(docs, rs)
+    full = aggregate_report(viols).collect()
+    assert len(full) > 2  # several distinct rules fire on the synth corpus
+    top = top_violations(viols, k=2).collect()
+    assert len(top) == 2
+    counts = [r["count"] for r in top]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] == max(r["count"] for r in full)
+
+
+def test_validate_run_plugin_hook(spark):
+    """Plugin fan-out (JSONValidator.java:193-219): external providers'
+    violation frames merge into the run's violations AND aggregate."""
+    docs = synth_documents(spark, 200)
+    plugin = spark.createDataFrame(
+        [("doc-000001", "/", "plugin.custom", "error", "plugin says no")],
+        "doc_id string, span_path string, rule_id string, severity string, message string",
+    )
+    res = validate_run(spark, docs, corpus_ruleset(), extra_violations=[plugin])
+    v = res.violations.filter(F.col("rule_id") == "plugin.custom").collect()
+    assert len(v) == 1 and v[0]["message"] == "plugin says no"
+    agg = {r["rule_id"]: r["count"] for r in res.aggregate.collect()}
+    assert agg.get("plugin.custom") == 1
+
+
+def test_checkpoint_read_missing_vs_corrupt(spark, tmp_path):
+    """Missing/empty checkpoint reads as empty; a CORRUPT checkpoint
+    raises instead of silently reporting success (ADVICE r01)."""
+    import pytest as _pytest
+
+    assert read_violations(spark, str(tmp_path / "nope")).count() == 0
+    bad = tmp_path / "ck" / "violations"
+    bad.mkdir(parents=True)
+    (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with _pytest.raises(Exception):
+        read_violations(spark, str(tmp_path / "ck")).count()

@@ -298,3 +298,42 @@ def test_catalog_aliases(spark):
     ))
     got2 = rows_set(violations_df(df, rs), "doc_id", "rule_id")
     assert got2 == {("b", "ut"), ("a", "dep"), ("b", "dep")}
+
+
+def test_additional_items_start_offset(spark):
+    """additionalItems/unevaluatedItems check only elements BEYOND the
+    prefix tuple (ADVICE r01: the bare items alias checked all of them)."""
+    df = spark.createDataFrame(
+        [("d1", [1, 200, 5]), ("d2", [1, 2, 300]), ("d3", [1, 2])],
+        "doc_id string, arr array<int>",
+    )
+    from json_validator_spark.rules.model import RuleSet
+    rs = RuleSet(rules=(
+        Rule(
+            "ai", "/arr", "additionalItems",
+            {"schema": {"kind": "maximum", "params": {"value": 10}}, "start": 2},
+        ),
+    ))
+    got = rows_set(violations_df(df, rs), "doc_id", "rule_id")
+    # d1's 200 sits INSIDE the prefix → not checked; d2's 300 is beyond → fails;
+    # d3 has no post-prefix elements → vacuously passes
+    assert got == {("d2", "ai")}
+
+
+def test_unevaluated_properties_pattern_exclusion(spark):
+    """unevaluatedProperties ignores patternProperties-matched keys when
+    given the pattern list (ADVICE r01)."""
+    rows = [
+        ("d1", {"k": "1", "x-trace": "t"}),   # x-* matched by pattern → ok
+        ("d2", {"k": "1", "rogue": "r"}),     # unmatched extra → fail
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, props map<string,string>")
+    from json_validator_spark.rules.model import RuleSet
+    rs = RuleSet(rules=(
+        Rule(
+            "up", "/props", "unevaluatedProperties",
+            {"allowed": ["k"], "allowed_patterns": ["^x-"]},
+        ),
+    ))
+    got = rows_set(violations_df(df, rs), "doc_id", "rule_id")
+    assert got == {("d2", "up")}

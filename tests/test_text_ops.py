@@ -197,3 +197,46 @@ def test_embedding_checks(spark):
     v = ec.embedding_violations(bad, expected_dim=2)
     got = {(r["doc_id"], r["rule_id"]) for r in v.collect()}
     assert got == {("9", "dim.embedding"), ("10", "finite.embedding"), ("11", "norm.embedding")}
+
+
+def test_lsh_neardup_pairs_subset_of_exact(spark, vectors):
+    """Bucketed near-dup pairs are a strict subset of brute-force pairs
+    at the same threshold (exact rerank inside buckets), with recall."""
+    exact = (
+        vectors.alias("a")
+        .join(vectors.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"),
+            F.round(
+                similarity.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.9)
+    )
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    got = similarity.lsh_neardup_pairs(
+        vectors, dim=8, threshold=0.9, n_planes=3, n_tables=2
+    ).collect()
+    got_pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert len(got) == len(got_pairs)  # distinct() dedups multi-table hits
+    assert got_pairs <= exact_pairs
+    assert len(got_pairs) >= max(1, int(0.3 * len(exact_pairs)))  # recall floor
+
+
+def test_kmeans_centroids_sampled_deterministic(spark, vectors):
+    """Codebook training is bounded + deterministic: the hash-sampled
+    driver-side k-means returns identical centroids across calls and
+    respects max_train."""
+    import numpy as np
+
+    c1 = similarity.kmeans_centroids(vectors, k=4, max_train=20)
+    c2 = similarity.kmeans_centroids(vectors, k=4, max_train=20)
+    assert np.array_equal(c1, c2)
+    out = similarity.ivf_topk(
+        vectors,
+        vectors.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=5, n_clusters=4, n_probe=2, max_train=20,
+    )
+    assert out.count() > 0
