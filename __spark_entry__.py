@@ -446,6 +446,25 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 acceptance as a reusable operator (``FileManager.java:58-64``):
+    every 13th event's props is mangled into invalid JSON; PERMISSIVE
+    parse + the null-disambiguation yields one violation per corrupt
+    payload, and the valid rows proceed untouched."""
+    from json_validator_spark.sources.ingest import corrupt_record_violations
+
+    ev = _load(spark, sf_dir, "events")
+    mangled = ev.withColumn(
+        "props",
+        F.when(
+            F.col("event_id") % 13 == 0, F.concat(F.lit("{"), F.col("props"))
+        ).otherwise(F.col("props")),
+    )
+    return corrupt_record_violations(
+        mangled, "props", "map<string,string>", doc_id="event_id"
+    )
+
+
 def q_corpus_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document verdicts over the DERIVED span corpus — the TAR
     result/counter contract (result, n_errors) checked end-to-end
@@ -698,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "winnow": q_winnow,
         "events_json": q_events_json,
+        "corrupt_records": q_corrupt_records,
         "combination_any": q_combination_any,
         "combination_any_report": q_combination_any_report,
         "combination_oneof_report": q_combination_oneof_report,
@@ -1204,6 +1224,14 @@ def oracle_sql() -> dict[str, str]:
         "language_id": _LANG_SQL,
         "winnow": _WINNOW_SQL,
         "events_json": _EVENTS_SQL,
+        "corrupt_records": """
+            SELECT event_id::VARCHAR AS doc_id, '/props' AS span_path,
+                   'corrupt.props' AS rule_id, 'error' AS severity,
+                   '[/props] content is not parseable as the accepted type' AS message
+            FROM events
+            WHERE props IS NOT NULL AND NOT json_valid(
+              CASE WHEN event_id % 13 = 0 THEN '{' || props ELSE props END)
+        """,
         "combination_any": """
             SELECT doc_id,
                    ((CASE WHEN n_chars BETWEEN 50 AND 250 THEN 1 ELSE 0 END)

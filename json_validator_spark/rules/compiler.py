@@ -27,27 +27,14 @@ from json_validator_spark.rules.vocabulary import PRESENCE_KINDS, build_pass
 VIOLATION_FIELDS = "span_path string, rule_id string, severity string, message string"
 VIOLATION_ARRAY_TYPE = f"array<struct<{VIOLATION_FIELDS}>>"
 
-# Message catalogue — static per rule (the reference interpolates actual
-# values, jsv-messages.properties; we keep messages value-free so the
-# aggregate rollup groupBy(severity,message) is exact and deterministic).
-_MESSAGES = {
-    "required": "required value is missing",
-    "forbidden": "value must not be present",
-    "dependentRequired": "dependent required value is missing",
-    "const": "value does not equal the required constant",
-    "enum": "value is not in the allowed set",
-    "pattern": "value does not match the required pattern",
-    "format": "value does not conform to the required format",
-    "type": "value is not of the expected type",
-    "monotonic": "array field is not strictly increasing",
-    "uniqueItems": "array elements are not unique",
-    "contains": "array does not contain the required number of matching elements",
-}
-
-
 def _message(rule: Rule) -> str:
-    base = _MESSAGES.get(rule.kind, f"constraint '{rule.kind}' violated")
-    return f"[{rule.target}] {base}"
+    """Static per-rule message from the locale-keyed catalog
+    (``rules/messages.py`` — the validator_en/fr/de.properties analogue;
+    value-free so the aggregate rollup groupBy(severity,message) is
+    exact and deterministic). Resolved at compile time → plan constant."""
+    from json_validator_spark.rules.messages import message_for
+
+    return f"[{rule.target}] {message_for(rule.kind)}"
 
 
 # ----------------------------------------------------------------------
