@@ -401,6 +401,29 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate fraction at 2-token segment granularity
+    (the corpus' small vocabulary makes 2-grams the realistic repetition
+    unit at test scale; real corpora use the default k=8)."""
+    from json_validator_spark.operators.text_checks import boilerplate_stats
+
+    return boilerplate_stats(
+        _load_spread(spark, sf_dir, "documents"), k=2, min_df=5
+    )
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: every 50th doc is the held-out
+    benchmark; the rest of the corpus is scored by 3-gram overlap
+    against the (broadcast) benchmark shingle set."""
+    from json_validator_spark.operators.text_checks import contamination_overlap
+
+    docs = _load_spread(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_overlap(corpus, bench, k=3, min_overlap=2)
+
+
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.text_checks import winnow_fingerprints
 
@@ -716,6 +739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "language_id": q_language_id,
         "winnow": q_winnow,
+        "boilerplate": q_boilerplate,
+        "contamination": q_contamination,
         "events_json": q_events_json,
         "corrupt_records": q_corrupt_records,
         "combination_any": q_combination_any,
@@ -1223,6 +1248,47 @@ def oracle_sql() -> dict[str, str]:
         "quality": _QUALITY_SQL,
         "language_id": _LANG_SQL,
         "winnow": _WINNOW_SQL,
+        "boilerplate": f"""
+            WITH base AS (
+              SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+            ), segs0 AS (
+              SELECT doc_id, toks, ceil(len(toks) / 2.0)::INT AS n FROM base
+            ), segs AS (
+              SELECT doc_id,
+                     md5(array_to_string(list_slice(toks, (i - 1) * 2 + 1, (i - 1) * 2 + 2), ' ')) AS seg_hash
+              FROM segs0, unnest(generate_series(1, n)) AS t(i)
+            ), freq AS (
+              SELECT seg_hash, count(*) AS df FROM segs GROUP BY 1
+            ), per_doc AS (
+              SELECT s.doc_id, count(*) AS n_segments,
+                     sum(CASE WHEN f.df >= 5 THEN 1 ELSE 0 END) AS n_boilerplate
+              FROM segs s JOIN freq f USING (seg_hash) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(n_segments, 0)::BIGINT AS n_segments,
+                   coalesce(n_boilerplate, 0)::BIGINT AS n_boilerplate,
+                   round(coalesce(n_boilerplate, 0)
+                         / greatest(coalesce(n_segments, 0), 1)::DOUBLE, 6) AS boilerplate_ratio
+            FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+        """,
+        "contamination": (
+            "WITH corpus_sh AS ("
+            + _SHINGLE_CTE.replace(
+                "__DOCSRC__", "(SELECT * FROM documents WHERE doc_id % 50 <> 0) c"
+            )
+            + "), bench_sh AS (SELECT DISTINCT shingle FROM ("
+            + _SHINGLE_CTE.replace(
+                "__DOCSRC__", "(SELECT * FROM documents WHERE doc_id % 50 = 0) b"
+            )
+            + ") bsh), ov AS ("
+            "  SELECT doc_id, count(*) AS n_overlap"
+            "  FROM corpus_sh JOIN bench_sh USING (shingle) GROUP BY 1"
+            ") "
+            "SELECT d.doc_id, coalesce(n_overlap, 0)::BIGINT AS n_overlap, "
+            "       (coalesce(n_overlap, 0) >= 2) AS contaminated "
+            "FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d "
+            "LEFT JOIN ov ON ov.doc_id = d.doc_id"
+        ),
         "events_json": _EVENTS_SQL,
         "corrupt_records": """
             SELECT event_id::VARCHAR AS doc_id, '/props' AS span_path,

@@ -146,3 +146,99 @@ def winnow_fingerprints(
         .select("doc_id", F.col("wmin").alias("fingerprint"))
         .distinct()
     )
+
+
+def doc_segments(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """``(doc_id, seg_hash)`` — md5 of each NON-overlapping k-token
+    segment (C4-style boilerplate unit; the corpus has no line breaks,
+    so fixed-width token windows are the repetition unit). The token
+    array is let-bound: one tokenization per doc, not one per segment."""
+    from json_validator_spark.functions.text import let, seq1, tokens as _tokens
+
+    def build(toks: Column) -> Column:
+        n = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
+        return F.transform(
+            seq1(n),
+            lambda i: F.md5(F.array_join(F.slice(toks, (i - 1) * k + 1, k), " ")),
+        )
+
+    segs = let(_tokens(F.col(text_col)), build)
+    return df.select(F.col(id_col).alias("doc_id"), F.explode(segs).alias("seg_hash"))
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_df: int = 3,
+) -> DataFrame:
+    """Per-doc boilerplate fraction: segments whose corpus-wide
+    frequency reaches ``min_df`` are boilerplate (repeated headers /
+    footers / templates — the C4/RefinedWeb removal signal).
+    ``(doc_id, n_segments, n_boilerplate, boilerplate_ratio)``, one row
+    per input doc (0s for empty docs).
+
+    Shape: explode segments once per side of a self-frequency join —
+    groupBy(seg_hash) builds the (tiny, skew-capped by construction)
+    frequency table, the probe join is hash-partitioned on seg_hash,
+    and the per-doc rollup partial-aggregates. No all-pairs product
+    anywhere; at 10^12 docs each stage is the same shuffle discipline
+    as ``dedup.ngram_jaccard_pairs``."""
+    seg = doc_segments(df, text_col, id_col, k)
+    freq = seg.groupBy("seg_hash").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        seg.join(freq, "seg_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("df") >= min_df).cast("long")).alias("n_boilerplate"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    n_seg = F.coalesce("n_segments", F.lit(0)).cast("long")
+    n_bp = F.coalesce("n_boilerplate", F.lit(0)).cast("long")
+    return ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        n_seg.alias("n_segments"),
+        n_bp.alias("n_boilerplate"),
+        F.round(n_bp / F.greatest(n_seg, F.lit(1)).cast("double"), 6).alias(
+            "boilerplate_ratio"
+        ),
+    )
+
+
+def contamination_overlap(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Test-set decontamination: per-doc count of k-token shingles shared
+    with a benchmark/eval corpus; docs reaching ``min_overlap`` are
+    flagged. ``(doc_id, n_overlap, contaminated)``, one row per doc.
+
+    The benchmark shingle set is small by definition (eval sets are
+    thousands of docs, not billions) → broadcast; the corpus side
+    streams past it with zero shuffle of the postings — the only
+    shuffle is the per-doc count rollup."""
+    from json_validator_spark.operators.dedup import doc_shingles
+
+    bench_sh = doc_shingles(benchmark, text_col, id_col, k).select("shingle").distinct()
+    doc_sh = doc_shingles(df, text_col, id_col, k)
+    ov = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    n_ov = F.coalesce("n_overlap", F.lit(0)).cast("long")
+    return ids.join(ov, "doc_id", "left").select(
+        "doc_id",
+        n_ov.alias("n_overlap"),
+        (n_ov >= min_overlap).alias("contaminated"),
+    )

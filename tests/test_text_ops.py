@@ -240,3 +240,58 @@ def test_kmeans_centroids_sampled_deterministic(spark, vectors):
         k=5, n_clusters=4, n_probe=2, max_train=20,
     )
     assert out.count() > 0
+
+
+def test_boilerplate_stats(spark, docs):
+    """Segments shared by the exact-dup pair (docs 3,4) reach min_df=2;
+    unique docs score 0; null-text doc gets a 0-segment row."""
+    out = {
+        r["doc_id"]: r
+        for r in text_checks.boilerplate_stats(docs, k=4, min_df=2).collect()
+    }
+    assert len(out) == 7  # one row per input doc, including empties
+    # docs 3/4: identical 8-token text → two 4-token segments each, both
+    # appearing twice corpus-wide → fully boilerplate
+    for d in (3, 4):
+        assert out[d]["n_segments"] == 2
+        assert out[d]["n_boilerplate"] == 2
+        assert out[d]["boilerplate_ratio"] == 1.0
+    # doc 5 is unique → no segment repeats
+    assert out[5]["n_boilerplate"] == 0
+    assert out[7]["n_segments"] == 0 and out[7]["boilerplate_ratio"] == 0.0
+
+
+def test_contamination_overlap(spark, docs):
+    """Doc 2 (near-dup of benchmark doc 1) shares shingles; unrelated
+    docs score 0; flag respects min_overlap."""
+    bench = docs.filter(F.col("doc_id") == 1)
+    corpus = docs.filter(F.col("doc_id") != 1)
+    out = {
+        r["doc_id"]: r
+        for r in text_checks.contamination_overlap(
+            corpus, bench, k=3, min_overlap=2
+        ).collect()
+    }
+    assert len(out) == 6
+    # doc 2 differs from doc 1 only in the last token → shares the first
+    # 6 of its 7 3-shingles
+    assert out[2]["n_overlap"] == 6 and out[2]["contaminated"]
+    assert out[3]["n_overlap"] == 0 and not out[3]["contaminated"]
+    assert out[7]["n_overlap"] == 0 and not out[7]["contaminated"]
+
+
+def test_plan_shapes_scale_paths(spark, docs, vectors):
+    """The scale-path operators must never degenerate into all-pairs
+    products: LSH near-dup joins hash-partitioned on bucket, and the
+    contamination probe broadcasts the benchmark side."""
+    pairs = similarity.lsh_neardup_pairs(vectors, dim=8, threshold=0.9, n_planes=3, n_tables=2)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    cont = text_checks.contamination_overlap(
+        docs.filter(F.col("doc_id") != 1), docs.filter(F.col("doc_id") == 1)
+    )
+    cplan = cont._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in cplan  # bench shingles ship, postings stream
+    assert "CartesianProduct" not in cplan
