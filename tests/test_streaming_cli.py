@@ -149,3 +149,44 @@ def test_batch_replay_is_idempotent(tmp_path, spark):
     got = spark.read.parquet(path)
     assert got.count() == 3  # replay of 7 did not clobber other batches
     assert {r["batch_id"] for r in got.select("batch_id").distinct().collect()} == {7, 8}
+
+
+def test_stateful_dedup_stream_across_restarts(tmp_path, spark):
+    """applyInPandasWithState exact-dedup: state (first-seen content
+    hash) survives a stream restart via the checkpoint, so duplicates
+    arriving in a later run are still flagged against the original."""
+    from json_validator_spark.streaming.dedup_stream import dedup_stream
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")], schema
+    )
+    b1.write.parquet(landing)
+    q = dedup_stream(spark, landing, schema, out, ckpt)
+    q.awaitTermination(120)
+
+    got1 = {
+        r["doc_id"]: (r["is_duplicate"], r["first_doc_id"])
+        for r in spark.read.parquet(f"{out}/dedup").collect()
+    }
+    assert got1 == {1: (False, 1), 2: (False, 2), 3: (True, 1)}
+
+    # "restart": new query instance, same checkpoint; a late duplicate of
+    # doc 1's content must be flagged against first_doc_id=1 from STATE
+    spark.createDataFrame([(9, "alpha beta"), (10, "epsilon")], schema).write.mode(
+        "append"
+    ).parquet(landing)
+    q2 = dedup_stream(spark, landing, schema, out, ckpt)
+    q2.awaitTermination(120)
+
+    got2 = {
+        r["doc_id"]: (r["is_duplicate"], r["first_doc_id"])
+        for r in spark.read.parquet(f"{out}/dedup").collect()
+    }
+    assert got2[9] == (True, 1)
+    assert got2[10] == (False, 10)
+    assert len(got2) == 5
