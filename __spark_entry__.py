@@ -424,6 +424,12 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_overlap(corpus, bench, k=3, min_overlap=2)
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_validator_spark.operators.text_checks import repetition_stats
+
+    return repetition_stats(_load_spread(spark, sf_dir, "documents"), n=2)
+
+
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.text_checks import winnow_fingerprints
 
@@ -739,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "language_id": q_language_id,
         "winnow": q_winnow,
+        "repetition": q_repetition,
         "boilerplate": q_boilerplate,
         "contamination": q_contamination,
         "events_json": q_events_json,
@@ -1248,6 +1255,28 @@ def oracle_sql() -> dict[str, str]:
         "quality": _QUALITY_SQL,
         "language_id": _LANG_SQL,
         "winnow": _WINNOW_SQL,
+        "repetition": f"""
+            WITH t AS (
+              SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+            ), g AS (
+              SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+              FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+            ), pg AS (
+              SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2
+            ), pd AS (
+              SELECT doc_id, sum(n) AS n_bigrams, count(*) AS n_distinct,
+                     max(n) AS top_n
+              FROM pg GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+                   coalesce(n_distinct, 0)::BIGINT AS n_distinct_bigrams,
+                   round((coalesce(n_bigrams, 0) - coalesce(n_distinct, 0))
+                         / greatest(coalesce(n_bigrams, 0), 1)::DOUBLE, 6) AS dup_bigram_ratio,
+                   round(coalesce(top_n, 0)
+                         / greatest(coalesce(n_bigrams, 0), 1)::DOUBLE, 6) AS top_bigram_frac
+            FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+        """,
         "boilerplate": f"""
             WITH base AS (
               SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents

@@ -242,3 +242,46 @@ def contamination_overlap(
         n_ov.alias("n_overlap"),
         (n_ov >= min_overlap).alias("contaminated"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signals per doc: duplicate n-gram
+    fraction and most-frequent-n-gram fraction (high values mark
+    degenerate/templated text a pretraining pipeline drops).
+    ``(doc_id, n_bigrams, n_distinct_bigrams, dup_bigram_ratio,
+    top_bigram_frac)``, one row per input doc.
+
+    Shape: one let-bound tokenization → OVERLAPPING n-grams (unlike
+    ``shingles``, repeats are the signal so no array_distinct) →
+    explode → two partial-aggregated groupBys. The (doc_id, gram) key
+    spreads any hot doc across the cluster; nothing is quadratic."""
+    from json_validator_spark.functions.text import let, seq1, tokens as _tokens
+
+    def build(toks: Column) -> Column:
+        return F.transform(
+            seq1(F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+
+    grams = let(_tokens(F.col(text_col)), build)
+    g = df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+    per_gram = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("n").alias("top_n"),
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    nb = F.coalesce("n_bigrams", F.lit(0)).cast("long")
+    nd = F.coalesce("n_distinct", F.lit(0)).cast("long")
+    tn = F.coalesce("top_n", F.lit(0)).cast("long")
+    denom = F.greatest(nb, F.lit(1)).cast("double")
+    return ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        nb.alias("n_bigrams"),
+        nd.alias("n_distinct_bigrams"),
+        F.round((nb - nd) / denom, 6).alias("dup_bigram_ratio"),
+        F.round(tn / denom, 6).alias("top_bigram_frac"),
+    )

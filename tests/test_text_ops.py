@@ -295,3 +295,19 @@ def test_plan_shapes_scale_paths(spark, docs, vectors):
     cplan = cont._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in cplan  # bench shingles ship, postings stream
     assert "CartesianProduct" not in cplan
+
+
+def test_repetition_stats(spark):
+    rows = [
+        (1, "a b a b a b"),        # 5 bigrams: "a b"x3, "b a"x2 → top 3/5
+        (2, "w x y z"),            # 3 bigrams, all distinct
+        (3, "solo"),               # <2 tokens → 0 bigrams
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text_checks.repetition_stats(df, n=2).collect()}
+    assert len(out) == 4
+    assert out[1]["n_bigrams"] == 5 and out[1]["n_distinct_bigrams"] == 2
+    assert out[1]["top_bigram_frac"] == 0.6 and out[1]["dup_bigram_ratio"] == 0.6
+    assert out[2]["dup_bigram_ratio"] == 0.0 and out[2]["top_bigram_frac"] == round(1 / 3, 6)
+    assert out[3]["n_bigrams"] == 0 and out[4]["n_bigrams"] == 0
