@@ -221,6 +221,26 @@ def build_pass(kind: str, value: Column, params: dict[str, Any]) -> Column:
         return F.when(
             F.array_contains(F.map_keys(value), params["key"]), inner(value)
         ).otherwise(F.lit(True))
+    if kind == "properties":
+        # per-key subschemas (:24) — each declared key's value satisfies
+        # its schema; absent keys vacuously pass (presence is `requiredKey`)
+        ok = F.lit(True)
+        for key, sub in params["properties"].items():
+            inner = _inner_pred(sub)
+            ok = ok & inner(F.element_at(value, key))
+        return ok
+    if kind == "discriminator":
+        # networknt's OpenAPI discriminator (jsv-messages.properties
+        # discriminator.*): the discriminating property's value selects
+        # which subschema the object must satisfy; a missing value or an
+        # unmapped value fails (missing_discriminating_value /
+        # no_match_found)
+        disc = F.element_at(value, params["key"])
+        expr = F.when(disc.isNull(), F.lit(False))
+        for dv, sub in params["mapping"].items():
+            inner = _inner_pred(sub)
+            expr = expr.when(disc == F.lit(dv), inner(value))
+        return expr.otherwise(F.lit(False))
 
     # --- in-schema boolean combinators (:39-42,:45,:43) -----------------
     if kind == "allOf":

@@ -337,3 +337,52 @@ def test_unevaluated_properties_pattern_exclusion(spark):
     ))
     got = rows_set(violations_df(df, rs), "doc_id", "rule_id")
     assert got == {("d2", "up")}
+
+
+def test_properties_keyword(spark):
+    """`properties` (:24): each declared key's value satisfies its
+    subschema; absent keys vacuously pass."""
+    rows = [
+        ("d1", {"n": "12", "name": "ok"}),
+        ("d2", {"n": "oops"}),           # n not numeric
+        ("d3", {"name": "fine"}),        # n absent → passes
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, props map<string,string>")
+    from json_validator_spark.rules.model import RuleSet
+    rs = RuleSet(rules=(
+        Rule(
+            "props", "/props", "properties",
+            {"properties": {
+                "n": {"kind": "pattern", "params": {"regex": r"^\d+$"}},
+                "name": {"kind": "minLength", "params": {"value": 2}},
+            }},
+        ),
+    ))
+    got = rows_set(violations_df(df, rs), "doc_id", "rule_id")
+    assert got == {("d2", "props")}
+
+
+def test_discriminator_keyword(spark):
+    """networknt discriminator: the `type` value routes to a subschema;
+    missing or unmapped discriminating values fail."""
+    rows = [
+        ("d1", {"type": "num", "v": "42"}),
+        ("d2", {"type": "word", "v": "hello"}),
+        ("d3", {"type": "num", "v": "xx"}),    # routed schema fails
+        ("d4", {"type": "mystery", "v": "1"}),  # no_match_found
+        ("d5", {"v": "1"}),                     # missing_discriminating_value
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, props map<string,string>")
+    from json_validator_spark.rules.model import RuleSet
+    num_v = {"kind": "patternProperties",
+             "params": {"key_regex": "^v$",
+                        "schema": {"kind": "pattern", "params": {"regex": r"^\d+$"}}}}
+    word_v = {"kind": "patternProperties",
+              "params": {"key_regex": "^v$",
+                         "schema": {"kind": "pattern", "params": {"regex": r"^[a-z]+$"}}}}
+    rs = RuleSet(rules=(
+        Rule("disc", "/props", "discriminator",
+             {"key": "type", "mapping": {"num": num_v, "word": word_v}}),
+    ))
+    got = rows_set(violations_df(df, rs), "doc_id", "rule_id")
+    assert got == {("d3", "disc"), ("d4", "disc"), ("d5", "disc")}
