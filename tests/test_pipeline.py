@@ -225,3 +225,25 @@ def test_checkpoint_read_missing_vs_corrupt(spark, tmp_path):
     (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
     with _pytest.raises(Exception):
         read_violations(spark, str(tmp_path / "ck")).count()
+
+
+def test_checkpoint_bucket_partition_pruning(spark, tmp_path):
+    """Resume-time reads of one bucket's violations must prune to that
+    bucket's partition directory (PartitionFilters in the scan), not
+    scan the whole checkpoint — the property that makes bucket-level
+    redo O(bucket), not O(run)."""
+    from json_validator_spark.plans.checkpoint import VIOLATIONS_SCHEMA
+
+    docs = synth_documents(spark, 400)
+    ckpt = str(tmp_path / "ck")
+    run_with_checkpoint(spark, docs, corpus_ruleset(), ckpt, run_id="r", n_buckets=8)
+    one = (
+        spark.read.schema(VIOLATIONS_SCHEMA)
+        .parquet(f"{ckpt}/violations")
+        .filter(F.col("bucket") == 3)
+    )
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1)
+    assert one.count() > 0
