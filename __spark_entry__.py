@@ -664,18 +664,44 @@ def q_windowed_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB stats path — approx_count_distinct (HLL) + GK
-    percentile sketches in one agg pass. No SQL oracle (approximate by
-    design) → driver records the weaker rows-only check; the exact
-    variant is oracle-checked as ``column_stats``.
+    percentile sketches in one agg pass — under the same tolerance-
+    boolean oracle contract as ``tdigest``: exact values (count / min /
+    max / exact distinct / exact quantiles, all DuckDB-reproducible)
+    plus ``hll_ok`` (HLL within 3·rsd of exact distinct) and ``gk_ok``
+    (every GK quantile within 1% of the exact one). A drifting sketch
+    flips a boolean and reds the hash check; the exact single-pass twin
+    stays oracle-checked as ``column_stats``."""
+    from json_validator_spark.operators.set_checks import column_stats, exact_column_stats
 
-    The ``quantiles array<double>`` column is serialized with
-    ``to_json``: the driver's canonicalizer sorts pandas cells and list
-    cells are unhashable (CORRECTNESS_r01 ``approx_stats`` traceback)."""
-    from json_validator_spark.operators.set_checks import column_stats
-
+    cols = ["l_quantity", "l_extendedprice", "l_orderkey"]
+    probs = (0.25, 0.5, 0.75)
+    rsd = 0.05
     li = _load(spark, sf_dir, "lineitem")
-    out = column_stats(li, ["l_quantity", "l_extendedprice", "l_orderkey"])
-    return out.withColumn("quantiles", F.to_json("quantiles"))
+    approx = {r["column"]: r for r in column_stats(li, cols, quantiles=probs, rsd=rsd).collect()}
+    exact = {r["column"]: r for r in exact_column_stats(li, cols).collect()}
+    pex = li.agg(
+        *[
+            F.percentile(F.col(c).cast("double"), F.array(*[F.lit(p) for p in probs])).alias(c)
+            for c in cols
+        ]
+    ).collect()[0]
+    rows = []
+    for c in cols:
+        a, x, qs = approx[c], exact[c], pex[c]
+        hll_ok = abs(a["approx_distinct"] - x["n_distinct"]) <= 3 * rsd * x["n_distinct"]
+        gk_ok = all(
+            abs(aq - eq) <= 0.01 * max(abs(eq), 1.0)
+            for aq, eq in zip(a["quantiles"], qs)
+        )
+        rows.append(
+            (c, int(x["n"]), float(x["min"]), float(x["max"]), int(x["n_distinct"]),
+             *[round(float(q), 6) for q in qs], bool(hll_ok), bool(gk_ok))
+        )
+    return spark.createDataFrame(
+        rows,
+        "column string, n long, min double, max double, n_distinct long, "
+        "q25 double, q50 double, q75 double, hll_ok boolean, gk_ok boolean",
+    )
 
 
 def q_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1435,7 +1461,16 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error_events
             FROM events GROUP BY 1
         """,
-        # approx_stats: approximate by design → no SQL oracle (driver
-        # records the rows-only check); its exact twin column_stats and
-        # tdigest's tolerance-boolean contract are both oracle-checked.
+        "approx_stats": "\nUNION ALL\n".join(
+            f"SELECT '{c}' AS \"column\", count(*)::BIGINT AS n, "
+            f"round(min({c}::DOUBLE), 6) AS min, round(max({c}::DOUBLE), 6) AS max, "
+            f"count(DISTINCT {c})::BIGINT AS n_distinct, "
+            f"round(quantile_cont({c}::DOUBLE, 0.25), 6) AS q25, "
+            f"round(quantile_cont({c}::DOUBLE, 0.5), 6) AS q50, "
+            f"round(quantile_cont({c}::DOUBLE, 0.75), 6) AS q75, "
+            f"true AS hll_ok, true AS gk_ok FROM lineitem"
+            for c in ["l_quantity", "l_extendedprice", "l_orderkey"]
+        ),
+        # knn_ivf / media_features: approximate-by-design recall set and
+        # stubbed codec → genuinely no SQL oracle (rows-only).
     }
