@@ -26,20 +26,39 @@ import sys
 import time
 
 
-def _load_ruleset(path: str | None):
-    from json_validator_spark.corpus import corpus_ruleset
+def _one_ruleset(spec: dict, default_name: str = "cli"):
     from json_validator_spark.rules.model import Combination, Rule, RuleSet
+
+    return RuleSet(
+        rules=tuple(Rule.from_row(r) for r in spec["rules"]),
+        combination=Combination(spec.get("combination", "all")),
+        name=spec.get("name", default_name),
+    )
+
+
+def _load_ruleset(path: str | None):
+    """Rule-table JSON (FIXTURES.md §4). Two shapes:
+
+    - ``{"rules": [...], "combination": "all|any|oneOf"}`` — one set;
+    - ``{"groups": [{...}, {...}]}`` — the preconfigured ⊕ external
+      composition (``JSONValidator.java:423-435``): each group keeps its
+      own combination, groups conjoin.
+    """
+    from json_validator_spark.corpus import corpus_ruleset
+    from json_validator_spark.rules.model import RuleSetGroup
 
     if path is None:
         return corpus_ruleset()
     with open(path) as f:
         spec = json.load(f)
-    rules = tuple(Rule.from_row(r) for r in spec["rules"])
-    return RuleSet(
-        rules=rules,
-        combination=Combination(spec.get("combination", "all")),
-        name=spec.get("name", "cli"),
-    )
+    if "groups" in spec:
+        return RuleSetGroup(
+            groups=tuple(
+                _one_ruleset(g, f"group{i}") for i, g in enumerate(spec["groups"])
+            ),
+            name=spec.get("name", "cli-grouped"),
+        )
+    return _one_ruleset(spec)
 
 
 def cmd_validate(args: argparse.Namespace) -> int:
@@ -48,9 +67,19 @@ def cmd_validate(args: argparse.Namespace) -> int:
     from json_validator_spark.session import get_spark
     from json_validator_spark.sources.tables import load_table, write_table
 
+    if args.locale:
+        from json_validator_spark.rules.messages import set_locale
+
+        set_locale(args.locale)
+
     spark = get_spark(app_name="jvs-validate", master=args.master)
     docs = load_table(spark, args.input)
     media = load_table(spark, args.media_catalog) if args.media_catalog else None
+    extra = (
+        [load_table(spark, p) for p in args.extra_violations]
+        if args.extra_violations
+        else None
+    )
     ruleset = _load_ruleset(args.rules)
 
     t0 = time.perf_counter()
@@ -71,6 +100,7 @@ def cmd_validate(args: argparse.Namespace) -> int:
             spark, docs, ruleset, media_catalog=media,
             repartition_to=args.repartition,
             stats_columns=None,
+            extra_violations=extra,
         )
         write_table(ordered(res.violations), f"{args.output}/violations")
         write_table(res.partition_verdicts, f"{args.output}/verdicts")
@@ -102,6 +132,14 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--run-id", default=None)
     v.add_argument("--repartition", type=int, default=None)
     v.add_argument("--master", default=None)
+    v.add_argument(
+        "--locale", default=None,
+        help="violation-message locale (en/fr/de; rules/messages.py)",
+    )
+    v.add_argument(
+        "--extra-violations", action="append", default=None,
+        help="plugin violation table(s) to merge (JSONValidator.java:193-219 analogue); repeatable",
+    )
     v.set_defaults(fn=cmd_validate)
     args = p.parse_args(argv)
     return args.fn(args)

@@ -190,3 +190,63 @@ def test_stateful_dedup_stream_across_restarts(tmp_path, spark):
     assert got2[9] == (True, 1)
     assert got2[10] == (False, 10)
     assert len(got2) == 5
+
+
+def test_cli_grouped_rules_locale_and_plugin(tmp_path, spark, landing):
+    """CLI end-to-end with a grouped rule spec (per-group combination),
+    a French message locale, and a plugin violation table merged in."""
+    from json_validator_spark.cli import main
+    from json_validator_spark.rules import messages
+
+    path, corpus = landing
+    out = str(tmp_path / "cli_grp_out")
+    rules = {
+        "name": "grouped",
+        "groups": [
+            {
+                "name": "external", "combination": "any",
+                "rules": [
+                    {"rule_id": "a.min.spans", "target": "/spans", "kind": "minItems",
+                     "params": json.dumps({"value": 1}), "severity": "error",
+                     "ruleset": "A"},
+                    {"rule_id": "b.min.spans", "target": "/spans", "kind": "minItems",
+                     "params": json.dumps({"value": 999}), "severity": "error",
+                     "ruleset": "B"},
+                ],
+            },
+            {
+                "name": "preconfigured",
+                "rules": [
+                    {"rule_id": "max.spans", "target": "/spans", "kind": "maxItems",
+                     "params": json.dumps({"value": 2}), "severity": "error"},
+                ],
+            },
+        ],
+    }
+    rules_path = tmp_path / "rules_grp.json"
+    rules_path.write_text(json.dumps(rules))
+    plugin = spark.createDataFrame(
+        [("0", "/", "plugin.scan", "warning", "marqué par le plugin")],
+        "doc_id string, span_path string, rule_id string, severity string, message string",
+    )
+    plugin_path = str(tmp_path / "plugin_viols")
+    plugin.write.parquet(plugin_path)
+    try:
+        rc = main([
+            "validate", "--input", path, "--output", out,
+            "--rules", str(rules_path), "--locale", "fr",
+            "--extra-violations", plugin_path,
+        ])
+    finally:
+        messages.set_locale("en")
+    assert rc == 0
+    v = spark.read.parquet(f"{out}/violations")
+    ids = {r["rule_id"] for r in v.collect()}
+    assert "plugin.scan" in ids               # plugin rows merged
+    assert "unique.doc_id" in ids or True     # uniqueness may be clean
+    # group A (ANY) passes via branch A → no a./b. violations surface;
+    # the preconfigured group's maxItems violations (every doc has ≥3
+    # spans) carry the FRENCH catalog message
+    msgs = {r["message"] for r in v.filter("rule_id = 'max.spans'").collect()}
+    assert msgs and all("contrainte 'maxItems' non respectée" in m for m in msgs)
+    assert not ids & {"a.min.spans", "b.min.spans"}
