@@ -40,6 +40,40 @@ def doc_verdicts(with_viols: DataFrame, doc_id: str = "doc_id") -> DataFrame:
     )
 
 
+def doc_verdicts_merged(
+    docs: DataFrame, violations: DataFrame, doc_id: str = "doc_id"
+) -> DataFrame:
+    """Per-document verdict over the FULL merged violation stream —
+    row rules ∪ uniqueness ∪ referential ∪ plugin providers — the exact
+    counter semantics of the reference's report, which counts plugin
+    TAR items alongside schema errors (``JSONValidator.java:193-219``
+    merge feeding ``createReport`` ``:443-459``).
+
+    Shape: the violations side partial-aggregates to one (doc_id,
+    counts) row per doc-with-violations — typically a tiny fraction of
+    the corpus — and joins back LEFT so clean docs still get SUCCESS
+    rows. At scale the aggregated side is broadcast-eligible;
+    otherwise it hash-joins on the same doc_id key the corpus is
+    already salted by."""
+    counts = violations.groupBy(F.col("doc_id").cast("string").alias("__d")).agg(
+        F.sum((F.col("severity") == "error").cast("long")).alias("n_errors"),
+        F.sum((F.col("severity") == "warning").cast("long")).alias("n_warnings"),
+    )
+    base = docs.select(F.col(doc_id).cast("string").alias("doc_id"))
+    return (
+        base.join(counts, base["doc_id"] == counts["__d"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+            F.coalesce("n_warnings", F.lit(0)).alias("n_warnings"),
+        )
+        .withColumn(
+            "result",
+            F.when(F.col("n_errors") == 0, F.lit("SUCCESS")).otherwise(F.lit("FAILURE")),
+        )
+    )
+
+
 def partition_verdicts(with_viols: DataFrame) -> DataFrame:
     """Per-partition pass/fail rollup ``(partition_id, n_docs, n_errors,
     result)`` — the verdict unit named by the north star; partial

@@ -37,10 +37,13 @@ def salted_repartition(df: DataFrame, n: int, key: str = "doc_id", salt_buckets:
 @dataclass
 class RunResult:
     violations: DataFrame      # (doc_id, span_path, rule_id, severity, message)
-    doc_verdicts: DataFrame    # (doc_id, n_errors, n_warnings, result)
+    doc_verdicts: DataFrame    # (doc_id, n_errors, n_warnings, result) — row rules only, no join
     partition_verdicts: DataFrame
     aggregate: DataFrame       # (rule_id, severity, count)
     stats: DataFrame | None    # column_stats output
+    # row rules ∪ uniqueness ∪ referential ∪ plugins — the reference's
+    # merged-TAR counter semantics (lazy; costs a join only if used)
+    doc_verdicts_merged: DataFrame | None = None
     extras: dict[str, Any] = field(default_factory=dict)
 
 
@@ -111,4 +114,5 @@ def validate_run(
         partition_verdicts=rpt.partition_verdicts(wv),
         aggregate=rpt.aggregate_report(violations),
         stats=stats,
+        doc_verdicts_merged=rpt.doc_verdicts_merged(docs, violations, doc_id=doc_id),
     )

@@ -247,3 +247,30 @@ def test_checkpoint_bucket_partition_pruning(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "bucket" in m.group(1)
     assert one.count() > 0
+
+
+def test_doc_verdicts_merged_counts_all_sources(spark):
+    """doc_verdicts_merged reflects uniqueness + plugin violations, not
+    just row rules — the reference's merged-TAR counter semantics."""
+    docs = synth_documents(spark, 300)
+    dup = docs.filter(F.col("doc_id") == "doc-000000000005")
+    docs_with_dup = docs.unionByName(dup)
+    plugin = spark.createDataFrame(
+        [("doc-000000000007", "/", "plugin.x", "error", "m")],
+        "doc_id string, span_path string, rule_id string, severity string, message string",
+    )
+    res = validate_run(
+        spark, docs_with_dup, corpus_ruleset(), extra_violations=[plugin]
+    )
+    merged = {r["doc_id"]: r for r in res.doc_verdicts_merged.collect()}
+    plain = {r["doc_id"]: r for r in res.doc_verdicts.collect()}
+    # the duplicated doc fails in merged (unique.doc_id) regardless of row rules
+    assert merged["doc-000000000005"]["result"] == "FAILURE"
+    # the plugin-flagged doc gains exactly one extra error vs the row-rule verdict
+    assert (
+        merged["doc-000000000007"]["n_errors"]
+        == plain["doc-000000000007"]["n_errors"] + 1
+    )
+    # clean docs still appear with SUCCESS
+    successes = [r for r in merged.values() if r["result"] == "SUCCESS"]
+    assert successes
