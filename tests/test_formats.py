@@ -130,3 +130,54 @@ def test_python_engine_span_rule_raises_at_compile_time():
         )
     with _pytest.raises(ValueError, match="doc-level only"):
         normalize_rule(Rule("f", "/spans/*/text", "format", {"format": "regex"}))
+
+
+def test_hypothesis_spark_duckdb_parity(spark):
+    """Property: the md5 / tokenization / unit-uniform primitives every
+    oracle rests on are bit-identical between Spark and DuckDB for
+    arbitrary printable-ASCII inputs (the corpus contract; unicode
+    casefolding differences between ICU and the JVM are out of contract
+    and the testdata is ASCII)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from json_validator_spark.functions.text import hash_long, tokens, unit_uniform
+    from pyspark.sql import functions as F
+
+    strings: list[str] = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60
+        )
+    )
+    def collect(s):
+        strings.append(s)
+
+    collect()
+    rows = [(i, s) for i, s in enumerate(dict.fromkeys(strings))]
+    df = spark.createDataFrame(rows, "i long, s string")
+    got = df.select(
+        "i",
+        F.md5(F.col("s")).alias("h"),
+        F.array_join(tokens(F.col("s")), "|").alias("toks"),
+        F.round(unit_uniform(F.col("i"), F.lit("salt")), 9).alias("u"),
+        hash_long(F.col("s"), hex_chars=15).alias("hl"),
+    ).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.execute(
+        "SELECT i, md5(s), "
+        "coalesce(array_to_string(list_filter(string_split_regex(lower(s), '[^a-z0-9]+'),"
+        " x -> x <> ''), '|'), ''), "
+        "round(('0x' || substr(md5(concat_ws(':', i::VARCHAR, 'salt')), 1, 6))::BIGINT"
+        " / 16777216.0, 9), "
+        "('0x' || substr(md5(s), 1, 15))::BIGINT "
+        "FROM t ORDER BY i"
+    ).fetchall()
+    got_t = sorted((r["i"], r["h"], r["toks"], float(r["u"]), r["hl"]) for r in got)
+    want_t = sorted((w[0], w[1], w[2], float(w[3]), w[4]) for w in want)
+    assert got_t == want_t
