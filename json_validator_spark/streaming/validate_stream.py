@@ -1,7 +1,7 @@
 """Structured Streaming surface — incremental validation.
 
 The reference is strictly batch-synchronous (no streaming anywhere; see
-SURVEY §2.5), so this module is an *extension*: the same compiled rule
+SURVEY §2.6), so this module is an *extension*: the same compiled rule
 layer applied incrementally as new document files/partitions land.
 Because the row-rule layer is one narrow projection (zero shuffles),
 it streams trivially — each micro-batch is scan → project → sink, and
