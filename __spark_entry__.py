@@ -437,42 +437,39 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _load(spark, sf_dir, "events")
-    props = F.from_json(F.col("props"), "map<string,string>")
-    checks = [
-        (
-            "requiredKey.props.k",
-            "/props/k",
-            "error",
-            ~F.map_contains_key(props, "k"),
+    """Dynamic-JSON validation THROUGH the engine: parse the stringly
+    ``props`` payload once (S2 acceptance layer), then evaluate map /
+    enum / range rules via the ordinary rule table — no ad-hoc
+    expressions, the same compile path as every other ruleset."""
+    from json_validator_spark.operators.row_checks import violations_df
+    from json_validator_spark.rules.model import Rule, RuleSet
+    from json_validator_spark.sources.ingest import parse_json_column
+
+    ev = parse_json_column(
+        _load(spark, sf_dir, "events"), "props", "map<string,string>", parsed_col="pm"
+    )
+    rs = RuleSet(
+        name="events",
+        rules=(
+            Rule("requiredKey.props.k", "/pm/k", "required"),
+            Rule(
+                "enum.event_type", "/event_type", "enum",
+                {"values": ["click", "view", "purchase"]}, severity="warning",
+            ),
+            Rule("range.value", "/value", "range", {"min": 0.0, "max": 100.0}),
         ),
-        (
-            "enum.event_type",
-            "/event_type",
-            "warning",
-            ~F.col("event_type").isin("click", "view", "purchase"),
-        ),
-        (
-            "range.value",
-            "/value",
-            "error",
-            F.col("value").isNotNull() & ~F.col("value").between(0.0, 100.0),
-        ),
-    ]
-    parts = []
-    for rule_id, path, severity, fail in checks:
-        parts.append(
-            ev.filter(fail).select(
-                F.col("event_id").alias("doc_id"),
-                F.lit(path).alias("span_path"),
-                F.lit(rule_id).alias("rule_id"),
-                F.lit(severity).alias("severity"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )
+    v = violations_df(ev, rs, doc_id="event_id")
+    # span_path of the map-key rule renders '/pm/k' (the parsed column);
+    # report it at the payload's pointer like the reference would
+    return v.select(
+        "doc_id",
+        F.when(F.col("span_path") == "/pm/k", F.lit("/props/k"))
+        .otherwise(F.col("span_path"))
+        .alias("span_path"),
+        "rule_id",
+        "severity",
+    )
 
 
 def q_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
