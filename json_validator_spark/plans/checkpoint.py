@@ -56,11 +56,18 @@ def run_with_checkpoint(
     doc_id: str = "doc_id",
     max_buckets_this_call: int | None = None,
     media_catalog: DataFrame | None = None,
+    extra_violations: list[DataFrame] | None = None,
 ) -> list[int]:
     """Process pending buckets; returns the buckets completed by THIS
     call. ``max_buckets_this_call`` exists so tests can simulate a crash
     mid-run and then resume. Violations land in
-    ``{ckpt_dir}/violations/bucket=<b>/``."""
+    ``{ckpt_dir}/violations/bucket=<b>/``.
+
+    ``extra_violations`` (plugin providers, same contract as
+    ``validate_run``) participate in the bucket protocol: each frame is
+    filtered to THIS call's pending buckets by the same
+    ``pmod(xxhash64(doc_id))`` assignment, so a redone bucket rewrites
+    its plugin rows too and completed buckets never duplicate them."""
     from json_validator_spark.plans.pipeline import validate_run
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -74,9 +81,14 @@ def run_with_checkpoint(
     subset = docs.withColumn("__bucket", bucket_col(doc_id, n_buckets)).filter(
         F.col("__bucket").isin(pending)
     )
+    extra_subset = [
+        e.filter(bucket_col("doc_id", n_buckets).isin(pending))
+        for e in extra_violations or []
+    ]
     result = validate_run(
         spark, subset.drop("__bucket"), ruleset,
         doc_id=doc_id, check_uniqueness=False, media_catalog=media_catalog,
+        extra_violations=extra_subset or None,
     )
     # uniqueness within the whole corpus can't be bucketed arbitrarily —
     # but bucketing BY doc_id hash means duplicates co-locate in one

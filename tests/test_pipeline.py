@@ -274,3 +274,30 @@ def test_doc_verdicts_merged_counts_all_sources(spark):
     # clean docs still appear with SUCCESS
     successes = [r for r in merged.values() if r["result"] == "SUCCESS"]
     assert successes
+
+
+def test_checkpoint_plugin_violations_bucketed(spark, tmp_path):
+    """Plugin violations participate in the bucket protocol: they land
+    exactly once across a crash-resume sequence, in their doc's bucket."""
+    from json_validator_spark.plans.checkpoint import bucket_col
+
+    docs = synth_documents(spark, 300)
+    plugin = spark.createDataFrame(
+        [("doc-000000000003", "/", "plugin.x", "error", "m"),
+         ("doc-000000000011", "/", "plugin.x", "error", "m")],
+        "doc_id string, span_path string, rule_id string, severity string, message string",
+    )
+    ck = str(tmp_path / "ckp")
+    # crash after 3 buckets, then resume the rest
+    run_with_checkpoint(
+        spark, docs, corpus_ruleset(), ck, run_id="r", n_buckets=8,
+        max_buckets_this_call=3, extra_violations=[plugin],
+    )
+    run_with_checkpoint(
+        spark, docs, corpus_ruleset(), ck, run_id="r", n_buckets=8,
+        extra_violations=[plugin],
+    )
+    got = read_violations(spark, ck).filter(F.col("rule_id") == "plugin.x").collect()
+    assert sorted(r["doc_id"] for r in got) == [
+        "doc-000000000003", "doc-000000000011",
+    ]

@@ -311,3 +311,31 @@ def test_repetition_stats(spark):
     assert out[1]["top_bigram_frac"] == 0.6 and out[1]["dup_bigram_ratio"] == 0.6
     assert out[2]["dup_bigram_ratio"] == 0.0 and out[2]["top_bigram_frac"] == round(1 / 3, 6)
     assert out[3]["n_bigrams"] == 0 and out[4]["n_bigrams"] == 0
+
+
+def test_ivf_recall_floor(spark, vectors):
+    """Quantified recall for the approximate IVF path (its driver query
+    is rows-only, so the recall bar lives here): probing 2 of 4 coarse
+    clusters must recover at least 60% of the exact top-5 neighbor set
+    on the smooth test vectors, and all similarities must be exact."""
+    queries = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(vectors, queries, k=5).collect()
+    }
+    approx = similarity.ivf_topk(
+        vectors, queries, k=5, n_clusters=4, n_probe=2, max_train=40
+    ).collect()
+    hits = {(r["query_id"], r["neighbor_id"]) for r in approx} & exact
+    assert len(hits) >= 0.6 * len(exact)
+    # the reported sims must equal the exact cosine for the same pairs
+    exact_sims = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in similarity.cosine_topk(vectors, queries, k=39).collect()
+    }
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sims:
+            assert abs(r["sim"] - exact_sims[key]) < 1e-9
