@@ -98,7 +98,6 @@ def regex_compilable_pass(value: Column) -> Column:
     ``rules/compiler.normalize_rule``)."""
     import re
 
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     # no type hints: PEP-563 stringified annotations + locally-imported

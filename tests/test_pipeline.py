@@ -279,8 +279,6 @@ def test_doc_verdicts_merged_counts_all_sources(spark):
 def test_checkpoint_plugin_violations_bucketed(spark, tmp_path):
     """Plugin violations participate in the bucket protocol: they land
     exactly once across a crash-resume sequence, in their doc's bucket."""
-    from json_validator_spark.plans.checkpoint import bucket_col
-
     docs = synth_documents(spark, 300)
     plugin = spark.createDataFrame(
         [("doc-000000000003", "/", "plugin.x", "error", "m"),
