@@ -175,12 +175,25 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, n_bands: int = 4, rows_per_band: int = 4
+    signatures: DataFrame,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Band the signature and emit ``(doc_id_a, doc_id_b, n_bands_shared)``
     for docs agreeing on ≥1 band — the classic LSH bucket join. The
     groupBy key is (band_idx, band_hash): identical-band docs co-locate,
-    everything else never meets — sub-quadratic at corpus scale."""
+    everything else never meets — sub-quadratic at corpus scale.
+
+    **Hot-bucket guard** (the 10^12-doc skew story): a viral duplicate
+    cluster — one page copied 10M times — puts all its members in ONE
+    band bucket, and the naive self-join emits C(10M, 2) ≈ 5·10^13
+    pairs. Buckets larger than ``max_bucket`` therefore emit
+    STAR-shaped pairs instead: every member paired with the bucket's
+    minimum doc_id only — O(|bucket|) edges that keep the duplicate
+    cluster connected (dedup keeps the min-id survivor and drops docs
+    reachable from it), while buckets at or under the cap keep the
+    exact all-pairs semantics."""
     bands = F.array(
         *[
             F.struct(
@@ -197,14 +210,30 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         "doc_id", F.explode(bands).alias("b")
     ).select("doc_id", "b.band_idx", "b.band_hash")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(b, ["band_idx", "band_hash"])
+    keys = ["band_idx", "band_hash"]
+    sizes = banded.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"), F.min("doc_id").alias("__min_doc")
+    )
+    tagged = banded.join(sizes, keys)  # co-partitioned: same key as the groupBy
+    small = tagged.filter(F.col("__n") <= max_bucket)
+    a = small.alias("a")
+    b = small.alias("b")
+    all_pairs = (
+        a.join(b, keys)
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
         )
+    )
+    star_pairs = (
+        tagged.filter((F.col("__n") > max_bucket) & (F.col("doc_id") != F.col("__min_doc")))
+        .select(
+            F.col("__min_doc").alias("doc_id_a"), F.col("doc_id").alias("doc_id_b")
+        )
+    )
+    return (
+        all_pairs.unionByName(star_pairs)
+        .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count(F.lit(1)).alias("n_bands_shared"))
     )
 
@@ -217,6 +246,7 @@ def minhash_neardup_pairs(
     n_hashes: int = 16,
     n_bands: int = 4,
     threshold: float = 0.5,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """LSH candidates verified with true shingle Jaccard — the full
     MinHash dedup pipeline: candidates from banding, exact Jaccard only
@@ -233,7 +263,7 @@ def minhash_neardup_pairs(
     sf0.1 bench than this single pipelined job."""
     rows_per_band = n_hashes // n_bands
     sigs = minhash_signatures(df, text_col, id_col, k, n_hashes)
-    cand = lsh_candidate_pairs(sigs, n_bands, rows_per_band)
+    cand = lsh_candidate_pairs(sigs, n_bands, rows_per_band, max_bucket=max_bucket)
     sh = doc_shingles(df, text_col, id_col, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (

@@ -339,3 +339,25 @@ def test_ivf_recall_floor(spark, vectors):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_sims:
             assert abs(r["sim"] - exact_sims[key]) < 1e-9
+
+
+def test_lsh_hot_bucket_star_guard(spark):
+    """A viral duplicate cluster larger than max_bucket emits O(n) star
+    pairs anchored at the min doc_id instead of C(n,2) — connectivity
+    (what dedup needs) preserved, the quadratic blow-up is not."""
+    n = 30
+    dup_docs = spark.createDataFrame(
+        [(i, "same viral content repeated " * 3) for i in range(n)],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(dup_docs)
+    star = dedup.lsh_candidate_pairs(sigs, max_bucket=5).collect()
+    assert len(star) == n - 1                       # O(n), not 435
+    assert all(r["doc_id_a"] == 0 for r in star)    # anchored at min id
+    assert {r["doc_id_b"] for r in star} == set(range(1, n))
+    # the verified pipeline still flags every copy against the survivor
+    pairs = dedup.minhash_neardup_pairs(dup_docs, threshold=0.9, max_bucket=5)
+    assert pairs.count() == n - 1
+    # under the cap nothing changes: exact all-pairs candidates
+    full = dedup.lsh_candidate_pairs(sigs, max_bucket=1000).collect()
+    assert len(full) == n * (n - 1) // 2
