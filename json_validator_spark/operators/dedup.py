@@ -350,12 +350,22 @@ def simhash(
 
 
 def simhash_neardup_pairs(
-    sims: DataFrame, max_hamming: int = 3, n_bands: int = 4
+    sims: DataFrame, max_hamming: int = 3, n_bands: int = 4,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Pairs within ``max_hamming`` bits, found by banding the fingerprint
     into ``n_bands`` chunks (pigeonhole: any pair within ``n_bands - 1``
     differing bits shares ≥1 exact band — with hamming ≤ 3 and 4 bands,
-    guaranteed recall). ``(doc_id_a, doc_id_b, hamming)``."""
+    guaranteed recall). ``(doc_id_a, doc_id_b, hamming)``.
+
+    Same hot-bucket guard as ``lsh_candidate_pairs``: a band bucket
+    larger than ``max_bucket`` (an exact-duplicate flood — identical
+    fingerprints) emits O(n) star pairs against the bucket's min-id doc
+    instead of C(n,2). The pigeonhole recall guarantee then holds
+    through the hub (hamming(hub, member)); only member-member pairs
+    both ≤ max_hamming from each other but > max_hamming from the hub
+    are lost, which cannot occur for the identical-fingerprint floods
+    that create oversized buckets in practice."""
     width = SIMHASH_BITS // n_bands
     mask = (1 << width) - 1
     bands = F.array(
@@ -372,10 +382,18 @@ def simhash_neardup_pairs(
     banded = sims.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
         "doc_id", "simhash", "b.band_idx", "b.band_val"
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(b, ["band_idx", "band_val"])
+    keys = ["band_idx", "band_val"]
+    sizes = banded.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("doc_id").alias("__hub"),
+        F.min_by("simhash", "doc_id").alias("__hub_sim"),
+    )
+    tagged = banded.join(sizes, keys)
+    small = tagged.filter(F.col("__n") <= max_bucket)
+    a = small.alias("a")
+    b = small.alias("b")
+    all_pairs = (
+        a.join(b, keys)
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
@@ -384,6 +402,19 @@ def simhash_neardup_pairs(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
+    )
+    star_pairs = (
+        tagged.filter((F.col("__n") > max_bucket) & (F.col("doc_id") != F.col("__hub")))
+        .select(
+            F.col("__hub").alias("doc_id_a"),
+            F.col("doc_id").alias("doc_id_b"),
+            F.bit_count(
+                F.col("__hub_sim").bitwiseXOR(F.col("simhash"))
+            ).alias("hamming"),
+        )
+    )
+    return (
+        all_pairs.unionByName(star_pairs)
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
