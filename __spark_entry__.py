@@ -144,6 +144,23 @@ def q_aggregate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row run rollup (the FileReport CLI summary,
+    ``ValidationRunner.java:156-157``) over the documents ruleset."""
+    from json_validator_spark.operators.report import run_summary
+    from json_validator_spark.operators.row_checks import with_violations
+
+    wv = with_violations(_load(spark, sf_dir, "documents"), _doc_ruleset())
+    s = run_summary(wv)
+    return s.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_errors").cast("long").alias("n_errors"),
+        F.col("n_warnings").cast("long").alias("n_warnings"),
+        F.col("n_failed_docs").cast("long").alias("n_failed_docs"),
+        "failure_rate",
+    )
+
+
 def q_combination_oneof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.row_checks import with_violations
 
@@ -744,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_rules": q_row_rules,
         "doc_verdicts": q_doc_verdicts,
         "aggregate_report": q_aggregate_report,
+        "run_summary": q_run_summary,
         "combination_oneof": q_combination_oneof,
         "column_stats": q_column_stats,
         "uniqueness": q_uniqueness,
@@ -1120,6 +1138,15 @@ def oracle_sql() -> dict[str, str]:
             f"WITH viol AS ({_ROW_RULES_SQL}) "
             "SELECT rule_id, severity, count(*)::BIGINT AS count FROM viol GROUP BY 1, 2"
         ),
+        "run_summary": f"""
+            WITH v AS ({_VERDICT_BASE})
+            SELECT count(*)::BIGINT AS n_docs,
+                   sum(n_errors)::BIGINT AS n_errors,
+                   sum(n_warnings)::BIGINT AS n_warnings,
+                   sum(CASE WHEN n_errors > 0 THEN 1 ELSE 0 END)::BIGINT AS n_failed_docs,
+                   round(avg(CASE WHEN n_errors > 0 THEN 1.0 ELSE 0.0 END), 6) AS failure_rate
+            FROM v
+        """,
         "combination_oneof": """
             SELECT doc_id,
                    ((CASE WHEN n_chars BETWEEN 50 AND 250 THEN 1 ELSE 0 END)

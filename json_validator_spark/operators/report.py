@@ -112,6 +112,25 @@ def ordered(violations: DataFrame) -> DataFrame:
     return violations.orderBy("doc_id", "span_path", "rule_id")
 
 
+def run_summary(with_viols: DataFrame) -> DataFrame:
+    """One-row run rollup — the CLI summary line
+    (``FileReport``/``ValidationRunner.java:156-157``): docs seen,
+    total error/warning counts, failed docs, failure rate. One agg
+    pass, map-side combined — constant output at any corpus size."""
+    n_err = F.size(F.filter(F.col("violations"), lambda v: v["severity"] == "error"))
+    n_warn = F.size(F.filter(F.col("violations"), lambda v: v["severity"] == "warning"))
+    return (
+        with_viols.select(n_err.alias("e"), n_warn.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("e").alias("n_errors"),
+            F.sum("w").alias("n_warnings"),
+            F.sum((F.col("e") > 0).cast("long")).alias("n_failed_docs"),
+            F.round(F.avg((F.col("e") > 0).cast("double")), 6).alias("failure_rate"),
+        )
+    )
+
+
 def top_violations(violations: DataFrame, k: int = 20) -> DataFrame:
     """Top-K most frequent rules — the human-facing truncated export
     (``ValidationRunner.java:163-176`` caps); full set is always persisted."""
