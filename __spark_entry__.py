@@ -573,6 +573,30 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode: genuine P6 PPM / PCM WAV payloads parsed
+    with pure numpy/struct (``operators/media_codecs``), features from
+    the decoded pixels/samples, corrupt payloads surfacing as
+    decode_ok=false. Rows-only (binary pipeline; no SQL analogue)."""
+    from json_validator_spark.operators.media import (
+        decode_media_features,
+        synth_decodable_media,
+    )
+    from json_validator_spark.sources.synth import synth_media_catalog
+
+    media = synth_decodable_media(spark, synth_media_catalog(spark, catalog_size=500))
+    f = decode_media_features(media)
+    return (
+        f.groupBy("mime_type", "decode_ok")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("brightness"), 6).alias("avg_brightness"),
+            F.round(F.avg("rms"), 6).alias("avg_rms"),
+        )
+        .orderBy("mime_type", "decode_ok")
+    )
+
+
 def q_combination_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.row_checks import with_violations
     from json_validator_spark.rules.model import Combination, Rule, RuleSet
@@ -801,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_doc_verdicts": q_corpus_doc_verdicts,
         "span_invariant": q_span_invariant,
         "media_features": q_media_features,
+        "media_decode": q_media_decode,
     }
 
 

@@ -145,3 +145,110 @@ def media_span_join(docs: DataFrame, media: DataFrame) -> DataFrame:
     return refs.join(
         media.select("media_ref", "mime_type", "size_bytes"), "media_ref", "left"
     )
+
+
+DECODED_FEATURE_SCHEMA = (
+    "media_ref string, mime_type string, n_bytes long, decode_ok boolean, "
+    "width int, height int, mean_r double, mean_g double, mean_b double, "
+    "brightness double, duration_ms int, rms double, zero_cross_rate double, "
+    "decode_error string"
+)
+
+
+def synth_decodable_media(spark, catalog: DataFrame) -> DataFrame:
+    """Catalog rows → REAL uncompressed payloads, deterministically from
+    the media_ref: image/* mimes become genuine P6 PPM gradients (16x12),
+    audio/* become genuine PCM WAV sine bursts. Generated inside
+    ``mapInPandas`` (vectorized numpy per payload; deterministic seed =
+    md5 bytes of the ref) so generation scales like any other Arrow
+    stage. One ref in ~97 gets a corrupted payload (header byte flipped)
+    to exercise the decoder's error path."""
+    import hashlib
+
+    import numpy as np
+
+    from json_validator_spark.operators.media_codecs import encode_ppm, encode_wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            payloads = []
+            for ref, mime in zip(batch["media_ref"], batch["mime_type"]):
+                seed = hashlib.md5(ref.encode()).digest()
+                s0, s1 = seed[0], seed[1]
+                if mime.startswith("image/"):
+                    w, h = 16, 12
+                    x = np.arange(w, dtype=np.uint16)
+                    y = np.arange(h, dtype=np.uint16)[:, None]
+                    rgb = np.stack(
+                        [
+                            (x + s0) % 256 * np.ones((h, w), dtype=np.uint16) % 256,
+                            (y + s1) % 256 * np.ones((h, w), dtype=np.uint16) % 256,
+                            ((x + y + s0 + s1) % 256),
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    p = encode_ppm(rgb)
+                else:
+                    rate = 8000
+                    n = 400 + (s0 % 5) * 80          # 50-90 ms bursts
+                    freq = 200.0 + 10.0 * s1
+                    t = np.arange(n, dtype=np.float64) / rate
+                    samples = (0.5 * 32767 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+                    p = encode_wav(samples, rate)
+                if s0 % 97 == 0:  # deterministic corruption
+                    p = b"X" + p[1:]
+                payloads.append(p)
+            out = batch[["media_ref", "mime_type"]].copy()
+            out["payload"] = payloads
+            yield out
+
+    return catalog.select("media_ref", "mime_type").mapInPandas(
+        gen, schema="media_ref string, mime_type string, payload binary"
+    )
+
+
+def decode_media_features(media: DataFrame) -> DataFrame:
+    """REAL decode → feature extraction for uncompressed formats
+    (PPM via ``media_codecs.decode_ppm``, PCM WAV via ``decode_wav``) —
+    actual pixels/samples are parsed and the features computed from
+    them; compressed mimes would route to the documented stub. Codec
+    failures surface as ``decode_ok=false`` rows with the error message
+    (the S2 acceptance analogue: report the bad payload, keep going)."""
+    from json_validator_spark.operators.media_codecs import ppm_features, wav_features
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "width", "height", "mean_r", "mean_g", "mean_b", "brightness",
+            "duration_ms", "rms", "zero_cross_rate",
+        ]
+        for batch in batches:
+            if not len(batch):
+                continue
+            rows = []
+            for ref, mime, payload in zip(
+                batch["media_ref"], batch["mime_type"], batch["payload"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                row = {
+                    "media_ref": ref, "mime_type": mime, "n_bytes": len(b),
+                    "decode_ok": True, "decode_error": None,
+                    **{c: None for c in cols},
+                }
+                try:
+                    if b.startswith(b"P6"):
+                        row.update(ppm_features(b))
+                    elif b[:4] == b"RIFF":
+                        row.update(wav_features(b))
+                    else:
+                        raise ValueError(f"unrecognized container for {mime}")
+                except ValueError as exc:
+                    row["decode_ok"] = False
+                    row["decode_error"] = str(exc)
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_ref", "mime_type", "payload").mapInPandas(
+        run, schema=DECODED_FEATURE_SCHEMA
+    )

@@ -361,3 +361,61 @@ def test_lsh_hot_bucket_star_guard(spark):
     # under the cap nothing changes: exact all-pairs candidates
     full = dedup.lsh_candidate_pairs(sigs, max_bucket=1000).collect()
     assert len(full) == n * (n - 1) // 2
+
+
+def test_media_codecs_roundtrip():
+    """PPM and WAV encode→decode roundtrips are exact, and features come
+    from the REAL decoded content (no stub in this path)."""
+    import numpy as np
+
+    from json_validator_spark.operators import media_codecs as mc
+
+    rgb = np.zeros((4, 6, 3), dtype=np.uint8)
+    rgb[..., 0] = 200  # constant red
+    p = mc.encode_ppm(rgb)
+    assert np.array_equal(mc.decode_ppm(p), rgb)
+    f = mc.ppm_features(p)
+    assert (f["width"], f["height"]) == (6, 4)
+    assert f["mean_r"] == 200.0 and f["mean_g"] == 0.0
+
+    t = np.arange(8000, dtype=np.float64) / 8000.0
+    samples = (0.5 * 32767 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    w = mc.encode_wav(samples, 8000)
+    rate, back = mc.decode_wav(w)
+    assert rate == 8000 and np.array_equal(back, samples)
+    wf = mc.wav_features(w)
+    assert wf["duration_ms"] == 1000
+    assert abs(wf["rms"] - 0.5 / (2 ** 0.5)) < 0.01  # sine RMS = A/sqrt(2)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mc.decode_ppm(b"NOTAPPM")
+    with _pytest.raises(ValueError):
+        mc.decode_wav(b"RIFFxxxxJUNK")
+
+
+def test_decode_media_features_end_to_end(spark):
+    """Catalog → real PPM/WAV payloads → real decode: every well-formed
+    payload decodes with mime-appropriate features; the deterministic
+    corrupted refs surface as decode_ok=false with an error message."""
+    from json_validator_spark.operators.media import (
+        decode_media_features,
+        synth_decodable_media,
+    )
+    from json_validator_spark.sources.synth import synth_media_catalog
+
+    cat = synth_media_catalog(spark, catalog_size=300)
+    media = synth_decodable_media(spark, cat)
+    out = decode_media_features(media).collect()
+    assert len(out) == cat.count()
+    ok = [r for r in out if r["decode_ok"]]
+    bad = [r for r in out if not r["decode_ok"]]
+    assert len(ok) > 0.9 * len(out) and bad  # corruption path exercised
+    for r in ok:
+        if r["mime_type"].startswith("image/"):
+            assert (r["width"], r["height"]) == (16, 12)
+            assert 0.0 <= r["brightness"] <= 1.0 and r["duration_ms"] is None
+        else:
+            assert 50 <= r["duration_ms"] <= 90 and r["width"] is None
+            assert 0.3 < r["rms"] < 0.4  # 0.5-amplitude sine ≈ 0.3536
+    assert all(r["decode_error"] for r in bad)
