@@ -181,6 +181,25 @@ def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level stat thresholds as CHECKS (the north-rule reading of
+    per-column stats): one scan, breaches become violation rows through
+    the same report contract as row rules. Thresholds chosen so some
+    pass and some fail on the driver testdata."""
+    from json_validator_spark.operators.set_checks import stats_violations
+
+    li = _load(spark, sf_dir, "lineitem")
+    return stats_violations(
+        li,
+        [
+            {"column": "l_quantity", "min": 1.0, "max": 40.0},       # max breached (50)
+            {"column": "l_discount", "max_null_rate": 0.0, "max": 0.5},
+            {"column": "l_orderkey", "min_distinct": 10**9},          # breached
+            {"column": "l_extendedprice", "min": 0.0},
+        ],
+    )
+
+
 def q_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.set_checks import uniqueness_violations
 
@@ -788,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_summary": q_run_summary,
         "combination_oneof": q_combination_oneof,
         "column_stats": q_column_stats,
+        "stats_violations": q_stats_violations,
         "uniqueness": q_uniqueness,
         "referential": q_referential,
         "histogram": q_histogram,
@@ -1182,6 +1202,41 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "column_stats": stats_sql,
+        "stats_violations": """
+            WITH s AS (
+              SELECT avg(CASE WHEN l_quantity IS NULL THEN 1.0 ELSE 0.0 END) AS nr_qty,
+                     min(l_quantity::DOUBLE) AS min_qty, max(l_quantity::DOUBLE) AS max_qty,
+                     avg(CASE WHEN l_discount IS NULL THEN 1.0 ELSE 0.0 END) AS nr_disc,
+                     max(l_discount::DOUBLE) AS max_disc,
+                     count(DISTINCT l_orderkey) AS cd_ok,
+                     min(l_extendedprice::DOUBLE) AS min_price
+              FROM lineitem
+            )
+            SELECT '__corpus__' AS doc_id, '/l_quantity' AS span_path,
+                   'stats.min.l_quantity' AS rule_id, 'error' AS severity,
+                   '[/l_quantity] minimum value below the allowed bound' AS message
+            FROM s WHERE min_qty < 1.0
+            UNION ALL
+            SELECT '__corpus__', '/l_quantity', 'stats.max.l_quantity', 'error',
+                   '[/l_quantity] maximum value above the allowed bound'
+            FROM s WHERE max_qty > 40.0
+            UNION ALL
+            SELECT '__corpus__', '/l_discount', 'stats.null_rate.l_discount', 'error',
+                   '[/l_discount] null rate exceeds the allowed maximum'
+            FROM s WHERE nr_disc > 0.0
+            UNION ALL
+            SELECT '__corpus__', '/l_discount', 'stats.max.l_discount', 'error',
+                   '[/l_discount] maximum value above the allowed bound'
+            FROM s WHERE max_disc > 0.5
+            UNION ALL
+            SELECT '__corpus__', '/l_orderkey', 'stats.min_distinct.l_orderkey', 'error',
+                   '[/l_orderkey] distinct-value count below the allowed minimum'
+            FROM s WHERE cd_ok < 1000000000
+            UNION ALL
+            SELECT '__corpus__', '/l_extendedprice', 'stats.min.l_extendedprice', 'error',
+                   '[/l_extendedprice] minimum value below the allowed bound'
+            FROM s WHERE min_price < 0.0
+        """,
         "uniqueness": """
             SELECT o_custkey::VARCHAR AS doc_id, '/o_custkey' AS span_path,
                    'unique.o_custkey' AS rule_id, 'error' AS severity,

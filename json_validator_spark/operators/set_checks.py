@@ -287,3 +287,76 @@ def ks_statistic(baseline: DataFrame, current: DataFrame, n_bins: int = 20) -> f
         cq += qi
         worst = max(worst, abs(cp - cq))
     return float(worst)
+
+
+def stats_violations(
+    df: DataFrame,
+    checks: Sequence[dict],
+) -> DataFrame:
+    """Corpus-level stat thresholds → violation rows — the north rule's
+    "per-column stats as checks": each check is
+    ``{"column": c, "max_null_rate": x, "min": lo, "max": hi,
+    "min_distinct": k}`` (all bounds optional) and a breach emits ONE
+    violation row with the corpus as the subject (``doc_id='__corpus__'``),
+    flowing through the same report/aggregate layer as row violations.
+
+    One scan: all columns' stats come from a single ``exact``-style agg
+    pass (same shape as ``exact_column_stats``); the threshold
+    comparison is a driver-side projection over the one-row result —
+    nothing here scales with corpus size except the scan itself."""
+    cols = [c["column"] for c in checks]
+    aggs: list[Column] = []
+    for c in cols:
+        aggs += [
+            F.avg(F.col(c).isNull().cast("double")).alias(f"nr_{c}"),
+            F.min(F.col(c).cast("double")).alias(f"min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"max_{c}"),
+            F.count_distinct(F.col(c)).alias(f"cd_{c}"),
+        ]
+    wide = df.agg(*aggs)
+
+    parts: list[Column] = []
+    for chk in checks:
+        c = chk["column"]
+
+        def viol(cond: Column, kind: str, msg: str) -> Column:
+            return F.when(
+                cond,
+                F.struct(
+                    F.lit(f"/{c}").alias("span_path"),
+                    F.lit(f"stats.{kind}.{c}").alias("rule_id"),
+                    F.lit("error").alias("severity"),
+                    F.lit(f"[/{c}] {msg}").alias("message"),
+                ),
+            )
+
+        if "max_null_rate" in chk:
+            parts.append(viol(
+                F.col(f"nr_{c}") > chk["max_null_rate"],
+                "null_rate", "null rate exceeds the allowed maximum",
+            ))
+        if "min" in chk:
+            parts.append(viol(
+                F.col(f"min_{c}") < chk["min"],
+                "min", "minimum value below the allowed bound",
+            ))
+        if "max" in chk:
+            parts.append(viol(
+                F.col(f"max_{c}") > chk["max"],
+                "max", "maximum value above the allowed bound",
+            ))
+        if "min_distinct" in chk:
+            parts.append(viol(
+                F.col(f"cd_{c}") < chk["min_distinct"],
+                "min_distinct", "distinct-value count below the allowed minimum",
+            ))
+    return (
+        wide.select(F.explode(F.array_compact(F.array(*parts))).alias("v"))
+        .select(
+            F.lit("__corpus__").alias("doc_id"),
+            F.col("v.span_path").alias("span_path"),
+            F.col("v.rule_id").alias("rule_id"),
+            F.col("v.severity").alias("severity"),
+            F.col("v.message").alias("message"),
+        )
+    )

@@ -78,3 +78,28 @@ def test_drift_psi_ks(spark):
     assert sc.psi(h0, h1) < 1e-9 and sc.ks_statistic(h0, h1) < 1e-9
     assert sc.psi(h0, h2) > 0.1
     assert sc.ks_statistic(h0, h2) > 0.1
+
+
+def test_stats_violations_thresholds(spark):
+    """Corpus-level stat checks: breached bounds emit exactly one
+    violation row each through the standard contract; satisfied bounds
+    emit nothing."""
+    df = spark.createDataFrame(
+        [(1, 10.0, None), (2, 99.0, "x"), (3, 5.0, "y")],
+        "id long, v double, s string",
+    )
+    got = rows_set(
+        sc.stats_violations(
+            df,
+            [
+                {"column": "v", "min": 0.0, "max": 50.0},       # max breached (99)
+                {"column": "s", "max_null_rate": 0.1},          # breached (1/3 null)
+                {"column": "id", "min_distinct": 2},            # satisfied
+            ],
+        ),
+        "doc_id", "rule_id",
+    )
+    assert got == {
+        ("__corpus__", "stats.max.v"),
+        ("__corpus__", "stats.null_rate.s"),
+    }
