@@ -360,3 +360,35 @@ def stats_violations(
             F.col("v.message").alias("message"),
         )
     )
+
+
+def drift_violations(
+    baseline: DataFrame,
+    current: DataFrame,
+    column: str,
+    n_bins: int = 20,
+    max_psi: float = 0.25,
+    max_ks: float | None = None,
+) -> "list[dict]":
+    """Distribution-drift thresholds as checks: PSI (and optionally KS)
+    between two fixed-edge histograms; breaches return violation dicts
+    in the standard row shape (corpus-subject, like
+    ``stats_violations``). Histograms are tiny (n_bins rows after
+    map-side combine) so the comparison is driver-side by design."""
+    out: list[dict] = []
+    p = psi(baseline, current, n_bins)
+    if p > max_psi:
+        out.append({
+            "doc_id": "__corpus__", "span_path": f"/{column}",
+            "rule_id": f"drift.psi.{column}", "severity": "error",
+            "message": f"[/{column}] population stability index exceeds the allowed maximum",
+        })
+    if max_ks is not None:
+        k = ks_statistic(baseline, current, n_bins)
+        if k > max_ks:
+            out.append({
+                "doc_id": "__corpus__", "span_path": f"/{column}",
+                "rule_id": f"drift.ks.{column}", "severity": "error",
+                "message": f"[/{column}] KS statistic exceeds the allowed maximum",
+            })
+    return out

@@ -103,3 +103,20 @@ def test_stats_violations_thresholds(spark):
         ("__corpus__", "stats.max.v"),
         ("__corpus__", "stats.null_rate.s"),
     }
+
+
+def test_drift_violations_thresholds(spark):
+    """Identical snapshots → no drift violations; a shifted current
+    distribution breaches the PSI and KS bounds."""
+    base = spark.range(0, 4000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = sc.histogram(base, "v", 0, 100, 10)
+    shifted = sc.histogram(
+        spark.range(0, 4000).select(
+            ((F.col("id") % 40) + 60).cast("double").alias("v")
+        ),
+        "v", 0, 100, 10,
+    )
+    assert sc.drift_violations(same, same, "v", 10, max_psi=0.1, max_ks=0.05) == []
+    got = sc.drift_violations(same, shifted, "v", 10, max_psi=0.1, max_ks=0.05)
+    assert {g["rule_id"] for g in got} == {"drift.psi.v", "drift.ks.v"}
+    assert all(g["doc_id"] == "__corpus__" and g["severity"] == "error" for g in got)
