@@ -19,6 +19,11 @@ networknt keyword evaluator; this package is a Spark-first re-expression of
 the same semantics.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-from json_validator_spark.rules.model import Rule, RuleSet  # noqa: F401
+from json_validator_spark.rules.model import (  # noqa: F401
+    Combination,
+    Rule,
+    RuleSet,
+    RuleSetGroup,
+)
