@@ -139,3 +139,44 @@ def top_violations(violations: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.desc("count"), "rule_id", "severity")
         .limit(k)
     )
+
+
+def tar_reports(doc_verdicts_df: DataFrame, violations: DataFrame) -> DataFrame:
+    """Per-document TAR-shaped report rows — the reference's JSON report
+    contract (``JSONValidator.java:443-500``; JSON serialization of the
+    TAR via the REST accept header, ``RestValidationController.java:149-159``):
+    ``(doc_id, result, counters{nrOfErrors, nrOfWarnings}, reports[])``
+    with items sorted by (span_path, rule_id) — the ReportItemComparator
+    ordering (``:139-146``). Write as JSON lines for the per-doc report
+    artifact; the per-doc ``collect_list`` is bounded by that doc's
+    violation count, never corpus-sized."""
+    items = (
+        violations.groupBy(F.col("doc_id").cast("string").alias("doc_id"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("span_path").alias("location"),
+                        F.col("rule_id").alias("rule_id"),
+                        F.col("severity").alias("severity"),
+                        F.col("message").alias("description"),
+                    )
+                )
+            ).alias("reports")
+        )
+    )
+    empty = F.array().cast(
+        "array<struct<location:string,rule_id:string,severity:string,description:string>>"
+    )
+    return (
+        doc_verdicts_df.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "result",
+            F.struct(
+                F.col("n_errors").cast("long").alias("nrOfErrors"),
+                F.col("n_warnings").cast("long").alias("nrOfWarnings"),
+            ).alias("counters"),
+        )
+        .join(items, "doc_id", "left")
+        .withColumn("reports", F.coalesce("reports", empty))
+    )

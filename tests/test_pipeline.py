@@ -299,3 +299,22 @@ def test_checkpoint_plugin_violations_bucketed(spark, tmp_path):
     assert sorted(r["doc_id"] for r in got) == [
         "doc-000000000003", "doc-000000000011",
     ]
+
+
+def test_tar_reports_shape(spark):
+    """Per-doc TAR rows: result/counters from the verdict, ordered report
+    items nested per doc, clean docs with empty report arrays."""
+    from json_validator_spark.operators.report import tar_reports
+
+    docs = synth_documents(spark, 200)
+    res = validate_run(spark, docs, corpus_ruleset())
+    tar = tar_reports(res.doc_verdicts_merged, res.violations).collect()
+    assert len(tar) == 200
+    by_id = {r["doc_id"]: r for r in tar}
+    for r in tar:
+        n_err_items = sum(1 for i in r["reports"] if i["severity"] == "error")
+        assert n_err_items == r["counters"]["nrOfErrors"]
+        assert (r["result"] == "SUCCESS") == (r["counters"]["nrOfErrors"] == 0)
+        locs = [(i["location"], i["rule_id"]) for i in r["reports"]]
+        assert locs == sorted(locs)  # ReportItemComparator ordering
+    assert any(not r["reports"] for r in tar) and any(r["reports"] for r in tar)
