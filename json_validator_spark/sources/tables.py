@@ -53,3 +53,40 @@ def write_table(df: DataFrame, path_or_ident: str, mode: str = "overwrite") -> N
         df.writeTo(path_or_ident).createOrReplace()
     else:
         df.write.mode(mode).parquet(path_or_ident)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    n_buckets: int,
+    path: str,
+    sort: bool = True,
+) -> None:
+    """Persist a table BUCKETED by ``key`` — the co-location contract
+    that removes the shuffle from every later join/groupBy on that key.
+
+    At 100 TB this is the difference between re-shuffling the fact
+    table for every uniqueness/referential pass and scanning it in
+    place: two tables bucketed the same way sort-merge-join with ZERO
+    Exchange (asserted in ``tests/test_set_checks.py``), and a groupBy
+    on the bucket key skips its exchange too. Bucket count should be
+    sized so one bucket ≈ one task's worth of data (e.g. 2-4x total
+    cores at the target SF). Uses the session catalog with an explicit
+    ``path`` (external datasource table) — Iceberg's write-distribution
+    modes subsume this when the runtime jar is present."""
+    w = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, key)
+    )
+    if sort:
+        w = w.sortBy(key)
+    w.format("parquet").saveAsTable(table_name)
+
+
+def load_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    """Read a bucketed table THROUGH the catalog — reading the parquet
+    path directly would silently drop the bucketing metadata (and the
+    shuffle elimination with it)."""
+    return spark.table(table_name)

@@ -120,3 +120,40 @@ def test_drift_violations_thresholds(spark):
     got = sc.drift_violations(same, shifted, "v", 10, max_psi=0.1, max_ks=0.05)
     assert {g["rule_id"] for g in got} == {"drift.psi.v", "drift.ks.v"}
     assert all(g["doc_id"] == "__corpus__" and g["severity"] == "error" for g in got)
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key sort-merge-join with ZERO
+    Exchange — the co-location contract write_bucketed provides; the
+    same join over plain parquet shuffles both sides."""
+    from json_validator_spark.sources.tables import load_bucketed, write_bucketed
+
+    facts = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    dims = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("w")
+    )
+    write_bucketed(facts, "t_facts", "k", 8, str(tmp_path / "facts"))
+    write_bucketed(dims, "t_dims", "k", 8, str(tmp_path / "dims"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = load_bucketed(spark, "t_facts").join(
+            load_bucketed(spark, "t_dims"), "k"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert joined.count() == 5000
+        # and the groupBy on the bucket key skips its exchange too
+        agg = load_bucketed(spark, "t_facts").groupBy("k").agg(F.sum("v"))
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in aplan
+        # control: the identical join over non-bucketed reads shuffles
+        plain = facts.join(dims, "k")
+        pplan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in pplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_facts")
+        spark.sql("DROP TABLE IF EXISTS t_dims")
