@@ -318,3 +318,67 @@ def test_tar_reports_shape(spark):
         locs = [(i["location"], i["rule_id"]) for i in r["reports"]]
         assert locs == sorted(locs)  # ReportItemComparator ordering
     assert any(not r["reports"] for r in tar) and any(r["reports"] for r in tar)
+
+
+def test_aqe_skew_join_splits_hot_key(spark):
+    """AQE splits the skewed partition of a deliberately hot-keyed join
+    (session.py enables skewJoin) — the runtime half of the skew story;
+    the final adaptive plan marks the sort-merge join skew=true."""
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        hot = spark.range(0, 200_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("payload")
+        )
+        tail = spark.range(0, 200).select(
+            (F.col("id") % 50 + 1).alias("k"), F.col("id").alias("payload")
+        )
+        left = hot.unionByName(tail)
+        right = spark.range(0, 51).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        joined = left.join(right, "k")
+        # execute THIS DataFrame (count() builds its own plan instance;
+        # the adaptive final plan lives on the executed queryExecution)
+        assert len(joined.collect()) == 200_200
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+
+
+def test_salted_repartition_balances_media_heavy_docs(spark):
+    """The deterministic salt spreads the 1% media-heavy documents:
+    after salted_repartition no partition holds more than ~3x the mean
+    span count, while sorting heavy docs together (the adversarial
+    input-file layout) leaves >5x imbalance."""
+    docs = synth_documents(spark, 4000)
+    sizes = docs.select(F.size("spans").alias("n"), F.col("doc_id"))
+    # adversarial layout: heavy docs clustered (sorted by size, ranged)
+    clustered = sizes.orderBy("n").repartitionByRange(16, "n")
+    salted = salted_repartition(sizes, 16)
+
+    def per_partition_span_load(df):
+        rows = (
+            df.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.sum("n").alias("load"))
+            .collect()
+        )
+        loads = [r["load"] for r in rows]
+        return max(loads) / (sum(loads) / len(loads))
+
+    assert per_partition_span_load(clustered) > 5.0
+    assert per_partition_span_load(salted) < 3.0
