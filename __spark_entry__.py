@@ -268,6 +268,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(_union_dup_docs(_load_spread(spark, sf_dir, "documents")))
 
 
+def q_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step end-to-end: inject exact duplicates, then return
+    the surviving corpus (min-id doc per content group) — what a
+    pipeline actually feeds downstream after dedup."""
+    from json_validator_spark.operators.dedup import drop_exact_duplicates
+
+    docs = _union_dup_docs(_load_spread(spark, sf_dir, "documents"))
+    return drop_exact_duplicates(docs).select("doc_id")
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -813,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "drift_psi": q_drift_psi,
         "dedup_exact": q_dedup_exact,
+        "dedup_filter": q_dedup_filter,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "simhash": q_simhash,
@@ -1273,6 +1284,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs,
                    min(doc_id) AS keep_doc_id
             FROM docs GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_filter": f"""
+            WITH docs AS ({_UNION_DUP_SQL}),
+            keep AS (
+              SELECT min(doc_id) AS doc_id FROM docs GROUP BY md5(text)
+            )
+            SELECT doc_id FROM keep
         """,
         "dedup_jaccard": _JACCARD_SQL_TMPL.replace("__DOCSRC__", "documents").replace(
             "__THRESH__", "0.1"

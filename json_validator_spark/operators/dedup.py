@@ -418,3 +418,42 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ----------------------------------------------------------------------
+# Applying dedup decisions — produce the surviving corpus
+# ----------------------------------------------------------------------
+
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The apply step for exact dedup: keep ONE doc per content hash
+    (the min-id canonical survivor, matching ``exact_duplicates``'
+    ``keep_doc_id``), preserving every original column. One groupBy to
+    elect survivors + a semi-join back — both partial-aggregated /
+    hash-partitioned on the same keys; no window over the full corpus."""
+    h = F.md5(F.col(text_col)).alias("__h")
+    survivors = (
+        df.select(h, F.col(id_col).alias("__id"))
+        .groupBy("__h")
+        .agg(F.min("__id").alias("__keep"))
+        .select(F.col("__keep").alias("__sid"))
+    )
+    return df.join(
+        survivors, df[id_col] == survivors["__sid"], "leftsemi"
+    )
+
+
+def drop_near_duplicates(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The apply step for near-dup pairs (``minhash_neardup_pairs`` /
+    ``simhash_neardup_pairs`` / ``lsh_neardup_pairs`` output, a < b per
+    row): greedily drop every doc that appears as the GREATER member of
+    a pair — the standard one-pass policy (each cluster's minimum id
+    survives; banding + the hot-bucket star guard guarantee every
+    cluster member has an edge to a smaller id). Anti-join on the
+    distinct drop set — broadcast-eligible when the near-dup rate is
+    low, hash join otherwise."""
+    drops = pairs.select(F.col("doc_id_b").alias("__drop")).distinct()
+    return df.join(drops, df[id_col] == drops["__drop"], "left_anti")

@@ -419,3 +419,20 @@ def test_decode_media_features_end_to_end(spark):
             assert 50 <= r["duration_ms"] <= 90 and r["width"] is None
             assert 0.3 < r["rms"] < 0.4  # 0.5-amplitude sine ≈ 0.3536
     assert all(r["decode_error"] for r in bad)
+
+
+def test_dedup_apply_steps(spark, docs):
+    """drop_exact_duplicates keeps the min-id survivor per content group
+    with all columns intact; drop_near_duplicates removes the greater
+    member of every pair."""
+    kept = dedup.drop_exact_duplicates(docs)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 3 in ids and 4 not in ids          # exact dup pair → min survives
+    assert {1, 2, 5, 6} <= ids                # near-dups/uniques untouched
+    assert set(kept.columns) == set(docs.columns)
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.95), (3, 4, 1.0)], "doc_id_a long, doc_id_b long, jaccard double"
+    )
+    survivors = {r["doc_id"] for r in dedup.drop_near_duplicates(docs, pairs).collect()}
+    assert survivors == {1, 3, 5, 6, 7}
