@@ -1,0 +1,167 @@
+"""Differential fuzzing: the Spark engine vs an INDEPENDENT pure-Python
+rule interpreter on hypothesis-random documents.
+
+The DuckDB oracles check the driver queries; this file checks the rule
+*semantics* themselves against a second, from-scratch implementation of
+the JSON-Schema evaluation contract (null-passes-except-presence,
+span-level guards, strict monotonicity, combination algebra) — the same
+differential-testing idea as sqlsmith/sqlancer, aimed at the keyword
+layer. Any divergence between ``operators/row_checks`` and the ~60-line
+reference interpreter below fails the property.
+"""
+
+from __future__ import annotations
+
+import re
+
+from json_validator_spark.operators.row_checks import violations_df, with_violations
+from json_validator_spark.rules.model import Combination, Rule, RuleSet
+
+SCHEMA = (
+    "doc_id long, v double, s string, arr array<int>, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+RULES = (
+    Rule("req.s", "/s", "required"),
+    Rule("range.v", "/v", "range", {"min": -5.0, "max": 5.0}),
+    Rule("enum.s", "/s", "enum", {"values": ["aa", "bb", "cc"]}, severity="warning"),
+    Rule("pat.s", "/s", "pattern", {"regex": "^[a-c]+$"}),
+    Rule("minlen.s", "/s", "minLength", {"value": 2}),
+    Rule("minitems.arr", "/arr", "minItems", {"value": 1}),
+    Rule("uniq.arr", "/arr", "uniqueItems", {}),
+    Rule("mono.spans", "/spans", "monotonic", {"field": "offset"}),
+    Rule("enum.kind", "/spans/*/kind", "enum", {"values": ["text", "media"]}),
+    Rule(
+        "req.text", "/spans/*/text", "required",
+        {"when": {"field": "kind", "eq": "text"}},
+    ),
+)
+
+
+def interpret(row: dict) -> set[tuple]:
+    """Independent evaluation of RULES over one row — deliberately
+    written from the JSON-Schema spec, not from the engine code."""
+    out: set[tuple] = set()
+    d = row["doc_id"]
+
+    def viol(path, rid, sev="error"):
+        out.add((d, path, rid, sev))
+
+    v, s, arr, spans = row["v"], row["s"], row["arr"], row["spans"]
+    if s is None:
+        viol("/s", "req.s")
+    else:
+        if not ("aa" == s or "bb" == s or "cc" == s):
+            viol("/s", "enum.s", "warning")
+        if not re.search("^[a-c]+$", s):
+            viol("/s", "pat.s")
+        if len(s) < 2:
+            viol("/s", "minlen.s")
+    if v is not None and not (-5.0 <= v <= 5.0):
+        viol("/v", "range.v")
+    if arr is not None:
+        if len(arr) < 1:
+            viol("/arr", "minitems.arr")
+        if len(set(arr)) != len(arr):
+            viol("/arr", "uniq.arr")
+    if spans is not None:
+        offs = [sp["offset"] for sp in spans]
+        # strict increase; a null offset passes (absent value semantics)
+        pairs = [
+            (a, b) for a, b in zip(offs, offs[1:]) if a is not None and b is not None
+        ]
+        if not all(a < b for a, b in pairs):
+            viol("/spans", "mono.spans")
+        for i, sp in enumerate(spans):
+            k = sp["kind"]
+            if k is not None and k not in ("text", "media"):
+                viol(f"/spans/{i}/kind", "enum.kind")
+            if k == "text" and sp["text"] is None:
+                viol(f"/spans/{i}/text", "req.text")
+    return out
+
+
+def _random_rows(n: int = 250) -> list[tuple]:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    maybe_str = st.one_of(st.none(), st.text(alphabet="abcdx", max_size=4))
+    span = st.fixed_dictionaries(
+        {
+            "kind": st.one_of(st.none(), st.sampled_from(["text", "media", "imge"])),
+            "text": maybe_str,
+            "media_ref": maybe_str,
+            "offset": st.one_of(st.none(), st.integers(0, 20)),
+        }
+    )
+    row = st.tuples(
+        st.one_of(st.none(), st.floats(-10, 10, allow_nan=False)),
+        maybe_str,
+        st.one_of(st.none(), st.lists(st.integers(0, 3), max_size=4)),
+        st.one_of(st.none(), st.lists(span, max_size=4)),
+    )
+    acc: list[tuple] = []
+
+    @settings(max_examples=n, deadline=None)
+    @given(row)
+    def collect(r):
+        acc.append(r)
+
+    collect()
+    return [
+        (i, v, s, arr, [tuple(sp.values()) for sp in sp_l] if sp_l is not None else None)
+        for i, (v, s, arr, sp_l) in enumerate(acc)
+    ]
+
+
+def test_differential_rule_semantics(spark):
+    rows = _random_rows()
+    df = spark.createDataFrame(rows, SCHEMA)
+    rs = RuleSet(rules=RULES)
+    got = {
+        (r["doc_id"], r["span_path"], r["rule_id"], r["severity"])
+        for r in violations_df(df, rs).collect()
+    }
+    want: set[tuple] = set()
+    for i, v, s, arr, spans in rows:
+        want |= interpret(
+            {
+                "doc_id": i, "v": v, "s": s, "arr": arr,
+                "spans": [
+                    {"kind": k, "text": t, "media_ref": m, "offset": o}
+                    for (k, t, m, o) in spans
+                ]
+                if spans is not None
+                else None,
+            }
+        )
+    assert got == want
+
+
+def test_differential_combination_algebra(spark):
+    """ANY / ONE_OF doc_pass and branch counts vs the interpreter."""
+    rows = _random_rows(150)
+    df = spark.createDataFrame(rows, SCHEMA)
+    branch_a = Rule("a.range.v", "/v", "range", {"min": -5.0, "max": 5.0}, ruleset="A")
+    branch_b = Rule("b.minlen.s", "/s", "minLength", {"value": 2}, ruleset="B")
+
+    def passes(v, s):
+        a = v is None or -5.0 <= v <= 5.0
+        b = s is None or len(s) >= 2
+        return a, b
+
+    for combo, rule_fn in (
+        (Combination.ANY, lambda a, b: a or b),
+        (Combination.ONE_OF, lambda a, b: (a + b) == 1),
+    ):
+        rs = RuleSet(rules=(branch_a, branch_b), combination=combo)
+        got = {
+            r["doc_id"]: (r["doc_pass"], r["n_branches_passed"])
+            for r in with_violations(df, rs)
+            .select("doc_id", "doc_pass", "n_branches_passed")
+            .collect()
+        }
+        for i, v, s, _arr, _spans in rows:
+            a, b = passes(v, s)
+            assert got[i] == (rule_fn(a, b), int(a) + int(b)), (combo, i, v, s)
