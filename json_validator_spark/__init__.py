@@ -21,6 +21,7 @@ the same semantics.
 
 __version__ = "0.2.0"
 
+from json_validator_spark.plans.pipeline import validate_run  # noqa: F401
 from json_validator_spark.rules.model import (  # noqa: F401
     Combination,
     Rule,
