@@ -165,3 +165,108 @@ def test_differential_combination_algebra(spark):
         for i, v, s, _arr, _spans in rows:
             a, b = passes(v, s)
             assert got[i] == (rule_fn(a, b), int(a) + int(b)), (combo, i, v, s)
+
+
+MAP_RULES = (
+    Rule("rk", "/props", "requiredKey", {"key": "k"}),
+    Rule("minp", "/props", "minProperties", {"value": 1}),
+    Rule("maxp", "/props", "maxProperties", {"value": 3}),
+    Rule(
+        "ap", "/props", "additionalProperties",
+        {"allowed": ["k", "a", "b", "flag", "t"], "allowed_patterns": ["^x-"]},
+    ),
+    Rule("pn", "/props", "propertyNames", {"regex": "^[a-z0-9_-]+$"}),
+    Rule(
+        "pp", "/props", "patternProperties",
+        {"key_regex": "^n_", "schema": {"kind": "pattern", "params": {"regex": r"^\d+$"}}},
+    ),
+    Rule(
+        "ds", "/props", "dependentSchemas",
+        {"key": "flag", "schema": {"kind": "minProperties", "params": {"value": 2}}},
+    ),
+    Rule(
+        "pr", "/props", "properties",
+        {"properties": {"a": {"kind": "pattern", "params": {"regex": r"^\d+$"}}}},
+    ),
+    Rule(
+        "disc", "/props", "discriminator",
+        {"key": "t", "mapping": {
+            "num": {"kind": "requiredKey", "params": {"key": "k"}},
+            "word": {"kind": "maxProperties", "params": {"value": 2}},
+        }},
+    ),
+)
+
+
+def interpret_map(doc_id: int, props: dict | None) -> set[tuple]:
+    out: set[tuple] = set()
+
+    def viol(rid):
+        out.add((doc_id, "/props", rid, "error"))
+
+    if props is None:
+        return out  # absent value passes every map keyword (null semantics)
+    keys = list(props)
+    if "k" not in props:
+        viol("rk")
+    if len(keys) < 1:
+        viol("minp")
+    if len(keys) > 3:
+        viol("maxp")
+    allowed = {"k", "a", "b", "flag", "t"}
+    if any(x not in allowed and not re.search("^x-", x) for x in keys):
+        viol("ap")
+    if not all(re.search("^[a-z0-9_-]+$", x) for x in keys):
+        viol("pn")
+    if not all(
+        re.search(r"^\d+$", props[x]) for x in keys if re.search("^n_", x)
+    ):
+        viol("pp")
+    if "flag" in props and len(keys) < 2:
+        viol("ds")
+    if "a" in props and not re.search(r"^\d+$", props["a"]):
+        viol("pr")
+    t = props.get("t")
+    if t is None:
+        viol("disc")
+    elif t == "num":
+        if "k" not in props:
+            viol("disc")
+    elif t == "word":
+        if len(keys) > 2:
+            viol("disc")
+    else:
+        viol("disc")
+    return out
+
+
+def test_differential_map_keywords(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    maps = st.one_of(
+        st.none(),
+        st.dictionaries(
+            st.sampled_from(["k", "a", "b", "flag", "t", "x-trace", "n_1", "Z!"]),
+            st.sampled_from(["1", "22", "zz", "num", "word", ""]),
+            max_size=4,
+        ),
+    )
+    acc: list = []
+
+    @settings(max_examples=250, deadline=None)
+    @given(maps)
+    def collect(m):
+        acc.append(m)
+
+    collect()
+    rows = [(i, m) for i, m in enumerate(acc)]
+    df = spark.createDataFrame(rows, "doc_id long, props map<string,string>")
+    got = {
+        (r["doc_id"], r["span_path"], r["rule_id"], r["severity"])
+        for r in violations_df(df, RuleSet(rules=MAP_RULES)).collect()
+    }
+    want: set[tuple] = set()
+    for i, m in rows:
+        want |= interpret_map(i, m)
+    assert got == want
