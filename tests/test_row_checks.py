@@ -386,3 +386,35 @@ def test_discriminator_keyword(spark):
     ))
     got = rows_set(violations_df(df, rs), "doc_id", "rule_id")
     assert got == {("d3", "disc"), ("d4", "disc"), ("d5", "disc")}
+
+
+def test_wide_ruleset_stays_one_narrow_projection(spark):
+    """A realistic 60-rule schema over 30 columns still compiles to a
+    single shuffle-free projection — rule count must never change the
+    plan shape, only the expression width."""
+    n_cols = 30
+    df = spark.createDataFrame(
+        [tuple([i] + [float(i % 7)] * n_cols) for i in range(500)],
+        "doc_id long, " + ", ".join(f"c{j} double" for j in range(n_cols)),
+    )
+    from json_validator_spark.rules.model import RuleSet
+    rules = []
+    for j in range(n_cols):
+        rules.append(Rule(f"rng{j}", f"/c{j}", "range", {"min": 0.0, "max": 5.0}))
+        rules.append(Rule(f"req{j}", f"/c{j}", "required"))
+    rs = RuleSet(rules=tuple(rules))
+    v = violations_df(df, rs)
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan          # still zero shuffles
+    # range fails where c % 7 == 6 → one violation per column
+    assert v.count() == sum(1 for i in range(500) if i % 7 == 6) * n_cols
+
+
+def test_rule_serialization_roundtrip():
+    """to_row/from_row is lossless — the rule-table fixture contract the
+    CLI's rules.json loader depends on."""
+    r = Rule(
+        "x", "/spans/*/text", "pattern",
+        {"regex": "^a$", "engine": "java"}, severity="warning", ruleset="B",
+    )
+    assert Rule.from_row(r.to_row()) == r
