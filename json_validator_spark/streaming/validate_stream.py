@@ -118,3 +118,58 @@ def windowed_violation_rates(
             "n_docs", "n_failed", "n_violations",
         )
     )
+
+
+def windowed_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Per-event-time-window fixed-edge histogram ``(window_start,
+    bucket, count)`` — the streaming half of drift monitoring. Edges
+    are fixed by the baseline snapshot (``operators/set_checks.
+    histogram``) so every window's histogram is PSI/KS-comparable to
+    it; the shuffle carries ≤ windows × n_bins rows after map-side
+    combine. Batch frames work identically (watermark skipped)."""
+    bucket = F.width_bucket(
+        F.col(value_col).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(n_bins)
+    )
+    src = df
+    if df.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.select(F.col(ts_col), bucket.alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy(F.window(ts_col, window).alias("w"), "bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(F.col("w.start").alias("window_start"), "bucket", "count")
+    )
+
+
+def window_drift_scores(
+    windowed_hist: DataFrame, baseline_hist: DataFrame, n_bins: int = 20
+) -> "list[dict]":
+    """PSI + KS of every completed window against the baseline
+    histogram — driver-side over the tiny per-window results (the same
+    discipline as ``set_checks.psi``); call from the sink on each
+    micro-batch or on the batch result."""
+    from json_validator_spark.operators.set_checks import ks_statistic, psi
+
+    out: list[dict] = []
+    for w in sorted(
+        r["window_start"] for r in windowed_hist.select("window_start").distinct().collect()
+    ):
+        cur = windowed_hist.filter(F.col("window_start") == w).select("bucket", "count")
+        out.append(
+            {
+                "window_start": w,
+                "psi": round(psi(baseline_hist, cur, n_bins), 6),
+                "ks": round(ks_statistic(baseline_hist, cur, n_bins), 6),
+            }
+        )
+    return out

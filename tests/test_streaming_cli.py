@@ -250,3 +250,30 @@ def test_cli_grouped_rules_locale_and_plugin(tmp_path, spark, landing):
     msgs = {r["message"] for r in v.filter("rule_id = 'max.spans'").collect()}
     assert msgs and all("contrainte 'maxItems' non respectée" in m for m in msgs)
     assert not ids & {"a.min.spans", "b.min.spans"}
+
+
+def test_windowed_drift_scores(spark):
+    """Windows matching the baseline score PSI≈0; a shifted window is
+    flagged — per-window drift against a fixed-edge baseline snapshot."""
+    from json_validator_spark.operators.set_checks import histogram
+    from json_validator_spark.streaming.validate_stream import (
+        window_drift_scores,
+        windowed_histogram,
+    )
+
+    base = spark.range(0, 5000).select((F.col("id") % 100).cast("double").alias("v"))
+    baseline = histogram(base, "v", 0, 100, 10)
+    rows = []
+    for i in range(3000):
+        rows.append(("2024-01-01 10:00:30", float(i % 100)))          # matches baseline
+    for i in range(3000):
+        rows.append(("2024-01-01 11:00:30", float(60 + (i % 40))))    # shifted
+    ev = spark.createDataFrame(rows, "ts_s string, v double").select(
+        F.to_timestamp("ts_s").alias("ts"), "v"
+    )
+    wh = windowed_histogram(ev, "v", 0, 100, 10, window="1 hour")
+    scores = window_drift_scores(wh, baseline, 10)
+    assert len(scores) == 2
+    calm, drifted = scores[0], scores[1]
+    assert calm["psi"] < 0.01 and calm["ks"] < 0.01
+    assert drifted["psi"] > 0.25 and drifted["ks"] > 0.2
