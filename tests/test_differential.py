@@ -270,3 +270,103 @@ def test_differential_map_keywords(spark):
     for i, m in rows:
         want |= interpret_map(i, m)
     assert got == want
+
+
+NESTED_RULES = (
+    Rule(
+        "cont", "/arr", "contains",
+        {"schema": {"kind": "minimum", "params": {"value": 2}}, "min": 1, "max": 2},
+    ),
+    Rule(
+        "items1", "/arr", "additionalItems",
+        {"schema": {"kind": "maximum", "params": {"value": 3}}, "start": 1},
+    ),
+    Rule(
+        "prefix", "/arr", "prefixItems",
+        {"schemas": [
+            {"kind": "minimum", "params": {"value": 1}},
+            {"kind": "maximum", "params": {"value": 2}},
+        ]},
+    ),
+    Rule(
+        "allof", "/s", "allOf",
+        {"schemas": [
+            {"kind": "minLength", "params": {"value": 1}},
+            {"kind": "pattern", "params": {"regex": "^a"}},
+        ]},
+    ),
+    Rule(
+        "anyof", "/s", "anyOf",
+        {"schemas": [
+            {"kind": "enum", "params": {"values": ["xx", "dd"]}},
+            {"kind": "pattern", "params": {"regex": "^a"}},
+        ]},
+    ),
+    Rule(
+        "oneof", "/s", "oneOf",
+        {"schemas": [
+            {"kind": "pattern", "params": {"regex": "^a"}},
+            {"kind": "minLength", "params": {"value": 3}},
+        ]},
+    ),
+    Rule("not", "/s", "not", {"schema": {"kind": "enum", "params": {"values": ["xx"]}}}),
+)
+
+
+def interpret_nested(doc_id: int, arr: list | None, s: str | None) -> set[tuple]:
+    out: set[tuple] = set()
+
+    def viol(path, rid):
+        out.add((doc_id, path, rid, "error"))
+
+    if arr is not None:
+        n_match = sum(1 for x in arr if x >= 2)
+        if not (1 <= n_match <= 2):
+            viol("/arr", "cont")
+        if not all(x <= 3 for x in arr[1:]):       # additionalItems: beyond prefix
+            viol("/arr", "items1")
+        ok = True
+        if len(arr) > 0 and not (arr[0] >= 1):
+            ok = False
+        if len(arr) > 1 and not (arr[1] <= 2):
+            ok = False
+        if not ok:
+            viol("/arr", "prefix")
+    if s is not None:
+        if not (len(s) >= 1 and re.search("^a", s)):
+            viol("/s", "allof")
+        if not (s in ("xx", "dd") or re.search("^a", s)):
+            viol("/s", "anyof")
+        if (bool(re.search("^a", s)) + (len(s) >= 3)) != 1:
+            viol("/s", "oneof")
+        if s == "xx":
+            viol("/s", "not")
+    return out
+
+
+def test_differential_nested_combinators(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rows_st = st.tuples(
+        st.one_of(st.none(), st.lists(st.integers(0, 5), max_size=4)),
+        st.one_of(st.none(), st.text(alphabet="adx", max_size=4)),
+    )
+    acc: list = []
+
+    @settings(max_examples=250, deadline=None)
+    @given(rows_st)
+    def collect(r):
+        acc.append(r)
+
+    collect()
+    rows = [(i, a, s) for i, (a, s) in enumerate(acc)]
+    df = spark.createDataFrame(rows, "doc_id long, arr array<int>, s string")
+    got = {
+        (r["doc_id"], r["span_path"], r["rule_id"], r["severity"])
+        for r in violations_df(df, RuleSet(rules=NESTED_RULES)).collect()
+    }
+    want: set[tuple] = set()
+    for i, a, s in rows:
+        want |= interpret_nested(i, a, s)
+    assert got == want
