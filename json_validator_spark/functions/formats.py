@@ -19,7 +19,16 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # -- date/time (RFC 3339) ------------------------------------------------
-_DATE = r"\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])"
+# Month-aware day ranges (31-day months | 30-day months | February ≤29);
+# Feb 29 is accepted in every year — the leap-year divisibility test is
+# not expressible without lookaround, and networknt's date validator
+# takes the same pragmatic stance for the regex fast path.
+_DATE = (
+    r"\d{4}-"
+    r"((0[13578]|1[02])-(0[1-9]|[12]\d|3[01])"
+    r"|(0[469]|11)-(0[1-9]|[12]\d|30)"
+    r"|02-(0[1-9]|[12]\d))"
+)
 _TIME_NOTZ = r"([01]\d|2[0-3]):[0-5]\d:([0-5]\d|60)(\.\d+)?"
 _TZ = r"([Zz]|[+-]([01]\d|2[0-3]):[0-5]\d)"
 

@@ -16,7 +16,10 @@ from json_validator_spark.functions.formats import FORMAT_REGEX
 
 SAMPLES: dict[str, tuple[list[str], list[str]]] = {
     # format: ([valid...], [invalid...])
-    "date": (["2024-02-29", "1999-12-31"], ["2024-13-01", "2024-00-10", "24-01-01"]),
+    "date": (
+        ["2024-02-29", "1999-12-31", "2023-04-30"],
+        ["2024-13-01", "2024-00-10", "24-01-01", "2023-02-30", "2023-04-31", "2023-06-31"],
+    ),
     "time": (["23:59:59Z", "00:00:00+05:30", "12:00:00.5z"], ["24:00:00Z", "12:60:00Z", "12:00:00"]),
     "date-time": (
         ["2024-01-01T00:00:00Z", "2024-01-01 23:59:60.999-08:00"],
