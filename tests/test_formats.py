@@ -184,3 +184,19 @@ def test_hypothesis_spark_duckdb_parity(spark):
     got_t = sorted((r["i"], r["h"], r["toks"], float(r["u"]), r["hl"]) for r in got)
     want_t = sorted((w[0], w[1], w[2], float(w[3]), w[4]) for w in want)
     assert got_t == want_t
+
+
+def test_duckdb_re2_agrees_on_samples():
+    """Third engine leg: DuckDB's RE2 gives the same verdict as Java
+    regex (Spark) and Python re on every format's good/bad samples —
+    the regexes avoid lookaround precisely so all three agree."""
+    import duckdb
+
+    con = duckdb.connect()
+    for fmt, (good, bad) in SAMPLES.items():
+        rx = FORMAT_REGEX[fmt]
+        for s, expect in [(g, True) for g in good] + [(b, False) for b in bad]:
+            (got,) = con.execute(
+                "SELECT regexp_matches(?, ?)", [s, rx]
+            ).fetchone()
+            assert got == expect, (fmt, s, expect)
