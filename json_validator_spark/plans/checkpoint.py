@@ -159,14 +159,40 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.read.schema(schema).parquet(path)
 
 
+def _committed_buckets(spark: SparkSession, ckpt_dir: str) -> DataFrame:
+    """Buckets whose lineage row exists — the COMMIT POINT of the
+    protocol: bucket data is written first, lineage appended after, so
+    a crash in between leaves data that no reader may see (it will be
+    overwritten on redo). Readers join against this set — the parquet
+    emulation of Iceberg's snapshot isolation named by the north star."""
+    lineage = _read_or_empty(
+        spark, os.path.join(ckpt_dir, "lineage"), LINEAGE_SCHEMA
+    )
+    return (
+        lineage.filter(F.col("status") == "done").select("bucket").distinct()
+    )
+
+
 def read_violations(spark: SparkSession, ckpt_dir: str) -> DataFrame:
-    return _read_or_empty(
+    """Violations of COMMITTED buckets only: a torn write (crash between
+    the bucket's data write and its lineage append) is invisible to
+    readers — its partial output is excluded here and overwritten when
+    the bucket is redone."""
+    raw = _read_or_empty(
         spark, os.path.join(ckpt_dir, "violations"), VIOLATIONS_SCHEMA
+    )
+    return raw.join(
+        F.broadcast(_committed_buckets(spark, ckpt_dir)), "bucket", "leftsemi"
     ).drop("bucket")
 
 
 def read_rule_metrics(spark: SparkSession, ckpt_dir: str) -> DataFrame:
     """Per-bucket rule-level metrics ``(run_id, bucket, rule_id,
-    severity, count)``; corpus-level rollup = groupBy(rule_id, severity)
-    sum — equals ``report.aggregate_report`` of the resumed violations."""
-    return _read_or_empty(spark, os.path.join(ckpt_dir, "metrics"), METRICS_SCHEMA)
+    severity, count)`` of COMMITTED buckets (same isolation as
+    ``read_violations``); corpus-level rollup = groupBy(rule_id,
+    severity) sum — equals ``report.aggregate_report`` of the resumed
+    violations."""
+    raw = _read_or_empty(spark, os.path.join(ckpt_dir, "metrics"), METRICS_SCHEMA)
+    return raw.join(
+        F.broadcast(_committed_buckets(spark, ckpt_dir)), "bucket", "leftsemi"
+    )

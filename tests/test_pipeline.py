@@ -215,14 +215,23 @@ def test_validate_run_plugin_hook(spark):
 
 
 def test_checkpoint_read_missing_vs_corrupt(spark, tmp_path):
-    """Missing/empty checkpoint reads as empty; a CORRUPT checkpoint
-    raises instead of silently reporting success (ADVICE r01)."""
+    """Missing/empty checkpoint reads as empty; a corrupt file in a
+    COMMITTED bucket raises instead of silently reporting success
+    (ADVICE r01). A corrupt file in an UNCOMMITTED bucket is invisible
+    by snapshot isolation - that is correct, not a swallowed error."""
     import pytest as _pytest
 
     assert read_violations(spark, str(tmp_path / "nope")).count() == 0
-    bad = tmp_path / "ck" / "violations"
+    bad = tmp_path / "ck" / "violations" / "bucket=3"
     bad.mkdir(parents=True)
     (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
+    # uncommitted: isolation hides the torn/corrupt bucket
+    assert read_violations(spark, str(tmp_path / "ck")).count() == 0
+    # committed: the corruption must surface
+    spark.createDataFrame(
+        [("r", 3, "done", 1, 1, 0.0)],
+        "run_id string, bucket int, status string, n_docs long, n_errors long, ts double",
+    ).write.mode("append").parquet(str(tmp_path / "ck" / "lineage"))
     with _pytest.raises(Exception):
         read_violations(spark, str(tmp_path / "ck")).count()
 
@@ -382,3 +391,32 @@ def test_salted_repartition_balances_media_heavy_docs(spark):
 
     assert per_partition_span_load(clustered) > 5.0
     assert per_partition_span_load(salted) < 3.0
+
+
+def test_checkpoint_torn_write_invisible_to_readers(spark, tmp_path):
+    """Snapshot isolation at the bucket level: data written WITHOUT its
+    lineage row (a crash between the two) is invisible to readers, and
+    becomes visible only once the bucket commits via lineage."""
+    from json_validator_spark.plans.checkpoint import VIOLATIONS_SCHEMA
+
+    docs = synth_documents(spark, 300)
+    ck = str(tmp_path / "ckpt")
+    run_with_checkpoint(spark, docs, corpus_ruleset(), ck, run_id="r", n_buckets=8)
+    committed = read_violations(spark, ck).count()
+    assert committed > 0
+
+    # simulate a torn write: a bucket dir with data but NO lineage row
+    torn = spark.createDataFrame(
+        [("ghost", "/x", "ghost.rule", "error", "m", 99)], VIOLATIONS_SCHEMA
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    torn.write.mode("overwrite").partitionBy("bucket").parquet(f"{ck}/violations")
+    assert read_violations(spark, ck).filter("rule_id = 'ghost.rule'").count() == 0
+    assert read_violations(spark, ck).count() == committed
+
+    # committing bucket 99 in lineage makes it visible
+    spark.createDataFrame(
+        [("r", 99, "done", 1, 1, 0.0)],
+        "run_id string, bucket int, status string, n_docs long, n_errors long, ts double",
+    ).write.mode("append").parquet(f"{ck}/lineage")
+    assert read_violations(spark, ck).filter("rule_id = 'ghost.rule'").count() == 1
