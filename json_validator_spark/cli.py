@@ -91,7 +91,7 @@ def cmd_validate(args: argparse.Namespace) -> int:
 
         run_with_checkpoint(
             spark, docs, ruleset, args.checkpoint, args.run_id or "cli-run",
-            media_catalog=media,
+            media_catalog=media, extra_violations=extra,
         )
         violations = read_violations(spark, args.checkpoint)
         write_table(ordered(violations), f"{args.output}/violations")

@@ -216,6 +216,8 @@ def decode_media_features(media: DataFrame) -> DataFrame:
     them; compressed mimes would route to the documented stub. Codec
     failures surface as ``decode_ok=false`` rows with the error message
     (the S2 acceptance analogue: report the bad payload, keep going)."""
+    import struct
+
     from json_validator_spark.operators.media_codecs import ppm_features, wav_features
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -243,7 +245,9 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                         row.update(wav_features(b))
                     else:
                         raise ValueError(f"unrecognized container for {mime}")
-                except ValueError as exc:
+                except (ValueError, struct.error) as exc:
+                    # struct.error: truncated RIFF headers escape the
+                    # WAV parser before its own ValueError checks run
                     row["decode_ok"] = False
                     row["decode_error"] = str(exc)
                 rows.append(row)

@@ -304,7 +304,9 @@ def stats_violations(
     pass (same shape as ``exact_column_stats``); the threshold
     comparison is a driver-side projection over the one-row result —
     nothing here scales with corpus size except the scan itself."""
-    cols = [c["column"] for c in checks]
+    # dedupe: two checks on the same column must not emit duplicate
+    # aliases (ambiguous-reference error in the threshold projection)
+    cols = list(dict.fromkeys(c["column"] for c in checks))
     aggs: list[Column] = []
     for c in cols:
         aggs += [

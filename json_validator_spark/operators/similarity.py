@@ -169,9 +169,11 @@ def kmeans_centroids(
 
     sample = vectors.select(id_col, vec_col)
     if train_fraction is not None and train_fraction < 1.0:
-        pct = max(int(train_fraction * 100), 1)
+        # parts-per-million resolution: whole-percent flooring would
+        # oversample 10x for fractions like 0.001
+        ppm = max(int(train_fraction * 1_000_000), 1)
         sample = sample.filter(
-            F.pmod(F.xxhash64(F.col(id_col), F.lit(0xC0DE)), F.lit(100)) < pct
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(0xC0DE)), F.lit(1_000_000)) < ppm
         )
     rows = sample.orderBy(id_col).limit(max_train).collect()
     v = np.array([r[vec_col] for r in rows], dtype=np.float64)
@@ -324,6 +326,7 @@ def lsh_neardup_pairs(
     n_tables: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs at corpus scale — the bucketed
     replacement for the all-pairs nested-loop baseline
@@ -338,15 +341,28 @@ def lsh_neardup_pairs(
     pairs at the same threshold; recall grows with ``n_tables``
     (OR-amplification) and shrinks candidate volume with ``n_planes``.
     At 10^12 docs this is the only viable shape: candidate count ≈
-    Σ_buckets |b|², tunable, vs n² for the baseline."""
+    Σ_buckets |b|², tunable, vs n² for the baseline — SIZE ``n_planes``
+    so buckets stay small (2^n_planes ≫ n/max_bucket; the default 4 is
+    test-scale, a real corpus wants 16-24 planes), and the same
+    hot-bucket star guard as ``dedup.lsh_candidate_pairs`` caps an
+    exact-duplicate embedding flood: buckets above ``max_bucket`` emit
+    O(n) hub-anchored pairs (exact cosine vs the min-id vector) instead
+    of C(n,2)."""
     per_table: list[DataFrame] = []
     for t in range(n_tables):
         b = with_lsh_bucket(
             vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
             dim, n_planes, "v", plane_offset=t * n_planes,
         )
-        a = b.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
-        c = b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+        sizes = b.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("id").alias("__hub"),
+            F.min_by("v", "id").alias("__hub_v"),
+        )
+        tagged = b.join(sizes, "bucket")
+        small = tagged.filter(F.col("__n") <= max_bucket)
+        a = small.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+        c = small.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
         scored = (
             a.join(c, "bucket")
             .filter(F.col("id_a") < F.col("id_b"))
@@ -354,9 +370,18 @@ def lsh_neardup_pairs(
                 "id_a", "id_b",
                 F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
             )
-            .filter(F.col("sim") >= threshold)
         )
-        per_table.append(scored)
+        star = (
+            tagged.filter((F.col("__n") > max_bucket) & (F.col("id") != F.col("__hub")))
+            .select(
+                F.col("__hub").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.round(cosine(F.col("__hub_v"), F.col("v")), 6).alias("sim"),
+            )
+        )
+        per_table.append(
+            scored.unionByName(star).filter(F.col("sim") >= threshold)
+        )
     out = per_table[0]
     for p in per_table[1:]:
         out = out.unionByName(p)

@@ -68,9 +68,33 @@ def run_with_checkpoint(
     filtered to THIS call's pending buckets by the same
     ``pmod(xxhash64(doc_id))`` assignment, so a redone bucket rewrites
     its plugin rows too and completed buckets never duplicate them."""
+    # save/restore: leaking dynamic overwrite mode silently changes the
+    # semantics of unrelated partitioned overwrites later in the session
+    _prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        return _run_pending(
+            spark, docs, ruleset, ckpt_dir, run_id, n_buckets, doc_id,
+            max_buckets_this_call, media_catalog, extra_violations,
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", _prev_mode)
+
+
+def _run_pending(
+    spark: SparkSession,
+    docs: DataFrame,
+    ruleset: RuleSet,
+    ckpt_dir: str,
+    run_id: str,
+    n_buckets: int,
+    doc_id: str,
+    max_buckets_this_call: int | None,
+    media_catalog: DataFrame | None,
+    extra_violations: list[DataFrame] | None,
+) -> list[int]:
     from json_validator_spark.plans.pipeline import validate_run
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     done = completed_buckets(spark, ckpt_dir, run_id)
     pending = [b for b in range(n_buckets) if b not in done]
     if max_buckets_this_call is not None:
@@ -149,11 +173,31 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     corrupted checkpoint must raise, not silently report zero
     violations (ADVICE r01: blanket ``except Exception`` here turned
     unreadable checkpoints into empty-but-successful reports)."""
-    has_data = os.path.isdir(path) and any(
-        f.endswith(".parquet")
-        for _, _, files in os.walk(path)
-        for f in files
-    )
+    scheme = path.split("://", 1)[0] if "://" in path else "file"
+    if scheme == "file":
+        local = path.split("://", 1)[-1]
+        has_data = os.path.isdir(local) and any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(local)
+            for f in files
+        )
+        if not has_data:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(path)
+    # remote filesystems (hdfs://, s3a://, …): probe through Hadoop's FS
+    # API — os.path would misclassify every remote checkpoint as empty
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return spark.createDataFrame([], schema)
+    it = fs.listFiles(hpath, True)
+    has_data = False
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            has_data = True
+            break
     if not has_data:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(path)

@@ -113,21 +113,39 @@ def normalize_rule(
     schema = resolve_refs({"kind": rule.kind, "params": rule.params}, definitions)
     kind, params = ALIASES.get(schema["kind"], schema["kind"]), schema["params"]
     out = Rule(rule.rule_id, rule.target, kind, params, rule.severity, rule.ruleset)
-    if out.level == "span":
+    if out.level == "span" and _uses_python_predicate(kind, params):
         # The two pandas-UDF-backed predicates cannot run inside the
         # higher-order-function lambdas span rules compile to — Spark
         # rejects the plan at analysis time with an opaque error, so
         # fail clearly here at compile time instead (ADVICE r01).
-        uses_python = (kind == "pattern" and params.get("engine") == "python") or (
-            kind == "format" and params.get("format") == "regex"
+        raise ValueError(
+            f"rule {rule.rule_id!r}: a Python-engine predicate (pattern "
+            f"engine='python' or format:'regex', possibly nested in a "
+            f"subschema) is doc-level only — span targets ({rule.target!r}) "
+            "compile to array lambdas, where Spark forbids (pandas) UDFs"
         )
-        if uses_python:
-            raise ValueError(
-                f"rule {rule.rule_id!r}: {kind} with a Python-engine predicate "
-                f"is doc-level only — span targets ({rule.target!r}) compile to "
-                "array lambdas, where Spark forbids (pandas) UDFs"
-            )
     return out
+
+
+def _uses_python_predicate(kind: str, params: dict[str, Any]) -> bool:
+    """True if this keyword — or any subschema nested under it (items /
+    contains / combinators / properties / discriminator mappings) —
+    compiles to a pandas UDF."""
+    if (kind == "pattern" and params.get("engine") == "python") or (
+        kind == "format" and params.get("format") == "regex"
+    ):
+        return True
+    subs: list[dict[str, Any]] = []
+    if isinstance(params.get("schema"), dict):
+        subs.append(params["schema"])
+    if isinstance(params.get("schemas"), list):
+        subs.extend(s for s in params["schemas"] if isinstance(s, dict))
+    for holder in ("properties", "mapping"):
+        if isinstance(params.get(holder), dict):
+            subs.extend(v for v in params[holder].values() if isinstance(v, dict))
+    return any(
+        _uses_python_predicate(s.get("kind", ""), s.get("params", {})) for s in subs
+    )
 
 
 def compile_rule(

@@ -29,7 +29,9 @@ from pyspark.sql import functions as F
 def sniff_json_kind(payload: Column) -> Column:
     """'object' | 'array' | 'other' from the first non-space character
     (``ValidationSpecs.java:233-239``). NULL payload → NULL."""
-    head = F.substring(F.ltrim(payload), 1, 1)
+    # regexp strip, not ltrim: ltrim removes only spaces, but JSON
+    # allows tab/newline/CR before the first token
+    head = F.substring(F.regexp_replace(payload, r"^\s+", ""), 1, 1)
     return (
         F.when(payload.isNull(), F.lit(None).cast("string"))
         .when(head == "{", F.lit("object"))

@@ -25,15 +25,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUTPUT_SCHEMA = "doc_id long, text_hash string, is_duplicate boolean, first_doc_id long"
-STATE_SCHEMA = "first_doc_id long, n_seen long"
+# doc_id is STRING throughout the engine (the synth corpus uses
+# 'doc-%012d' ids) — a long cast would null every canonical id
+OUTPUT_SCHEMA = "doc_id string, text_hash string, is_duplicate boolean, first_doc_id string"
+STATE_SCHEMA = "first_doc_id string, n_seen long"
 
 
 def _flag_duplicates(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Per content-hash group: first doc ever seen (lowest doc_id of the
-    first batch) is canonical; everything after is a duplicate."""
+    """Per content-hash group: first doc ever seen (lexicographic-min
+    doc_id of the first batch — deterministic) is canonical; everything
+    after is a duplicate."""
     frames = [p for p in pdfs if len(p)]
     if not frames:
         return
@@ -42,16 +45,16 @@ def _flag_duplicates(
         first_id, n_seen = state.get
         dup = pd.Series(True, index=allp.index)
     else:
-        first_id = int(allp["doc_id"].min())
+        first_id = str(allp["doc_id"].min())
         n_seen = 0
         dup = allp["doc_id"] != first_id
-    state.update((int(first_id), int(n_seen) + len(allp)))
+    state.update((str(first_id), int(n_seen) + len(allp)))
     yield pd.DataFrame(
         {
             "doc_id": allp["doc_id"],
             "text_hash": key[0],
             "is_duplicate": dup,
-            "first_doc_id": int(first_id),
+            "first_doc_id": str(first_id),
         }
     )
 
@@ -74,7 +77,7 @@ def dedup_stream(
 
     stream = spark.readStream.schema(schema).parquet(input_path)
     keyed = stream.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).cast("string").alias("doc_id"),
         F.md5(F.col(text_col)).alias("text_hash"),
     ).groupBy("text_hash")
     flagged = keyed.applyInPandasWithState(

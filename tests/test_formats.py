@@ -200,3 +200,28 @@ def test_duckdb_re2_agrees_on_samples():
                 "SELECT regexp_matches(?, ?)", [s, rx]
             ).fetchone()
             assert got == expect, (fmt, s, expect)
+
+
+def test_python_engine_guard_catches_nested_subschemas():
+    """The span-level pandas-UDF guard also rejects Python-engine
+    predicates NESTED in subschemas (items/contains/combinators)."""
+    import pytest as _pytest
+
+    from json_validator_spark.rules.compiler import normalize_rule
+    from json_validator_spark.rules.model import Rule
+
+    nested = Rule(
+        "n", "/spans/*/text", "items",
+        {"schema": {"kind": "format", "params": {"format": "regex"}}},
+    )
+    with _pytest.raises(ValueError, match="doc-level only"):
+        normalize_rule(nested)
+    deep = Rule(
+        "d", "/spans/*/text", "allOf",
+        {"schemas": [
+            {"kind": "minLength", "params": {"value": 1}},
+            {"kind": "pattern", "params": {"regex": "x", "engine": "python"}},
+        ]},
+    )
+    with _pytest.raises(ValueError, match="doc-level only"):
+        normalize_rule(deep)

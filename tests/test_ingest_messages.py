@@ -90,3 +90,19 @@ def test_message_locale_switch(spark):
 
     with _pytest.raises(ValueError, match="no message catalog"):
         messages.set_locale("xx")
+
+
+def test_sniff_handles_all_json_whitespace(spark):
+    """Tab / newline / CR before the first token are legal JSON
+    whitespace — the sniff must skip them, not classify as 'other'."""
+    df = spark.createDataFrame(
+        [("t", "\t{\"a\":1}"), ("n", "\n[1]"), ("r", "\r\n {\"b\":2}")],
+        "doc_id string, payload string",
+    )
+    got = {
+        (r["doc_id"], r["kind"])
+        for r in df.select(
+            "doc_id", sniff_json_kind(F.col("payload")).alias("kind")
+        ).collect()
+    }
+    assert got == {("t", "object"), ("n", "array"), ("r", "object")}

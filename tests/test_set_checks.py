@@ -157,3 +157,17 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_facts")
         spark.sql("DROP TABLE IF EXISTS t_dims")
+
+
+def test_stats_violations_same_column_twice(spark):
+    """Two check dicts on the same column must not collide on agg
+    aliases (regression: ambiguous-reference error)."""
+    df = spark.createDataFrame([(1, 99.0), (2, None)], "id long, v double")
+    got = rows_set(
+        sc.stats_violations(
+            df,
+            [{"column": "v", "max": 50.0}, {"column": "v", "max_null_rate": 0.1}],
+        ),
+        "rule_id",
+    )
+    assert got == {("stats.max.v",), ("stats.null_rate.v",)}

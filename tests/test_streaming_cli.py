@@ -173,7 +173,7 @@ def test_stateful_dedup_stream_across_restarts(tmp_path, spark):
         r["doc_id"]: (r["is_duplicate"], r["first_doc_id"])
         for r in spark.read.parquet(f"{out}/dedup").collect()
     }
-    assert got1 == {1: (False, 1), 2: (False, 2), 3: (True, 1)}
+    assert got1 == {"1": (False, "1"), "2": (False, "2"), "3": (True, "1")}
 
     # "restart": new query instance, same checkpoint; a late duplicate of
     # doc 1's content must be flagged against first_doc_id=1 from STATE
@@ -187,8 +187,8 @@ def test_stateful_dedup_stream_across_restarts(tmp_path, spark):
         r["doc_id"]: (r["is_duplicate"], r["first_doc_id"])
         for r in spark.read.parquet(f"{out}/dedup").collect()
     }
-    assert got2[9] == (True, 1)
-    assert got2[10] == (False, 10)
+    assert got2["9"] == (True, "1")
+    assert got2["10"] == (False, "10")
     assert len(got2) == 5
 
 

@@ -436,3 +436,15 @@ def test_dedup_apply_steps(spark, docs):
     )
     survivors = {r["doc_id"] for r in dedup.drop_near_duplicates(docs, pairs).collect()}
     assert survivors == {1, 3, 5, 6, 7}
+
+
+def test_lsh_neardup_hot_bucket_guard(spark):
+    """An exact-duplicate embedding flood above max_bucket emits O(n)
+    hub-anchored pairs instead of C(n,2), all with exact sim 1.0."""
+    rows = [(i, [1.0, 0.5, 0.25, 0.1, 0.9, 0.3, 0.7, 0.2]) for i in range(24)]
+    dup_vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.lsh_neardup_pairs(
+        dup_vecs, dim=8, threshold=0.99, n_planes=3, n_tables=2, max_bucket=5
+    ).collect()
+    assert len(pairs) == 23
+    assert all(r["id_a"] == 0 and r["sim"] == 1.0 for r in pairs)
