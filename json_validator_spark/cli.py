@@ -95,6 +95,16 @@ def cmd_validate(args: argparse.Namespace) -> int:
         )
         violations = read_violations(spark, args.checkpoint)
         write_table(ordered(violations), f"{args.output}/violations")
+        # same report surface as the non-checkpoint path: per-doc
+        # verdicts (merged-TAR counters over the resumed violations)
+        # plus the aggregate rollup
+        from json_validator_spark.operators.report import (
+            aggregate_report,
+            doc_verdicts_merged,
+        )
+
+        write_table(doc_verdicts_merged(docs, violations), f"{args.output}/verdicts")
+        write_table(aggregate_report(violations), f"{args.output}/aggregate")
     else:
         res = validate_run(
             spark, docs, ruleset, media_catalog=media,

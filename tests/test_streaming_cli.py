@@ -128,6 +128,12 @@ def test_cli_validate_with_checkpoint(tmp_path, spark, landing):
     # lineage recorded all buckets done
     lineage = spark.read.parquet(f"{ck}/lineage")
     assert lineage.filter("status = 'done'").count() >= 64
+    # the checkpoint path emits the same report surface as the direct path
+    verdicts = spark.read.parquet(f"{out}/verdicts")
+    assert {"doc_id", "n_errors", "n_warnings", "result"} <= set(verdicts.columns)
+    assert verdicts.count() == corpus.count()
+    agg = spark.read.parquet(f"{out}/aggregate")
+    assert {r["rule_id"] for r in agg.collect()} <= {"enum.kind", "unique.doc_id"}
 
 
 def test_batch_replay_is_idempotent(tmp_path, spark):
