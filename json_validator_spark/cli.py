@@ -112,8 +112,12 @@ def cmd_validate(args: argparse.Namespace) -> int:
             stats_columns=None,
             extra_violations=extra,
         )
+        # same verdict surface in both modes: {output}/verdicts is ALWAYS
+        # per-doc merged-TAR rows (doc_id, n_errors, n_warnings, result);
+        # the partition rollup gets its own table
         write_table(ordered(res.violations), f"{args.output}/violations")
-        write_table(res.partition_verdicts, f"{args.output}/verdicts")
+        write_table(res.doc_verdicts_merged, f"{args.output}/verdicts")
+        write_table(res.partition_verdicts, f"{args.output}/partition_verdicts")
         write_table(res.aggregate, f"{args.output}/aggregate")
     elapsed = time.perf_counter() - t0
     n_docs = docs.count()

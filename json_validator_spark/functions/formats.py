@@ -36,8 +36,15 @@ FORMAT_REGEX: dict[str, str] = {
     "date": rf"^{_DATE}$",
     "time": rf"^{_TIME_NOTZ}{_TZ}$",
     "date-time": rf"^{_DATE}[Tt ]{_TIME_NOTZ}{_TZ}$",
-    # ISO 8601 duration (P…); simplified: requires at least one component.
-    "duration": r"^P(\d+Y)?(\d+M)?(\d+W)?(\d+D)?(T(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?$",
+    # ISO 8601 duration: at least one date component, or a T-part with
+    # at least one time component — bare 'P'/'PT' are invalid.
+    "duration": (
+        r"^P(?:"
+        r"(?:\d+Y(?:\d+M)?(?:\d+W)?(?:\d+D)?|\d+M(?:\d+W)?(?:\d+D)?|\d+W(?:\d+D)?|\d+D)"
+        r"(?:T(?:\d+H(?:\d+M)?(?:\d+(?:\.\d+)?S)?|\d+M(?:\d+(?:\.\d+)?S)?|\d+(?:\.\d+)?S))?"
+        r"|T(?:\d+H(?:\d+M)?(?:\d+(?:\.\d+)?S)?|\d+M(?:\d+(?:\.\d+)?S)?|\d+(?:\.\d+)?S)"
+        r")$"
+    ),
     # Pragmatic RFC 5321/5322 subset (same stance as most validators).
     "email": r"^[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)+$",
     "idn-email": r"^[^@\s]+@[^@\s]+\.[^@\s]+$",  # ASCII-relaxed stand-in

@@ -386,7 +386,9 @@ def simhash_neardup_pairs(
     sizes = banded.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("__n"),
         F.min("doc_id").alias("__hub"),
-        F.min_by("simhash", "doc_id").alias("__hub_sim"),
+        # struct ordering key: duplicate doc_ids with different
+        # fingerprints must not make the hub choice run-order-dependent
+        F.min_by("simhash", F.struct("doc_id", "simhash")).alias("__hub_sim"),
     )
     tagged = banded.join(sizes, keys)
     small = tagged.filter(F.col("__n") <= max_bucket)

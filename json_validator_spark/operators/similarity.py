@@ -46,7 +46,12 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity with the zero-vector convention sim=0: an
+    unguarded 0/0 yields NaN, and Spark sorts NaN ABOVE every double in
+    a desc window — degenerate (all-zero / failed-encode) vectors would
+    otherwise occupy the top-k ranks of every query."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(_dot(a, b) / denom)
 
 
 def cosine_topk(
@@ -100,7 +105,8 @@ def cosine_topk_numpy(
     q_rows = queries.select(query_id_col, vec_col).collect()
     q_ids = [r[0] for r in q_rows]
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norm = q_mat / np.where(qn == 0, 1.0, qn)  # zero vector → sim 0, not NaN
     sc = vectors.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, q_norm))
 
@@ -110,7 +116,8 @@ def cosine_topk_numpy(
             if not len(batch):
                 continue
             v = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
-            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            nrm = np.linalg.norm(v, axis=1, keepdims=True)
+            vn = v / np.where(nrm == 0, 1.0, nrm)
             sims = vn @ qn.T  # (batch, n_queries)
             n_keep = min(k + 1, sims.shape[0])
             top = np.argpartition(-sims, n_keep - 1, axis=0)[:n_keep]
@@ -180,7 +187,8 @@ def kmeans_centroids(
     if len(v) < k:
         raise ValueError(f"k-means sample too small: {len(v)} rows for k={k}")
     cents = v[:k].copy()
-    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    _n = np.linalg.norm(v, axis=1, keepdims=True)
+    vn = v / np.where(_n == 0, 1.0, _n)
     for _ in range(iters):
         cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
         cl = (vn @ cn.T).argmax(axis=1)  # cosine assignment, as at query time
@@ -226,7 +234,8 @@ def ivf_topk(
             if not len(batch):
                 continue
             v = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
-            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            _n = np.linalg.norm(v, axis=1, keepdims=True)
+            vn = v / np.where(_n == 0, 1.0, _n)
             yield pd.DataFrame(
                 {
                     "neighbor_id": batch[id_col],
@@ -357,7 +366,10 @@ def lsh_neardup_pairs(
         sizes = b.groupBy("bucket").agg(
             F.count(F.lit(1)).alias("__n"),
             F.min("id").alias("__hub"),
-            F.min_by("v", "id").alias("__hub_v"),
+            # struct ordering key: ties on duplicate ids break on the
+            # vector itself (arrays order lexicographically) — hub
+            # choice stays deterministic across partition layouts
+            F.min_by("v", F.struct("id", "v")).alias("__hub_v"),
         )
         tagged = b.join(sizes, "bucket")
         small = tagged.filter(F.col("__n") <= max_bucket)

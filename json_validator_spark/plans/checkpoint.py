@@ -30,7 +30,14 @@ METRICS_SCHEMA = "run_id string, rule_id string, severity string, count long, bu
 
 
 def bucket_col(doc_id: str = "doc_id", n_buckets: int = 64) -> F.Column:
-    return F.pmod(F.xxhash64(F.col(doc_id)), F.lit(n_buckets)).cast("int")
+    """Stable bucket assignment. ALWAYS hashes the STRING form of the
+    id: ``validate_run`` casts doc_id to string in its violation rows,
+    and xxhash64(123L) != xxhash64('123') — hashing native types here
+    would route a bigint corpus's violations into different buckets
+    than the pending-doc selection used."""
+    return F.pmod(
+        F.xxhash64(F.col(doc_id).cast("string")), F.lit(n_buckets)
+    ).cast("int")
 
 
 def completed_buckets(spark: SparkSession, ckpt_dir: str, run_id: str) -> set[int]:
@@ -121,7 +128,15 @@ def _run_pending(
     from json_validator_spark.operators.set_checks import uniqueness_violations
 
     viols = result.violations.unionByName(uniqueness_violations(subset.drop("__bucket"), key=doc_id))
-    out = viols.withColumn("bucket", bucket_col("doc_id", n_buckets))
+    # persist: three actions below (violations write, error counts,
+    # metrics write) would otherwise re-execute the full rule DAG 3x
+    out = viols.withColumn("bucket", bucket_col("doc_id", n_buckets)).persist()
+
+    # clear the pending buckets' directories first: dynamic overwrite
+    # only replaces partitions PRESENT in the new data, so a redone
+    # bucket that now yields zero rows — or a reused checkpoint dir from
+    # an earlier run — would otherwise leak stale rows to readers
+    _clear_bucket_dirs(spark, ckpt_dir, pending)
 
     out.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(ckpt_dir, "violations")
@@ -162,7 +177,26 @@ def _run_pending(
     spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).write.mode("append").parquet(
         os.path.join(ckpt_dir, "lineage")
     )
+    out.unpersist()
     return pending
+
+
+def _clear_bucket_dirs(spark: SparkSession, ckpt_dir: str, buckets: list[int]) -> None:
+    """Remove ``violations/bucket=b`` and ``metrics/bucket=b`` for the
+    buckets about to be (re)written — via Hadoop's FS API so remote
+    checkpoints work. Safe: these buckets are uncommitted for this call
+    (their redo is the reason we're here), and readers only see
+    committed buckets."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for sub in ("violations", "metrics"):
+        for b in buckets:
+            p = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(ckpt_dir, sub, f"bucket={b}")
+            )
+            fs = p.getFileSystem(conf)
+            if fs.exists(p):
+                fs.delete(p, True)
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:

@@ -25,13 +25,19 @@ def salted_repartition(df: DataFrame, n: int, key: str = "doc_id", salt_buckets:
     """Explicit skew-spreading repartition (SURVEY §4.3.1).
 
     Media-heavy documents (100-1000 spans vs a 1-10 median) cluster in
-    input files; hash(key)+salt assignment scatters them uniformly so no
-    task inherits a run of heavy docs. The salt term keeps even identical
-    keys (injected duplicates) from co-locating. Deterministic — a pure
-    function of the key — so N-vs-4N runs see identical row→partition
-    *groups* (partition count differs, content hashes don't)."""
-    salt = F.pmod(F.xxhash64(F.col(key), F.lit(0x5A17)), F.lit(salt_buckets))
-    return df.repartition(n, F.xxhash64(F.col(key)), salt)
+    input FILES; hashing the key scatters them uniformly so no task
+    inherits a run of heavy docs (quantified in
+    ``tests/test_pipeline.py::test_salted_repartition_balances...``).
+
+    Identical keys deliberately CO-LOCATE: per-bucket uniqueness and
+    the checkpoint protocol depend on duplicates landing together, and
+    a salt derived from the key itself could never separate them anyway
+    (a pure function of equal inputs is equal — an earlier version
+    carried such a salt column and it was dead computation).
+    Deterministic — a pure function of the key — so N-vs-4N runs see
+    identical row→partition *groups* (partition count differs, content
+    hashes don't). ``salt_buckets`` is retained for API compatibility."""
+    return df.repartition(n, F.xxhash64(F.col(key)))
 
 
 @dataclass

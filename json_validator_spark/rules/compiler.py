@@ -168,11 +168,18 @@ def _null_wrapped(kind: str, value: Column, params: dict[str, Any]) -> Column:
 
 
 def _doc_value(rule: Rule) -> Column:
-    parts = rule.target.strip("/").split("/")
+    # F.get for positions: ANSI mode errors on out-of-range indexes,
+    # but a pointer past the end must read as absent (null).
+    return _pointer_value(rule.target)
+
+
+def _pointer_value(target: str) -> Column:
+    """Resolve a full JSON-pointer path to a Column — same traversal as
+    ``_doc_value`` (nested fields + positional F.get), for guards and
+    dependency targets that are NOT the rule's own target."""
+    parts = target.strip("/").split("/")
     col: Column = F.col(parts[0])
     for p in parts[1:]:
-        # F.get for positions: ANSI mode errors on out-of-range indexes,
-        # but a pointer past the end must read as absent (null).
         col = col[p] if not p.isdigit() else F.get(col, int(p))
     return col
 
@@ -183,12 +190,14 @@ def _compile_doc_rule(rule: Rule) -> CompiledRule:
 
     def pass_flag() -> Column:
         if rule.kind == "dependentRequired":
-            if_val = F.col(rule.params["if_target"].strip("/").split("/")[0])
+            # full-pointer resolution: '/meta/lang' must test meta.lang,
+            # not the whole meta struct
+            if_val = _pointer_value(rule.params["if_target"])
             return F.when(if_val.isNotNull(), value.isNotNull()).otherwise(F.lit(True))
         ok = _null_wrapped(rule.kind, value, rule.params)
         w = rule.params.get("when_doc")
         if w:  # doc-level guard: apply only when another column matches
-            gv = F.col(w["target"].strip("/").split("/")[0])
+            gv = _pointer_value(w["target"])
             g = gv == F.lit(w["eq"]) if "eq" in w else gv.isin(list(w["in"]))
             ok = F.when(gv.isNotNull() & g, ok).otherwise(F.lit(True))
         return ok

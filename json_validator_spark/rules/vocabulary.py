@@ -136,11 +136,20 @@ def build_pass(kind: str, value: Column, params: dict[str, Any]) -> Column:
             arr = F.transform(value, lambda s: s[params["field"]])
         return F.size(arr) == F.size(F.array_distinct(arr))
     if kind == "contains":
-        inner = _inner_pred(params["schema"])
+        # COUNTING semantics: a null element must not count as a match
+        # (the vacuous-pass wrapper is for absent values under boolean
+        # keywords; here it would inflate min/maxContains counts)
+        inner_raw = params["schema"]
         arr = value
         if "field" in params:
             arr = F.transform(value, lambda s: s[params["field"]])
-        n = F.size(F.filter(arr, inner))
+        n = F.size(
+            F.filter(
+                arr,
+                lambda v: v.isNotNull()
+                & build_pass(inner_raw["kind"], v, inner_raw.get("params", {})),
+            )
+        )
         lo = params.get("min", 1)
         hi = params.get("max")
         ok = n >= F.lit(lo)

@@ -25,7 +25,7 @@ SAMPLES: dict[str, tuple[list[str], list[str]]] = {
         ["2024-01-01T00:00:00Z", "2024-01-01 23:59:60.999-08:00"],
         ["2024-01-01", "2024-01-01T25:00:00Z"],
     ),
-    "duration": (["P1Y2M3DT4H5M6S", "PT0.5S", "P4W"], ["1Y", "Pxx"]),
+    "duration": (["P1Y2M3DT4H5M6S", "PT0.5S", "P4W"], ["1Y", "Pxx", "P", "PT"]),
     "email": (["a.b+c@example.com", "x@sub.domain.org"], ["@nope.com", "a@b", "a b@c.de"]),
     "ipv4": (["0.0.0.0", "255.255.255.255", "192.168.1.1"], ["256.1.1.1", "1.2.3", "1.2.3.4.5"]),
     "ipv6": (["::1", "2001:db8::8a2e:370:7334", "fe80::"], ["12345::", "g::1"]),
