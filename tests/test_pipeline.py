@@ -420,3 +420,38 @@ def test_checkpoint_torn_write_invisible_to_readers(spark, tmp_path):
         "run_id string, bucket int, status string, n_docs long, n_errors long, ts double",
     ).write.mode("append").parquet(f"{ck}/lineage")
     assert read_violations(spark, ck).filter("rule_id = 'ghost.rule'").count() == 1
+
+
+def test_checkpoint_bigint_doc_ids_bucket_consistency(spark, tmp_path):
+    """Native bigint doc_ids: the bucket a doc's violations land in must
+    match the bucket its pending-selection used (regression: native-vs-
+    string hashing mismatch scattered rows into the wrong partitions)."""
+    docs = spark.createDataFrame(
+        [(i, None if i % 5 == 0 else f"src{i % 3}") for i in range(200)],
+        "doc_id long, source string",
+    )
+    from json_validator_spark.rules.model import Rule, RuleSet
+    rs = RuleSet(rules=(Rule("req.source", "/source", "required"),))
+    ck = str(tmp_path / "ckb")
+    # two crash-resume calls: cross-call bucket routing must agree
+    run_with_checkpoint(spark, docs, rs, ck, run_id="r", n_buckets=8,
+                        max_buckets_this_call=4)
+    run_with_checkpoint(spark, docs, rs, ck, run_id="r", n_buckets=8)
+    got = {r["doc_id"] for r in read_violations(spark, ck)
+           .filter("rule_id = 'req.source'").collect()}
+    assert got == {str(i) for i in range(0, 200, 5)}
+
+
+def test_checkpoint_dir_reuse_no_stale_rows(spark, tmp_path):
+    """Re-using a checkpoint dir for a different run/corpus must not
+    leak the previous run's rows (regression: dynamic overwrite never
+    clears a bucket whose redo emits zero rows)."""
+    from json_validator_spark.rules.model import Rule, RuleSet
+    rs = RuleSet(rules=(Rule("req.s", "/s", "required"),))
+    dirty = spark.createDataFrame([(i, None) for i in range(50)], "doc_id long, s string")
+    clean = spark.createDataFrame([(i, "ok") for i in range(50)], "doc_id long, s string")
+    ck = str(tmp_path / "ckr")
+    run_with_checkpoint(spark, dirty, rs, ck, run_id="a", n_buckets=4)
+    assert read_violations(spark, ck).count() == 50
+    run_with_checkpoint(spark, clean, rs, ck, run_id="b", n_buckets=4)
+    assert read_violations(spark, ck).count() == 0  # no stale run-a rows

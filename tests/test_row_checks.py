@@ -418,3 +418,36 @@ def test_rule_serialization_roundtrip():
         {"regex": "^a$", "engine": "java"}, severity="warning", ruleset="B",
     )
     assert Rule.from_row(r.to_row()) == r
+
+
+def test_contains_ignores_null_elements(spark):
+    """contains counts only non-null matching elements (regression:
+    the null-vacuous wrapper inflated min/maxContains counts)."""
+    df = spark.createDataFrame(
+        [("d1", ["a", None, None]), ("d2", [None, None]), ("d3", ["a", "a", "b"])],
+        "doc_id string, arr array<string>",
+    )
+    from json_validator_spark.rules.model import RuleSet
+    rs = RuleSet(rules=(
+        Rule("c", "/arr", "contains",
+             {"schema": {"kind": "enum", "params": {"values": ["a"]}}, "min": 1}),
+    ))
+    got = rows_set(violations_df(df, rs), "doc_id", "rule_id")
+    assert got == {("d2", "c")}  # nulls alone never satisfy min=1
+
+
+def test_dependent_required_nested_pointer(spark):
+    """dependentRequired if_target resolves the FULL pointer, not just
+    its first segment (regression: '/meta/lang' tested meta itself)."""
+    df = spark.createDataFrame(
+        [("d1", ("en",), "x"), ("d2", ("en",), None), ("d3", (None,), None)],
+        "doc_id string, meta struct<lang:string>, translated string",
+    )
+    from json_validator_spark.rules.model import RuleSet
+    rs = RuleSet(rules=(
+        Rule("dep", "/translated", "dependentRequired", {"if_target": "/meta/lang"}),
+    ))
+    got = rows_set(violations_df(df, rs), "doc_id", "rule_id")
+    # d2: lang present, translated missing → violation
+    # d3: meta struct present but lang NULL → no dependency triggered
+    assert got == {("d2", "dep")}

@@ -448,3 +448,19 @@ def test_lsh_neardup_hot_bucket_guard(spark):
     ).collect()
     assert len(pairs) == 23
     assert all(r["id_a"] == 0 and r["sim"] == 1.0 for r in pairs)
+
+
+def test_zero_vector_never_wins_topk(spark):
+    """A degenerate all-zero embedding scores sim=0 (not NaN) and never
+    displaces real neighbors from the top-k in any tier."""
+    import math
+    rows = [(i, [math.sin(0.1 * i + j) for j in range(8)]) for i in range(20)]
+    rows.append((99, [0.0] * 8))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for fn in (similarity.cosine_topk, similarity.cosine_topk_numpy):
+        out = fn(vecs, queries, k=5).collect()
+        assert all(r["neighbor_id"] != 99 for r in out), fn.__name__
+        assert all(not (r["sim"] != r["sim"]) for r in out)  # no NaN
