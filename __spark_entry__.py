@@ -881,7 +881,8 @@ WITH base AS (
               WHEN {_duck_u("doc_id::VARCHAR, 'kind', i::VARCHAR")} < 0.3 THEN 'media'
               ELSE 'text' END AS kind,
          {_duck_u("doc_id::VARCHAR, 'null', i::VARCHAR")} < 0.02 AS text_null,
-         {_duck_u("doc_id::VARCHAR, 'bad', i::VARCHAR")} < 0.02 AS ref_bad
+         {_duck_u("doc_id::VARCHAR, 'bad', i::VARCHAR")} < 0.02 AS ref_bad,
+         toks IS NULL AS toks_null
   FROM spans0
 ), spans2 AS (
   SELECT doc_id, n_spans, off_broken, i, kind,
@@ -889,7 +890,9 @@ WITH base AS (
            CASE WHEN ref_bad THEN 'media:/broken'
                 ELSE 'media://' || md5(concat_ws(':', doc_id::VARCHAR, 'ref', i::VARCHAR)) END
          END AS media_ref,
-         (kind = 'text' AND text_null) AS text_missing
+         -- a NULL-text doc has NULL token array -> every 'text' span's
+         -- chunk is NULL, so required.span.text fires engine-side too
+         (kind = 'text' AND (text_null OR toks_null)) AS text_missing
   FROM spans
 )
 SELECT doc_id, '/spans/' || i::VARCHAR || '/kind' AS span_path,
@@ -1031,7 +1034,10 @@ WITH base AS (
               ELSE 'text' END AS kind,
          {_duck_u("doc_id::VARCHAR, 'null', i::VARCHAR")} < 0.02 AS text_null,
          {_duck_u("doc_id::VARCHAR, 'bad', i::VARCHAR")} < 0.02 AS ref_bad,
-         array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ') AS chunk
+         -- array_to_string([]) is NULL in DuckDB but array_join([]) is ''
+         -- in Spark; NULL toks (NULL text) must stay NULL on both sides
+         CASE WHEN toks IS NULL THEN NULL
+              ELSE coalesce(array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' '), '') END AS chunk
   FROM spans0
 ), spans2 AS (
   SELECT doc_id, i, kind,
@@ -1052,7 +1058,9 @@ GROUP BY doc_id
 """
 
 _SIMHASH_CTE = f"""
-WITH toks AS (
+WITH base AS (
+  SELECT doc_id FROM __DOCSRC__
+), toks AS (
   SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok FROM __DOCSRC__
 ), th AS (
   SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
@@ -1060,9 +1068,14 @@ WITH toks AS (
   SELECT doc_id, b, sum(((h >> b) & 1)::INT) AS v, count(*) AS n
   FROM th, (SELECT unnest(generate_series(0, 59)) AS b) bits
   GROUP BY doc_id, b
-), fp AS (
+), fp0 AS (
   SELECT doc_id, sum(CASE WHEN v * 2 > n THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
   FROM votes GROUP BY doc_id
+), fp AS (
+  -- zero-token / NULL-text docs drop out of the unnest pipeline but the
+  -- engine assigns them simhash=0 (dedup.simhash left join): mirror it
+  SELECT base.doc_id, coalesce(fp0.simhash, 0) AS simhash
+  FROM base LEFT JOIN fp0 ON fp0.doc_id = base.doc_id
 )
 """
 
@@ -1111,7 +1124,9 @@ SELECT doc_id, n_tokens::BIGINT AS n_tokens,
        round(n_stop / greatest(n_tokens, 1)::DOUBLE, 6) AS stopword_ratio,
        round(n_alnum / greatest(n_chars, 1)::DOUBLE, 6) AS alnum_ratio,
        round((n_tokens - n_distinct) / greatest(n_tokens, 1)::DOUBLE, 6) AS dup_token_ratio,
-       round(coalesce(sum_len, 0) / greatest(n_tokens, 1)::DOUBLE, 6) AS mean_token_len,
+       round(CASE WHEN n_tokens IS NULL THEN NULL
+                  ELSE coalesce(sum_len, 0) END
+             / greatest(coalesce(n_tokens, 0), 1)::DOUBLE, 6) AS mean_token_len,
        (n_tokens >= 10 AND
         round((n_tokens - n_distinct) / greatest(n_tokens, 1)::DOUBLE, 6) <= 0.6) AS keep
 FROM m
@@ -1132,10 +1147,10 @@ _LANG_SQL = (
     + ", greatest("
     + ", ".join(f"len(list_filter(toks, x -> x IN {ws}))" for ws in _LANG_SCORES.values())
     + ") AS best FROM t) "
-    + "SELECT doc_id, CASE WHEN best = 0 THEN 'und' "
+    + "SELECT doc_id, CASE WHEN best IS NULL OR best = 0 THEN 'und' "
     + " ".join(f"WHEN s_{lg} = best THEN '{lg}'" for lg in _LANG_SCORES)
     + " END AS pred_lang, best::BIGINT AS best_score, "
-    + "(lang = (CASE WHEN best = 0 THEN 'und' "
+    + "(lang = (CASE WHEN best IS NULL OR best = 0 THEN 'und' "
     + " ".join(f"WHEN s_{lg} = best THEN '{lg}'" for lg in _LANG_SCORES)
     + " END)) AS lang_match FROM s"
 )
@@ -1204,13 +1219,17 @@ def oracle_sql() -> dict[str, str]:
             FROM v
         """,
         "combination_oneof": """
+            WITH f AS (
+              SELECT doc_id,
+                     (n_chars IS NULL OR n_chars BETWEEN 50 AND 250) AS a_ok,
+                     (lang IS NULL OR lang = 'en') AS b_ok
+              FROM documents
+            )
             SELECT doc_id,
-                   ((CASE WHEN n_chars BETWEEN 50 AND 250 THEN 1 ELSE 0 END)
-                  + (CASE WHEN lang = 'en' THEN 1 ELSE 0 END))::BIGINT AS n_branches_passed,
-                   CASE WHEN (CASE WHEN n_chars BETWEEN 50 AND 250 THEN 1 ELSE 0 END)
-                           + (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) = 1
+                   (a_ok::INT + b_ok::INT)::BIGINT AS n_branches_passed,
+                   CASE WHEN a_ok::INT + b_ok::INT = 1
                         THEN 'SUCCESS' ELSE 'FAILURE' END AS result
-            FROM documents
+            FROM f
         """,
         "column_stats": stats_sql,
         "stats_violations": """
@@ -1306,7 +1325,7 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT doc_id, simhash FROM fp",
         "simhash_pairs": (
             _SIMHASH_CTE.replace("__DOCSRC__", "docs").replace(
-                "WITH toks AS", f"WITH docs AS ({_UNION_DUP_SQL}), toks AS", 1
+                "WITH base AS", f"WITH docs AS ({_UNION_DUP_SQL}), base AS", 1
             )
             + """
             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
@@ -1476,12 +1495,16 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN event_id % 13 = 0 THEN '{' || props ELSE props END)
         """,
         "combination_any": """
+            WITH f AS (
+              SELECT doc_id,
+                     (n_chars IS NULL OR n_chars BETWEEN 50 AND 250) AS a_ok,
+                     (lang IS NULL OR lang = 'en') AS b_ok
+              FROM documents
+            )
             SELECT doc_id,
-                   ((CASE WHEN n_chars BETWEEN 50 AND 250 THEN 1 ELSE 0 END)
-                  + (CASE WHEN lang = 'en' THEN 1 ELSE 0 END))::BIGINT AS n_branches_passed,
-                   CASE WHEN n_chars BETWEEN 50 AND 250 OR lang = 'en'
-                        THEN 'SUCCESS' ELSE 'FAILURE' END AS result
-            FROM documents
+                   (a_ok::INT + b_ok::INT)::BIGINT AS n_branches_passed,
+                   CASE WHEN a_ok OR b_ok THEN 'SUCCESS' ELSE 'FAILURE' END AS result
+            FROM f
         """,
         "corpus_doc_verdicts": f"""
             SELECT d.doc_id,
@@ -1498,7 +1521,8 @@ def oracle_sql() -> dict[str, str]:
         "combination_any_report": """
             WITH failing AS (
               SELECT doc_id FROM documents
-              WHERE NOT (n_chars BETWEEN 50 AND 250) AND lang <> 'en'
+              WHERE NOT (n_chars IS NULL OR n_chars BETWEEN 50 AND 250)
+                AND NOT (lang IS NULL OR lang = 'en')
             )
             SELECT doc_id, '/' AS span_path, 'combination.any' AS rule_id,
                    'error' AS severity,
@@ -1516,9 +1540,10 @@ def oracle_sql() -> dict[str, str]:
         "combination_oneof_report": """
             WITH f AS (
               SELECT doc_id,
-                     (CASE WHEN n_chars BETWEEN 50 AND 250 THEN 1 ELSE 0 END)
-                   + (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
-                     (n_chars BETWEEN 50 AND 250) AS a_ok, (lang = 'en') AS b_ok
+                     (n_chars IS NULL OR n_chars BETWEEN 50 AND 250)::INT
+                   + (lang IS NULL OR lang = 'en')::INT AS np,
+                     (n_chars IS NULL OR n_chars BETWEEN 50 AND 250) AS a_ok,
+                     (lang IS NULL OR lang = 'en') AS b_ok
               FROM documents
             )
             SELECT doc_id, '/' AS span_path, 'combination.oneOf' AS rule_id,
