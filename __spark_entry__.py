@@ -105,12 +105,8 @@ def q_corpus_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.row_checks import violations_df
     from json_validator_spark.sources.derive import derive_corpus, derived_corpus_ruleset
 
-    # the documents parquet is one tiny file → one input partition; spread
-    # it before the compute-heavy span derivation so all cores participate
-    docs = _load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    corpus = derive_corpus(docs)
+    # spread before the compute-heavy span derivation (see _load_spread)
+    corpus = derive_corpus(_load_spread(spark, sf_dir, "documents"))
     return violations_df(corpus, derived_corpus_ruleset())
 
 
@@ -217,14 +213,24 @@ def q_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _load(spark, sf_dir, "lineitem")
-    bucket = F.least(
+def _qty_bucket() -> "F.Column":
+    """The fixed-edge l_quantity bucket shared by q_histogram and
+    q_drift_psi — one definition, mirrored once in SQL
+    (``_QTY_BUCKET_SQL``)."""
+    return F.least(
         F.greatest(
             F.floor((F.col("l_quantity") - 1.0) / 49.0 * 10).cast("int"), F.lit(0)
         ),
         F.lit(9),
     )
+
+
+_QTY_BUCKET_SQL = "least(greatest(floor((l_quantity - 1.0) / 49.0 * 10)::INT, 0), 9)"
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")
+    bucket = _qty_bucket()
     return (
         li.select(bucket.alias("bucket"))
         .groupBy("bucket")
@@ -234,12 +240,7 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _load(spark, sf_dir, "lineitem")
-    bucket = F.least(
-        F.greatest(
-            F.floor((F.col("l_quantity") - 1.0) / 49.0 * 10).cast("int"), F.lit(0)
-        ),
-        F.lit(9),
-    )
+    bucket = _qty_bucket()
     half = (F.col("l_orderkey") % 2 == 0).cast("int")
     counts = (
         li.select(bucket.alias("bucket"), half.alias("base"))
@@ -545,9 +546,7 @@ def q_corpus_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.row_checks import with_violations
     from json_validator_spark.sources.derive import derive_corpus, derived_corpus_ruleset
 
-    docs = _load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _load_spread(spark, sf_dir, "documents")
     wv = with_violations(derive_corpus(docs), derived_corpus_ruleset())
     return doc_verdicts(wv).select(
         "doc_id", F.col("n_errors").cast("long").alias("n_errors"), "result"
@@ -971,16 +970,19 @@ SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
 """
 
 
-def _duck_parity(plane: str, j: str) -> str:
-    return f"((('0x' || substr(md5({plane} || ':' || {j}), 1, 2))::INT & 1) = 1)"
+def _duck_lsh_bucket(v: str, n_planes: int, offset: int) -> str:
+    """Sign-projection bucket with a plane-family offset — mirrors
+    ``operators/similarity.with_lsh_bucket(plane_offset=offset)``."""
+    return (
+        f"list_sum(list_transform(generate_series(0, {n_planes - 1}), p -> CASE WHEN "
+        f"list_sum(list_transform(generate_series(1, 64), j -> {v}[j]::DOUBLE * "
+        f"(CASE WHEN (('0x' || substr(md5((p + {offset})::VARCHAR || ':' || (j - 1)::VARCHAR), 1, 2))::INT & 1) = 1 "
+        f"THEN 1.0 ELSE -1.0 END))) >= 0 THEN (1 << p) ELSE 0 END))::INT"
+    )
 
 
-_LSH_BUCKET = (
-    "list_sum(list_transform(generate_series(0, 7), p -> CASE WHEN "
-    "list_sum(list_transform(generate_series(1, 64), j -> {v}[j]::DOUBLE * "
-    "(CASE WHEN (('0x' || substr(md5(p::VARCHAR || ':' || (j-1)::VARCHAR), 1, 2))::INT & 1) = 1 "
-    "THEN 1.0 ELSE -1.0 END))) >= 0 THEN (1 << p) ELSE 0 END))::INT"
-)
+# the knn_lsh oracle buckets with the same builder (8 planes, family 0)
+_LSH_BUCKET = _duck_lsh_bucket("{v}", 8, 0)
 
 _KNN_LSH_SQL = f"""
 WITH v AS (
@@ -1003,17 +1005,6 @@ WITH v AS (
 )
 SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
 """
-
-def _duck_lsh_bucket(v: str, n_planes: int, offset: int) -> str:
-    """Sign-projection bucket with a plane-family offset — mirrors
-    ``operators/similarity.with_lsh_bucket(plane_offset=offset)``."""
-    return (
-        f"list_sum(list_transform(generate_series(0, {n_planes - 1}), p -> CASE WHEN "
-        f"list_sum(list_transform(generate_series(1, 64), j -> {v}[j]::DOUBLE * "
-        f"(CASE WHEN (('0x' || substr(md5((p + {offset})::VARCHAR || ':' || (j - 1)::VARCHAR), 1, 2))::INT & 1) = 1 "
-        f"THEN 1.0 ELSE -1.0 END))) >= 0 THEN (1 << p) ELSE 0 END))::INT"
-    )
-
 
 # Mirrors sources/derive.derive_corpus + sources/synth.span_signature:
 # rebuild every span (kind, text chunk, media_ref) from the raw documents
@@ -1197,7 +1188,7 @@ def oracle_sql() -> dict[str, str]:
         f"count(DISTINCT {c})::BIGINT AS n_distinct FROM lineitem"
         for c in stats_cols
     )
-    bucket = "least(greatest(floor((l_quantity - 1.0) / 49.0 * 10)::INT, 0), 9)"
+    bucket = _QTY_BUCKET_SQL
     return {
         "corpus_validation": _CORPUS_SQL,
         "row_rules": _ROW_RULES_SQL,
