@@ -708,6 +708,143 @@ def q_combination_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_keyword_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kitchen-sink oracle for the scalar keyword families that were
+    pytest-only through round 2 (VERDICT r02 next-round #1): type
+    (try_cast), unionType (lexical), min/maxLength, multipleOf, in-schema
+    allOf/anyOf/oneOf/not, a 2-level $ref chain, contentEncoding,
+    contentMediaType, readOnly (forbidden), draft-4 ``dependencies``
+    (dependentRequired alias) and ``notAllowed`` (false schema) — the
+    keyword catalog the reference treats as its contract
+    (``jsv-messages.properties:1-71``, ``JSONValidator.java:381-397``).
+    Deterministic derived columns give every keyword both passing and
+    failing rows; everything flows through the ordinary compile path
+    (``rules/vocabulary.build_pass`` via ``violations_df``)."""
+    from json_validator_spark.operators.row_checks import violations_df
+    from json_validator_spark.rules.model import Rule, RuleSet
+
+    d = F.col("doc_id")
+    frame = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars",
+        F.when(d % 7 == 0, F.concat(F.lit("x"), d.cast("string")))
+        .otherwise(d.cast("string")).alias("s_num"),
+        F.when(d % 3 == 0, F.lit("true"))
+        .when(d % 3 == 1, d.cast("string"))
+        .otherwise(F.lit("maybe")).alias("s_tok"),
+        F.when(d % 9 == 0, F.lit("!!!!")).otherwise(F.lit("QUJD")).alias("b64"),
+        F.when(d % 8 == 0, F.lit("not a media type"))
+        .otherwise(F.lit("text/plain")).alias("mt"),
+        F.when(d % 21 == 0, F.lit("x")).alias("ro"),
+        F.when(d % 19 == 0, F.lit("x")).alias("junk"),
+    )
+    defs = {
+        "cap": {"kind": "maximum", "params": {"value": 350}},
+        "cap_ref": {"kind": "$ref", "params": {"ref": "cap"}},
+    }
+    rs = RuleSet(
+        name="kw-scalars",
+        rules=(
+            Rule("type.s_num", "/s_num", "type", {"type": "integer"}),
+            Rule("uniontype.s_tok", "/s_tok", "unionType",
+                 {"types": ["integer", "boolean"], "lexical": True}),
+            Rule("minlength.source", "/source", "minLength", {"value": 4}),
+            Rule("maxlength.source", "/source", "maxLength", {"value": 4},
+                 severity="warning"),
+            Rule("multipleof.n_chars", "/n_chars", "multipleOf", {"value": 5}),
+            Rule("allof.n_chars", "/n_chars", "allOf", {"schemas": [
+                {"kind": "minimum", "params": {"value": 50}},
+                {"kind": "maximum", "params": {"value": 400}}]}),
+            Rule("anyof.n_chars", "/n_chars", "anyOf", {"schemas": [
+                {"kind": "maximum", "params": {"value": 100}},
+                {"kind": "minimum", "params": {"value": 300}}]}),
+            Rule("oneof.n_chars", "/n_chars", "oneOf", {"schemas": [
+                {"kind": "minimum", "params": {"value": 150}},
+                {"kind": "maximum", "params": {"value": 200}}]}),
+            Rule("not.n_chars", "/n_chars", "not",
+                 {"schema": {"kind": "maximum", "params": {"value": 60}}}),
+            Rule("ref.n_chars", "/n_chars", "$ref", {"ref": "cap_ref"}),
+            Rule("contentencoding.b64", "/b64", "contentEncoding", {}),
+            Rule("contentmediatype.mt", "/mt", "contentMediaType", {}),
+            Rule("readonly.ro", "/ro", "readOnly", {}),
+            Rule("dependencies.lang", "/lang", "dependencies",
+                 {"if_target": "/source"}),
+            Rule("notallowed.junk", "/junk", "notAllowed", {}),
+        ),
+    )
+    return violations_df(frame, rs, definitions=defs)
+
+
+def q_keyword_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kitchen-sink oracle for the array/object keyword families
+    (VERDICT r02 next-round #1): uniqueItems, items, additionalItems
+    (items + ``start`` prefix offset), prefixItems, contains,
+    min/maxProperties, propertyNames, requiredKey, patternProperties,
+    dependentSchemas, per-key ``properties`` and the OpenAPI
+    ``discriminator`` — over a deterministic array column and a
+    synthesized ``map<string,string>`` whose key set varies per doc.
+    The DuckDB mirror recomputes every failing condition independently
+    from ``doc_id`` arithmetic (it never builds the map), so the rows
+    are a hard cross-engine check of the predicate semantics."""
+    from json_validator_spark.operators.row_checks import violations_df
+    from json_validator_spark.rules.model import Rule, RuleSet
+
+    d = F.col("doc_id")
+
+    def ent(cond, k, v):
+        return F.when(cond, F.struct(F.lit(k).alias("key"), v.alias("value")))
+
+    entries = F.array_compact(F.array(
+        ent(F.lit(True), "id", d.cast("string")),
+        ent(d % 4 != 0, "lang", F.coalesce(F.col("lang"), F.lit("und"))),
+        ent(d % 5 == 0, "x9",
+            F.when(d % 20 == 0, F.lit("oops"))
+            .otherwise(F.concat(F.lit("v"), (d % 10).cast("string")))),
+        ent(d % 3 == 0, "note", F.lit("n")),
+        ent(d % 11 == 0, "Bad-Key", F.lit("b")),
+        ent(d % 17 != 0, "kind",
+            F.when(d % 13 == 0, F.lit("zz"))
+            .when(d % 2 == 0, F.lit("a"))
+            .otherwise(F.lit("b"))),
+    ))
+    frame = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array((d % 5).cast("int"), (d % 3).cast("int"), (d % 7).cast("int")).alias("arr"),
+        F.map_from_entries(entries).alias("pm"),
+    )
+    rs = RuleSet(
+        name="kw-objects",
+        rules=(
+            Rule("uniqueitems.arr", "/arr", "uniqueItems", {}),
+            Rule("items.arr", "/arr", "items",
+                 {"schema": {"kind": "maximum", "params": {"value": 4}}}),
+            Rule("additionalitems.arr", "/arr", "additionalItems",
+                 {"schema": {"kind": "maximum", "params": {"value": 3}}, "start": 2}),
+            Rule("prefixitems.arr", "/arr", "prefixItems", {"schemas": [
+                {"kind": "minimum", "params": {"value": 1}},
+                {"kind": "maximum", "params": {"value": 1}}]}),
+            Rule("contains.arr", "/arr", "contains",
+                 {"schema": {"kind": "maximum", "params": {"value": 2}}, "min": 2}),
+            Rule("minprops.pm", "/pm", "minProperties", {"value": 3}),
+            Rule("maxprops.pm", "/pm", "maxProperties", {"value": 5}),
+            Rule("propnames.pm", "/pm", "propertyNames", {"regex": "^[a-z][a-z0-9]*$"}),
+            Rule("requiredkey.pm", "/pm", "requiredKey", {"key": "lang"}),
+            Rule("patternprops.pm", "/pm", "patternProperties",
+                 {"key_regex": "^x",
+                  "schema": {"kind": "pattern", "params": {"regex": "^v[0-9]$"}}}),
+            Rule("depschemas.pm", "/pm", "dependentSchemas",
+                 {"key": "note",
+                  "schema": {"kind": "requiredKey", "params": {"key": "lang"}}}),
+            Rule("properties.pm", "/pm", "properties",
+                 {"properties": {"kind": {"kind": "enum", "params": {"values": ["a", "b"]}}}}),
+            Rule("discriminator.pm", "/pm", "discriminator",
+                 {"key": "kind", "mapping": {
+                     "a": {"kind": "minProperties", "params": {"value": 2}},
+                     "b": {"kind": "requiredKey", "params": {"key": "note"}}}}),
+        ),
+    )
+    return violations_df(frame, rs)
+
+
 def q_windowed_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed verdict rollup (streaming/validate_stream's
     aggregation, batch mode) — hourly event counts + per-window rule
@@ -849,6 +986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combination_any_report": q_combination_any_report,
         "combination_oneof_report": q_combination_oneof_report,
         "combination_grouped": q_combination_grouped,
+        "keyword_scalars": q_keyword_scalars,
+        "keyword_objects": q_keyword_objects,
         "windowed_event_rates": q_windowed_event_rates,
         "approx_stats": q_approx_stats,
         "tdigest": q_tdigest,
@@ -1166,6 +1305,129 @@ WITH g AS (
 SELECT doc_id, unnest(fps) AS fingerprint FROM w
 """
 
+# Mirrors q_keyword_scalars: every failing condition recomputed from the
+# raw documents columns; messages quote rules/messages.py 'en' verbatim
+# (aliased kinds surface their NORMALIZED kind: readOnly->forbidden,
+# dependencies->dependentRequired, notAllowed->'false', $ref->maximum).
+_KW_SCALARS_SQL = """
+SELECT doc_id, '/s_num' AS span_path, 'type.s_num' AS rule_id, 'error' AS severity,
+       '[/s_num] value is not of the expected type' AS message
+FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id, '/s_tok', 'uniontype.s_tok', 'error',
+       '[/s_tok] value is not of the expected type'
+FROM documents WHERE doc_id % 3 = 2
+UNION ALL
+SELECT doc_id, '/source', 'minlength.source', 'error',
+       '[/source] constraint ''minLength'' violated'
+FROM documents WHERE source IS NOT NULL AND length(source) < 4
+UNION ALL
+SELECT doc_id, '/source', 'maxlength.source', 'warning',
+       '[/source] constraint ''maxLength'' violated'
+FROM documents WHERE source IS NOT NULL AND length(source) > 4
+UNION ALL
+SELECT doc_id, '/n_chars', 'multipleof.n_chars', 'error',
+       '[/n_chars] constraint ''multipleOf'' violated'
+FROM documents WHERE n_chars IS NOT NULL AND n_chars % 5 <> 0
+UNION ALL
+SELECT doc_id, '/n_chars', 'allof.n_chars', 'error',
+       '[/n_chars] constraint ''allOf'' violated'
+FROM documents WHERE n_chars IS NOT NULL AND (n_chars < 50 OR n_chars > 400)
+UNION ALL
+SELECT doc_id, '/n_chars', 'anyof.n_chars', 'error',
+       '[/n_chars] constraint ''anyOf'' violated'
+FROM documents WHERE n_chars IS NOT NULL AND n_chars > 100 AND n_chars < 300
+UNION ALL
+SELECT doc_id, '/n_chars', 'oneof.n_chars', 'error',
+       '[/n_chars] constraint ''oneOf'' violated'
+FROM documents WHERE n_chars IS NOT NULL AND n_chars BETWEEN 150 AND 200
+UNION ALL
+SELECT doc_id, '/n_chars', 'not.n_chars', 'error',
+       '[/n_chars] constraint ''not'' violated'
+FROM documents WHERE n_chars IS NOT NULL AND n_chars <= 60
+UNION ALL
+SELECT doc_id, '/n_chars', 'ref.n_chars', 'error',
+       '[/n_chars] constraint ''maximum'' violated'
+FROM documents WHERE n_chars IS NOT NULL AND n_chars > 350
+UNION ALL
+SELECT doc_id, '/b64', 'contentencoding.b64', 'error',
+       '[/b64] constraint ''contentEncoding'' violated'
+FROM documents WHERE doc_id % 9 = 0
+UNION ALL
+SELECT doc_id, '/mt', 'contentmediatype.mt', 'error',
+       '[/mt] constraint ''contentMediaType'' violated'
+FROM documents WHERE doc_id % 8 = 0
+UNION ALL
+SELECT doc_id, '/ro', 'readonly.ro', 'error',
+       '[/ro] value must not be present'
+FROM documents WHERE doc_id % 21 = 0
+UNION ALL
+SELECT doc_id, '/lang', 'dependencies.lang', 'error',
+       '[/lang] dependent required value is missing'
+FROM documents WHERE source IS NOT NULL AND lang IS NULL
+UNION ALL
+SELECT doc_id, '/junk', 'notallowed.junk', 'error',
+       '[/junk] constraint ''false'' violated'
+FROM documents WHERE doc_id % 19 = 0
+"""
+
+# Mirrors q_keyword_objects. nkeys / kindv reconstruct the synthetic map's
+# key set and discriminating value from doc_id arithmetic alone.
+_KW_OBJECTS_SQL = """
+WITH k AS (
+  SELECT doc_id AS d,
+         1 + (doc_id % 4 <> 0)::INT + (doc_id % 5 = 0)::INT + (doc_id % 3 = 0)::INT
+           + (doc_id % 11 = 0)::INT + (doc_id % 17 <> 0)::INT AS nkeys,
+         CASE WHEN doc_id % 17 = 0 THEN NULL
+              WHEN doc_id % 13 = 0 THEN 'zz'
+              WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS kindv
+  FROM documents
+)
+SELECT d AS doc_id, '/arr' AS span_path, 'uniqueitems.arr' AS rule_id,
+       'error' AS severity, '[/arr] array elements are not unique' AS message
+FROM k WHERE len(list_distinct([d % 5, d % 3, d % 7])) < 3
+UNION ALL
+SELECT d, '/arr', 'items.arr', 'error', '[/arr] constraint ''items'' violated'
+FROM k WHERE d % 7 > 4
+UNION ALL
+SELECT d, '/arr', 'additionalitems.arr', 'error', '[/arr] constraint ''items'' violated'
+FROM k WHERE d % 7 > 3
+UNION ALL
+SELECT d, '/arr', 'prefixitems.arr', 'error', '[/arr] constraint ''prefixItems'' violated'
+FROM k WHERE d % 5 = 0 OR d % 3 = 2
+UNION ALL
+SELECT d, '/arr', 'contains.arr', 'error',
+       '[/arr] array does not contain the required number of matching elements'
+FROM k WHERE d % 5 > 2 AND d % 7 > 2
+UNION ALL
+SELECT d, '/pm', 'minprops.pm', 'error', '[/pm] constraint ''minProperties'' violated'
+FROM k WHERE nkeys < 3
+UNION ALL
+SELECT d, '/pm', 'maxprops.pm', 'error', '[/pm] constraint ''maxProperties'' violated'
+FROM k WHERE nkeys > 5
+UNION ALL
+SELECT d, '/pm', 'propnames.pm', 'error', '[/pm] constraint ''propertyNames'' violated'
+FROM k WHERE d % 11 = 0
+UNION ALL
+SELECT d, '/pm', 'requiredkey.pm', 'error', '[/pm] constraint ''requiredKey'' violated'
+FROM k WHERE d % 4 = 0
+UNION ALL
+SELECT d, '/pm', 'patternprops.pm', 'error',
+       '[/pm] constraint ''patternProperties'' violated'
+FROM k WHERE d % 20 = 0
+UNION ALL
+SELECT d, '/pm', 'depschemas.pm', 'error',
+       '[/pm] constraint ''dependentSchemas'' violated'
+FROM k WHERE d % 3 = 0 AND d % 4 = 0
+UNION ALL
+SELECT d, '/pm', 'properties.pm', 'error', '[/pm] constraint ''properties'' violated'
+FROM k WHERE kindv = 'zz'
+UNION ALL
+SELECT d, '/pm', 'discriminator.pm', 'error',
+       '[/pm] constraint ''discriminator'' violated'
+FROM k WHERE kindv IS NULL OR kindv = 'zz' OR (kindv = 'b' AND d % 3 <> 0)
+"""
+
 _EVENTS_SQL = """
 SELECT event_id AS doc_id, '/props/k' AS span_path,
        'requiredKey.props.k' AS rule_id, 'error' AS severity
@@ -1476,6 +1738,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d "
             "LEFT JOIN ov ON ov.doc_id = d.doc_id"
         ),
+        "keyword_scalars": _KW_SCALARS_SQL,
+        "keyword_objects": _KW_OBJECTS_SQL,
         "events_json": _EVENTS_SQL,
         "corrupt_records": """
             SELECT event_id::VARCHAR AS doc_id, '/props' AS span_path,
