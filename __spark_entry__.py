@@ -356,18 +356,35 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN (deterministic mini-k-means codebook,
-    Arrow-batched assignment, probe-2-of-8 clusters). Approximate by
-    design → rows-only check; exact paths are oracle-checked as
-    knn_bruteforce / knn_numpy."""
-    from json_validator_spark.operators.similarity import ivf_topk
+    Arrow-batched assignment, probe-2-of-8 clusters) under the
+    tolerance-boolean oracle contract (the ``tdigest`` pattern —
+    VERDICT r02 next-round #5): per query, recall is computed in-Spark
+    against the exact top-k (itself oracle-checked as ``knn_numpy``)
+    and ``recall_ok`` asserts it meets the 0.6 floor the pytest suite
+    quantifies (``test_ivf_recall_floor``; 0.6 is also the measured
+    per-query minimum across sf0.001/0.01/0.1 at this config). A
+    recall regression flips the boolean and reds the hash check."""
+    from json_validator_spark.operators.similarity import cosine_topk_numpy, ivf_topk
 
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=2)
-    return out.select(
-        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "sim"
+    approx = ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=2).select(
+        "query_id", "neighbor_id"
+    )
+    exact = cosine_topk_numpy(emb, queries, k=5).select("query_id", "neighbor_id")
+    hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    per_q = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return per_q.join(hits, "query_id", "left").select(
+        "query_id",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (
+            F.coalesce("n_hits", F.lit(0))
+            >= F.ceil(F.lit(0.6) * F.col("n_exact"))
+        ).alias("recall_ok"),
     )
 
 
@@ -603,9 +620,16 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multimodal decode: genuine P6 PPM / PCM WAV payloads parsed
-    with pure numpy/struct (``operators/media_codecs``), features from
-    the decoded pixels/samples, corrupt payloads surfacing as
-    decode_ok=false. Rows-only (binary pipeline; no SQL analogue)."""
+    with pure numpy/struct (``operators/media_codecs``), corrupt
+    payloads surfacing as decode_ok=false — now a COUNT-contract oracle
+    row (VERDICT r02 next-round #6): the corruption decision is an
+    md5-threshold on ``media_ref`` (``media.synth_decodable_media``:
+    ``md5(ref)[0] % 97 == 0``) and the catalog refs/mimes are pure
+    ``doc id`` arithmetic (``sources/synth.synth_media_catalog``), so
+    DuckDB reproduces the full (mime_type, decode_ok, n) contingency
+    table without decoding a byte. The decoded-pixel/sample features
+    (brightness/rms) stay engine-side, covered by the codec round-trip
+    pytest."""
     from json_validator_spark.operators.media import (
         decode_media_features,
         synth_decodable_media,
@@ -616,11 +640,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = decode_media_features(media)
     return (
         f.groupBy("mime_type", "decode_ok")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("brightness"), 6).alias("avg_brightness"),
-            F.round(F.avg("rms"), 6).alias("avg_rms"),
-        )
+        .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("mime_type", "decode_ok")
     )
 
@@ -705,6 +725,50 @@ def q_combination_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_branches_passed").cast("long").alias("n_groups_passed"),
         F.size("violations").cast("long").alias("n_violations"),
         F.when(F.col("doc_pass"), F.lit("SUCCESS")).otherwise(F.lit("FAILURE")).alias("result"),
+    )
+
+
+def q_top_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The truncated human-facing export (``ValidationRunner.java:163-176``
+    caps) as a hard oracle row (VERDICT r02 next-round #8): top-3 rules
+    by frequency over the derived-corpus violations, deterministic
+    tiebreak (count desc, rule_id, severity) — k=3 of 4 rule families,
+    so the truncation path is actually exercised."""
+    from json_validator_spark.operators.report import top_violations
+    from json_validator_spark.operators.row_checks import violations_df
+    from json_validator_spark.sources.derive import derive_corpus, derived_corpus_ruleset
+
+    corpus = derive_corpus(_load_spread(spark, sf_dir, "documents"))
+    v = violations_df(corpus, derived_corpus_ruleset())
+    return top_violations(v, k=3).select(
+        "rule_id", "severity", F.col("count").cast("long").alias("count")
+    )
+
+
+def q_tar_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TAR-shaped report contract (``JSONValidator.java:
+    443-500``) as a hard oracle row (VERDICT r02 next-round #8):
+    result + counters + the FULL ordered report-item list, content and
+    ReportItemComparator ordering included, collapsed to an md5
+    signature (md5 of the '|'-joined items in sorted order) that DuckDB
+    reconstructs independently — any item, field, or ordering drift
+    reds the hash."""
+    from json_validator_spark.operators.report import doc_verdicts, tar_reports
+    from json_validator_spark.operators.row_checks import violations_df, with_violations
+
+    docs = _load(spark, sf_dir, "documents")
+    dv = doc_verdicts(with_violations(docs, _doc_ruleset()))
+    t = tar_reports(dv, violations_df(docs, _doc_ruleset()))
+    item = lambda r: F.concat_ws(  # noqa: E731
+        "|", r["location"], r["rule_id"], r["severity"], r["description"]
+    )
+    return t.select(
+        "doc_id",
+        "result",
+        F.col("counters.nrOfErrors").alias("nrOfErrors"),
+        F.col("counters.nrOfWarnings").alias("nrOfWarnings"),
+        F.size("reports").cast("long").alias("n_items"),
+        F.md5(F.array_join(F.transform("reports", item), ";")).alias("reports_sig"),
     )
 
 
@@ -986,6 +1050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combination_any_report": q_combination_any_report,
         "combination_oneof_report": q_combination_oneof_report,
         "combination_grouped": q_combination_grouped,
+        "top_violations": q_top_violations,
+        "tar_reports": q_tar_reports,
         "keyword_scalars": q_keyword_scalars,
         "keyword_objects": q_keyword_objects,
         "windowed_event_rates": q_windowed_event_rates,
@@ -1738,6 +1804,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d "
             "LEFT JOIN ov ON ov.doc_id = d.doc_id"
         ),
+        "top_violations": (
+            f"WITH viol AS ({_CORPUS_SQL}) "
+            "SELECT rule_id, severity, count(*)::BIGINT AS count FROM viol "
+            "GROUP BY 1, 2 ORDER BY count DESC, rule_id, severity LIMIT 3"
+        ),
+        "tar_reports": f"""
+            WITH v AS ({_ROW_RULES_SQL}),
+            agg AS (
+              SELECT doc_id, count(*) AS n_items,
+                     md5(string_agg(
+                       span_path || '|' || rule_id || '|' || severity || '|' || message,
+                       ';' ORDER BY span_path, rule_id, severity, message)) AS sig
+              FROM v GROUP BY doc_id
+            ), base AS ({_VERDICT_BASE})
+            SELECT base.doc_id::VARCHAR AS doc_id,
+                   CASE WHEN n_errors = 0 THEN 'SUCCESS' ELSE 'FAILURE' END AS result,
+                   n_errors AS "nrOfErrors", n_warnings AS "nrOfWarnings",
+                   coalesce(n_items, 0)::BIGINT AS n_items,
+                   coalesce(sig, md5('')) AS reports_sig
+            FROM base LEFT JOIN agg ON agg.doc_id = base.doc_id
+        """,
         "keyword_scalars": _KW_SCALARS_SQL,
         "keyword_objects": _KW_OBJECTS_SQL,
         "events_json": _EVENTS_SQL,
@@ -1873,6 +1960,34 @@ def oracle_sql() -> dict[str, str]:
             f"true AS hll_ok, true AS gk_ok FROM lineitem"
             for c in ["l_quantity", "l_extendedprice", "l_orderkey"]
         ),
-        # knn_ivf / media_features: approximate-by-design recall set and
-        # stubbed codec → genuinely no SQL oracle (rows-only).
+        # IVF is approximate by design; the contract row asserts the
+        # quantified 0.6 per-query recall floor (tolerance-boolean,
+        # like tdigest) — the exact neighbor sets themselves are
+        # oracle-checked as knn_bruteforce / knn_numpy.
+        "knn_ivf": """
+            SELECT vec_id AS query_id, 5::BIGINT AS n_exact, true AS recall_ok
+            FROM embeddings WHERE vec_id < 8
+        """,
+        # Mirrors media.synth_decodable_media + sources/synth.synth_media_catalog:
+        # media_ref = 'media://' || uuid-format(lpad(hex(id),32,'0')) for
+        # id in [0, 495); mime = [png,jpeg,wav][id % 3]; decode fails iff
+        # md5(ref)'s first byte % 97 == 0 (the deterministic corruption).
+        "media_decode": """
+            WITH ids AS (SELECT unnest(generate_series(0, 494)) AS id),
+            refs AS (
+              SELECT 'media://' || substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-'
+                     || substr(h, 13, 4) || '-' || substr(h, 17, 4) || '-'
+                     || substr(h, 21, 12) AS media_ref,
+                     CASE id % 3 WHEN 0 THEN 'image/png'
+                                 WHEN 1 THEN 'image/jpeg'
+                                 ELSE 'audio/wav' END AS mime_type
+              FROM (SELECT id, lpad(lower(to_hex(id)), 32, '0') AS h FROM ids) t
+            )
+            SELECT mime_type,
+                   (('0x' || substr(md5(media_ref), 1, 2))::INT % 97) <> 0 AS decode_ok,
+                   count(*)::BIGINT AS n
+            FROM refs GROUP BY 1, 2
+        """,
+        # media_features: stubbed-codec byte-feature pipeline → genuinely
+        # no SQL oracle (rows-only).
     }
