@@ -59,11 +59,22 @@ def main() -> None:
     synth_documents(spark, 1000).count()
 
     timings: dict[str, float] = {}
+    # Min-of-N timing (default 2): the sandbox's ambient load is documented
+    # at up to 2x between runs minutes apart (BENCH.md), and a single timed
+    # pass let one load spike define the official BENCH_r02 artifact
+    # (VERDICT r02 next-round #2). The min over repeats measures the
+    # engine, not the neighbors; every query is deterministic and
+    # side-effect-free (gen_synth overwrites), so repetition is sound.
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
 
     def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, out = None, None
+        for _ in range(max(repeats, 1)):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         return out
 
     # The corpus is a TABLE input (input_hint: an Iceberg table) — generate
