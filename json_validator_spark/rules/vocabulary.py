@@ -53,6 +53,12 @@ def _inner_pred(schema: dict[str, Any]) -> Callable[[Column], Column]:
 # patternProperties key regexes so pattern-matched keys stay evaluated;
 # `readOnly`/`writeOnly` (:25,:35) ≡ forbidden; `unionType` (:28) ≡ type
 # with a types list; `notAllowed` (:46) ≡ false.
+#
+# BOUNDARY: these alias encodings cover the flat-rule reading of the
+# draft-2020-12 unevaluated* keywords, NOT cross-subschema annotation
+# flow ($dynamicRef, prefixes/properties contributed by sibling
+# allOf/if branches) — see README "Draft-2020-12 annotation boundary"
+# for the precise statement and per-divergence reference lines.
 ALIASES = {
     "dependencies": "dependentRequired",
     "additionalItems": "items",
