@@ -728,6 +728,57 @@ def q_combination_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weight downsampling (``operators/sampling``): keep en at
+    0.5, es at 0.25, fr at 0.1, everything else (incl. NULL lang) at
+    0.05 — plan-constant md5 decision per doc_id, pure narrow filter,
+    bit-reproduced by the DuckDB mirror."""
+    from json_validator_spark.operators.sampling import stratified_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", {"en": 0.5, "es": 0.25, "fr": 0.1}, default_fraction=0.05
+    ).select("doc_id", "lang")
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test carve (80/10/10) by id-hash
+    cumulative weight — every row lands in exactly one split, identical
+    at any parallelism / partitioning."""
+    from json_validator_spark.operators.sampling import hash_split
+
+    docs = _load(spark, sf_dir, "documents")
+    return hash_split(docs).select("doc_id", "split")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (``operators/scrub``): deterministic email/phone
+    injection into the corpus text (every 7th / 11th doc), then one
+    narrow scrub pass — per-doc counts measured on the original text
+    plus the md5 of the redacted text, both DuckDB-reproduced."""
+    from json_validator_spark.operators.scrub import pii_scrub
+
+    d = F.col("doc_id")
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            d % 7 == 0,
+            F.concat(F.col("text"), F.lit(" contact user"), d.cast("string"),
+                     F.lit("@example.com")),
+        ).when(
+            d % 11 == 0,
+            F.concat(F.col("text"), F.lit(" call 555-123-4567 now")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = pii_scrub(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        F.md5("scrubbed").alias("scrub_sig"),
+    )
+
+
 def q_top_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The truncated human-facing export (``ValidationRunner.java:163-176``
     caps) as a hard oracle row (VERDICT r02 next-round #8): top-3 rules
@@ -1050,6 +1101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combination_any_report": q_combination_any_report,
         "combination_oneof_report": q_combination_oneof_report,
         "combination_grouped": q_combination_grouped,
+        "stratified_sample": q_stratified_sample,
+        "hash_split": q_hash_split,
+        "pii_scrub": q_pii_scrub,
         "top_violations": q_top_violations,
         "tar_reports": q_tar_reports,
         "keyword_scalars": q_keyword_scalars,
@@ -1804,6 +1858,39 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d "
             "LEFT JOIN ov ON ov.doc_id = d.doc_id"
         ),
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_duck_u("doc_id::VARCHAR, 'strat'")} <
+                  CASE WHEN lang = 'en' THEN 0.5
+                       WHEN lang = 'es' THEN 0.25
+                       WHEN lang = 'fr' THEN 0.1
+                       ELSE 0.05 END
+        """,
+        "hash_split": f"""
+            SELECT doc_id,
+                   CASE WHEN {_duck_u("doc_id::VARCHAR, 'split'")} < 0.8 THEN 'train'
+                        WHEN {_duck_u("doc_id::VARCHAR, 'split'")} < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "pii_scrub": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                            THEN text || ' contact user' || doc_id::VARCHAR || '@example.com'
+                          WHEN doc_id % 11 = 0
+                            THEN text || ' call 555-123-4567 now'
+                          ELSE text END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+                   len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,
+                   md5(regexp_replace(
+                     regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                     '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS scrub_sig
+            FROM t
+        """,
         "top_violations": (
             f"WITH viol AS ({_CORPUS_SQL}) "
             "SELECT rule_id, severity, count(*)::BIGINT AS count FROM viol "

@@ -1,0 +1,80 @@
+"""Unit tests for the sampling/splitting and PII-scrub pipeline ops."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_validator_spark.operators.sampling import hash_split, stratified_sample
+from json_validator_spark.operators.scrub import pii_scrub
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, ["en", "es", "fr", "xx", None][i % 5]) for i in range(2000)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_stratified_sample_rates_and_determinism(spark, corpus):
+    fr = {"en": 0.5, "es": 0.25, "fr": 0.0}
+    out = stratified_sample(corpus, "lang", fr, default_fraction=0.1)
+    got = out.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in got}
+    # 400 docs per stratum; md5 uniform → binomial, generous bounds
+    assert 140 <= by_lang.get("en", 0) <= 260
+    assert 60 <= by_lang.get("es", 0) <= 140
+    assert "fr" not in by_lang  # 0.0 keeps nothing
+    assert 15 <= by_lang.get("xx", 0) <= 70  # default 0.1
+    assert 15 <= by_lang.get(None, 0) <= 70  # NULL stratum → default
+    # identical selection across runs and partitionings
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in stratified_sample(
+        corpus.repartition(13), "lang", fr, default_fraction=0.1).collect()}
+    assert a == b
+
+
+def test_hash_split_partition_and_weights(spark, corpus):
+    out = hash_split(corpus)
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 2000  # exactly one split per row
+    assert 1500 <= counts["train"] <= 1700
+    assert 120 <= counts["val"] <= 280
+    assert 120 <= counts["test"] <= 280
+    # deterministic assignment, invariant to partitioning
+    a = {(r["doc_id"], r["split"]) for r in out.collect()}
+    b = {(r["doc_id"], r["split"]) for r in hash_split(corpus.repartition(7)).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        hash_split(corpus, {"train": 0.5, "val": 0.1})
+
+
+def test_pii_scrub_counts_and_replacement(spark):
+    rows = [
+        (0, "write to alice.smith+x@mail.example.org today"),
+        (1, "call 555-123-4567 or 555-765-4321"),
+        (2, "clean text with no pii at all"),
+        (3, None),
+        (4, "both a@b.co and 111-222-3333 here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (out[0]["n_emails"], out[0]["n_phones"]) == (1, 0)
+    assert out[0]["scrubbed"] == "write to [EMAIL] today"
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (0, 2)
+    assert out[1]["scrubbed"] == "call [PHONE] or [PHONE]"
+    assert (out[2]["n_emails"], out[2]["n_phones"]) == (0, 0)
+    assert out[2]["scrubbed"] == rows[2][1]
+    assert out[3]["n_emails"] is None and out[3]["scrubbed"] is None
+    assert (out[4]["n_emails"], out[4]["n_phones"]) == (1, 1)
+    assert out[4]["scrubbed"] == "both [EMAIL] and [PHONE] here"
+
+
+def test_sampling_plans_are_narrow(spark, corpus):
+    """Both ops must stay pure narrow scan work — no Exchange anywhere."""
+    for op in (
+        stratified_sample(corpus, "lang", {"en": 0.5}),
+        hash_split(corpus),
+        pii_scrub(corpus.withColumn("text", F.lit("x"))),
+    ):
+        plan = op._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
