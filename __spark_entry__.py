@@ -309,10 +309,17 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded simhash near-dup pairs. The hot-bucket star guard is
+    explicitly disabled here (``max_bucket=10**6``): the oracle computes
+    the exact all-pairs hamming set, and the word-soup corpus at sf0.1
+    packs >1000 docs into single band buckets, where the guard would
+    (by design) emit the O(n) star subset instead. Production keeps the
+    default guard; its truncation semantics are pytest-covered
+    (``test_lsh_hot_bucket_star_guard``)."""
     from json_validator_spark.operators.dedup import simhash, simhash_neardup_pairs
 
     sims = simhash(_union_dup_docs(_load_spread(spark, sf_dir, "documents")))
-    return simhash_neardup_pairs(sims, max_hamming=3, n_bands=4)
+    return simhash_neardup_pairs(sims, max_hamming=3, n_bands=4, max_bucket=10**6)
 
 
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
