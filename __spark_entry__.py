@@ -810,13 +810,15 @@ def q_tar_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
     ReportItemComparator ordering included, collapsed to an md5
     signature (md5 of the '|'-joined items in sorted order) that DuckDB
     reconstructs independently — any item, field, or ordering drift
-    reds the hash."""
-    from json_validator_spark.operators.report import doc_verdicts, tar_reports
-    from json_validator_spark.operators.row_checks import violations_df, with_violations
+    reds the hash. Built via ``tar_reports_from_violations`` — counters
+    and the item list come out of ONE aggregation over the violation
+    stream (a separately-derived verdict frame would re-evaluate the
+    rule projection per consumer subtree)."""
+    from json_validator_spark.operators.report import tar_reports_from_violations
+    from json_validator_spark.operators.row_checks import violations_df
 
     docs = _load(spark, sf_dir, "documents")
-    dv = doc_verdicts(with_violations(docs, _doc_ruleset()))
-    t = tar_reports(dv, violations_df(docs, _doc_ruleset()))
+    t = tar_reports_from_violations(docs, violations_df(docs, _doc_ruleset()))
     item = lambda r: F.concat_ws(  # noqa: E731
         "|", r["location"], r["rule_id"], r["severity"], r["description"]
     )

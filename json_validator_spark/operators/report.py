@@ -141,6 +141,53 @@ def top_violations(violations: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def tar_reports_from_violations(
+    docs: DataFrame, violations: DataFrame, doc_id: str = "doc_id"
+) -> DataFrame:
+    """``tar_reports`` computed from the exploded violation stream in ONE
+    aggregation: counters (nrOfErrors/nrOfWarnings) and the sorted
+    report-item list come out of the same groupBy, then left-join back
+    to the corpus ids so clean docs get SUCCESS rows. Use this when the
+    violations are already materialized (the pipeline's normal state) —
+    passing separately-derived verdicts + violations into
+    ``tar_reports`` evaluates the rule projection once per consumer
+    subtree, twice the scan work for the same output."""
+    agg = (
+        violations.groupBy(F.col("doc_id").cast("string").alias("__d"))
+        .agg(
+            F.sum((F.col("severity") == "error").cast("long")).alias("n_errors"),
+            F.sum((F.col("severity") == "warning").cast("long")).alias("n_warnings"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("span_path").alias("location"),
+                        F.col("rule_id").alias("rule_id"),
+                        F.col("severity").alias("severity"),
+                        F.col("message").alias("description"),
+                    )
+                )
+            ).alias("reports"),
+        )
+    )
+    empty = F.array().cast(
+        "array<struct<location:string,rule_id:string,severity:string,description:string>>"
+    )
+    base = docs.select(F.col(doc_id).cast("string").alias("doc_id"))
+    return (
+        base.join(agg, base["doc_id"] == agg["__d"], "left")
+        .select(
+            "doc_id",
+            F.when(F.coalesce("n_errors", F.lit(0)) == 0, F.lit("SUCCESS"))
+            .otherwise(F.lit("FAILURE")).alias("result"),
+            F.struct(
+                F.coalesce("n_errors", F.lit(0)).alias("nrOfErrors"),
+                F.coalesce("n_warnings", F.lit(0)).alias("nrOfWarnings"),
+            ).alias("counters"),
+            F.coalesce("reports", empty).alias("reports"),
+        )
+    )
+
+
 def tar_reports(doc_verdicts_df: DataFrame, violations: DataFrame) -> DataFrame:
     """Per-document TAR-shaped report rows — the reference's JSON report
     contract (``JSONValidator.java:443-500``; JSON serialization of the

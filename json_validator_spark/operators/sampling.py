@@ -66,6 +66,9 @@ def hash_split(
     if weights is None:
         weights = {"train": 0.8, "val": 0.1, "test": 0.1}
     names = list(weights)
+    bad = {k: w for k, w in weights.items() if not 0.0 <= w <= 1.0}
+    if bad:
+        raise ValueError(f"split weights must each be in [0, 1]: {bad}")
     total = sum(weights.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"split weights must sum to 1 (got {total}): {dict(weights)}")

@@ -169,7 +169,16 @@ def winnow_fingerprints(
     byte order equals hex-lexicographic order, so the numeric sliding
     min selects exactly the same grams as the SQL ``min(gh)`` did; an
     in-array SQL fold was rejected round 1 (O(len²) HOF re-evaluation)
-    and stays rejected."""
+    and stays rejected.
+
+    Memory tradeoff vs the old exploded shape: the gram-hash array is
+    one row value of ~8 bytes per document CHARACTER (an Arrow batch
+    holds up to ``spark.sql.execution.arrow.maxRecordsPerBatch`` such
+    rows). For web-scale corpora that is fine — docs are length-capped
+    by the quality layer (``quality_scores``) long before
+    fingerprinting — but a pipeline fingerprinting multi-hundred-MB
+    blobs should split them upstream first; the shuffle-free plan is
+    the right trade everywhere else."""
     import pandas as pd
     from pyspark.sql.types import StructField, StructType, StringType
 

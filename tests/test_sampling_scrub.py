@@ -46,6 +46,8 @@ def test_hash_split_partition_and_weights(spark, corpus):
     assert a == b
     with pytest.raises(ValueError):
         hash_split(corpus, {"train": 0.5, "val": 0.1})
+    with pytest.raises(ValueError):  # sums to 1 but individually degenerate
+        hash_split(corpus, {"train": 1.5, "val": -0.5})
 
 
 def test_pii_scrub_counts_and_replacement(spark):
