@@ -48,6 +48,27 @@ def test_validate_run_end_to_end(spark):
     assert sum(r["n_docs"] for r in pv) == N_DOCS
 
 
+def test_run_metrics_single_action(spark):
+    """RunResult.metrics (the one-action bench path) must agree exactly
+    with the multi-action ground truth: total/error/warning violation
+    counts over the merged stream and the failing-row-rule-partition
+    count from partition_verdicts."""
+    from pyspark.sql import functions as F
+
+    docs = synth_documents(spark, N_DOCS)
+    cat = synth_media_catalog(spark)
+    res = validate_run(
+        spark, docs, corpus_ruleset(), media_catalog=cat, repartition_to=8,
+    )
+    m = res.metrics.collect()[0]
+    assert m["n_violations"] == res.violations.count()
+    sev = dict(res.violations.groupBy("severity").count().collect())
+    assert m["n_errors"] == sev.get("error", 0)
+    assert m["n_warnings"] == sev.get("warning", 0)
+    n_fail = res.partition_verdicts.filter(F.col("result") == "FAILURE").count()
+    assert m["n_failing_partitions"] == n_fail
+
+
 def test_determinism_across_parallelism(spark):
     """Same violation set regardless of partitioning — the N-vs-4N gate."""
     docs = synth_documents(spark, N_DOCS)
