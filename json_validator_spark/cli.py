@@ -73,13 +73,28 @@ def cmd_validate(args: argparse.Namespace) -> int:
         set_locale(args.locale)
 
     spark = get_spark(app_name="jvs-validate", master=args.master)
-    docs = load_table(spark, args.input)
-    media = load_table(spark, args.media_catalog) if args.media_catalog else None
     extra = (
         [load_table(spark, p) for p in args.extra_violations]
         if args.extra_violations
         else None
     )
+    if args.input_format == "jsonl":
+        # raw JSON-lines surface (the reference's file-upload analogue):
+        # corrupt lines become first-class violations, valid rows proceed
+        from json_validator_spark.sources.ingest import (
+            jsonl_corrupt_violations,
+            jsonl_valid,
+            load_jsonl,
+        )
+
+        if not args.input_schema:
+            raise SystemExit("--input-format jsonl requires --input-schema (DDL)")
+        raw = load_jsonl(spark, args.input, args.input_schema)
+        docs = jsonl_valid(raw)
+        extra = (extra or []) + [jsonl_corrupt_violations(raw)]
+    else:
+        docs = load_table(spark, args.input)
+    media = load_table(spark, args.media_catalog) if args.media_catalog else None
     ruleset = _load_ruleset(args.rules)
 
     t0 = time.perf_counter()
@@ -140,6 +155,16 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("validate", help="validate a documents table")
     v.add_argument("--input", required=True)
     v.add_argument("--output", required=True)
+    v.add_argument(
+        "--input-format", choices=["table", "jsonl"], default="table",
+        help="'table' = Iceberg/parquet; 'jsonl' = raw JSON lines with "
+        "corrupt-line capture (requires --input-schema)",
+    )
+    v.add_argument(
+        "--input-schema", default=None,
+        help="DDL schema for --input-format jsonl (explicit schema = "
+        "single-scan read, no inference pass)",
+    )
     v.add_argument("--rules", default=None, help="rule-table JSON (FIXTURES.md §4)")
     v.add_argument("--media-catalog", default=None)
     v.add_argument("--checkpoint", default=None)

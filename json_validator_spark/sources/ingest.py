@@ -56,6 +56,58 @@ def parse_json_column(
     )
 
 
+def load_jsonl(spark, path: str, schema: str) -> DataFrame:
+    """Raw JSON-lines ingestion with corrupt-line capture — the file
+    surface of the reference (``FileManager.java:100-139`` reads the
+    uploaded payload; a non-parseable file is rejected with a report).
+    Read as TEXT, parse with the same ``from_json`` null-disambiguation
+    as ``parse_json_column`` — one splittable scan, an explicit schema
+    (no inference pass), and none of Spark's raw-file
+    ``_corrupt_record``-only-query restrictions. One mangled line in a
+    billion reports a violation instead of failing the job.
+
+    Returns ``(_raw string, _doc struct<schema + _cr>)`` where
+    ``_doc._cr`` carries the raw text of a malformed/non-object line
+    (``from_json``'s columnNameOfCorruptRecord — a PERMISSIVE struct
+    parse fills plain fields with NULLs on corrupt input, so a corrupt
+    *column* is the only reliable discriminator); split with
+    ``jsonl_valid`` / ``jsonl_corrupt_violations``."""
+    raw = spark.read.text(path)
+    return raw.select(
+        F.col("value").alias("_raw"),
+        F.from_json(
+            F.col("value"),
+            f"struct<{schema}, _cr string>",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_cr"},
+        ).alias("_doc"),
+    )
+
+
+def jsonl_valid(df: DataFrame) -> DataFrame:
+    """The clean side of ``load_jsonl``: parsed rows flattened to the
+    declared schema — feed this to ``validate_run``."""
+    return (
+        df.filter(F.col("_doc").isNotNull() & F.col("_doc._cr").isNull())
+        .select("_doc.*")
+        .drop("_cr")
+    )
+
+
+def jsonl_corrupt_violations(df: DataFrame) -> DataFrame:
+    """Violation rows for non-blank lines that failed JSON parsing. A
+    corrupt line has no usable id, so the doc_id is a content-derived
+    surrogate (``corrupt:`` + md5 of the raw line) — deterministic,
+    partition-invariant, collision-safe for reporting purposes."""
+    corrupt = F.col("_doc").isNotNull() & F.col("_doc._cr").isNotNull()
+    return df.filter(corrupt).select(
+        F.concat(F.lit("corrupt:"), F.md5("_raw")).alias("doc_id"),
+        F.lit("/").alias("span_path"),
+        F.lit("corrupt.document").alias("rule_id"),
+        F.lit("error").alias("severity"),
+        F.lit("[/] content is not parseable as JSON").alias("message"),
+    )
+
+
 def corrupt_record_violations(
     df: DataFrame,
     col: str,

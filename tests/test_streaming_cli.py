@@ -103,6 +103,48 @@ def test_cli_validate(tmp_path, spark, landing):
     assert {r["rule_id"] for r in agg.collect()} <= {"enum.kind", "min.spans"}
 
 
+def test_cli_validate_jsonl_with_corrupt_lines(tmp_path, spark):
+    """Raw JSON-lines surface end-to-end: corrupt lines surface as
+    corrupt.document violations with a content-derived surrogate id,
+    valid rows flow through the rule pass unharmed."""
+    from json_validator_spark.cli import main
+
+    lines = [
+        '{"doc_id": 1, "lang": "en"}',
+        '{"doc_id": 2, "lang": "xx"}',
+        "{this is not json",
+        '{"doc_id": 4, "lang": "en"}',
+    ]
+    src = tmp_path / "docs.jsonl"
+    src.write_text("\n".join(lines) + "\n")
+    rules = {
+        "name": "jsonl-test",
+        "rules": [
+            {"rule_id": "enum.lang", "target": "/lang", "kind": "enum",
+             "params": json.dumps({"values": ["en"]}), "severity": "error"},
+        ],
+    }
+    rules_path = tmp_path / "rules.json"
+    rules_path.write_text(json.dumps(rules))
+    out = str(tmp_path / "jsonl_out")
+    rc = main([
+        "validate", "--input", str(src), "--output", out,
+        "--input-format", "jsonl", "--input-schema", "doc_id long, lang string",
+        "--rules", str(rules_path),
+    ])
+    assert rc == 0
+    v = spark.read.parquet(f"{out}/violations").collect()
+    by_rule = {}
+    for r in v:
+        by_rule.setdefault(r["rule_id"], []).append(r)
+    assert [r["doc_id"] for r in by_rule["enum.lang"]] == ["2"]
+    corrupt = by_rule["corrupt.document"]
+    assert len(corrupt) == 1 and corrupt[0]["doc_id"].startswith("corrupt:")
+    # merged verdict surface counts the corrupt doc as failed too
+    verd = {r["doc_id"]: r["result"] for r in spark.read.parquet(f"{out}/verdicts").collect()}
+    assert verd["1"] == "SUCCESS" and verd["2"] == "FAILURE"
+
+
 def test_cli_validate_with_checkpoint(tmp_path, spark, landing):
     from json_validator_spark.cli import main
 
