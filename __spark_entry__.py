@@ -735,6 +735,34 @@ def q_combination_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual interface — a JSON-Schema DOCUMENT —
+    compiled by ``rules/schema_import.ruleset_from_json_schema`` into
+    the flat rule table and executed as one scan: required +
+    dependentRequired, typed/lexical keywords, an ``x-severity``
+    downgrade, and a ``$defs``/``$ref`` chain, all against the raw
+    documents columns so DuckDB mirrors every failing condition
+    independently."""
+    from json_validator_spark.operators.row_checks import violations_df
+    from json_validator_spark.rules.schema_import import ruleset_from_json_schema
+
+    schema = {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "type": "object",
+        "required": ["text"],
+        "dependentRequired": {"source": ["lang"]},
+        "$defs": {"cap": {"maximum": 380}},
+        "properties": {
+            "text": {"type": "string", "minLength": 30},
+            "lang": {"enum": ["en", "es", "fr"], "x-severity": "warning"},
+            "source": {"pattern": "^src[0-9]$", "maxLength": 4},
+            "n_chars": {"minimum": 40, "multipleOf": 3, "$ref": "#/$defs/cap"},
+        },
+    }
+    rs, defs = ruleset_from_json_schema(schema, name="imported")
+    return violations_df(_load(spark, sf_dir, "documents"), rs, definitions=defs)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-weight downsampling (``operators/sampling``): keep en at
     0.5, es at 0.25, fr at 0.1, everything else (incl. NULL lang) at
@@ -1131,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combination_any_report": q_combination_any_report,
         "combination_oneof_report": q_combination_oneof_report,
         "combination_grouped": q_combination_grouped,
+        "schema_import": q_schema_import,
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
         "pii_scrub": q_pii_scrub,
@@ -1888,6 +1917,47 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d "
             "LEFT JOIN ov ON ov.doc_id = d.doc_id"
         ),
+        # Mirrors q_schema_import: every keyword the imported schema
+        # compiles to, recomputed from the raw columns. The type-check on
+        # `text` (type: string over a string column) can never fail and
+        # emits no rows; `n_chars.$ref` resolves to maximum(380).
+        "schema_import": """
+            SELECT doc_id, '/text' AS span_path, 'text.required' AS rule_id,
+                   'error' AS severity, '[/text] required value is missing' AS message
+            FROM documents WHERE text IS NULL
+            UNION ALL
+            SELECT doc_id, '/text', 'text.minLength', 'error',
+                   '[/text] constraint ''minLength'' violated'
+            FROM documents WHERE text IS NOT NULL AND length(text) < 30
+            UNION ALL
+            SELECT doc_id, '/lang', 'lang.enum', 'warning',
+                   '[/lang] value is not in the allowed set'
+            FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en', 'es', 'fr')
+            UNION ALL
+            SELECT doc_id, '/lang', 'lang.dependentRequired', 'error',
+                   '[/lang] dependent required value is missing'
+            FROM documents WHERE source IS NOT NULL AND lang IS NULL
+            UNION ALL
+            SELECT doc_id, '/source', 'source.pattern', 'error',
+                   '[/source] value does not match the required pattern'
+            FROM documents WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]$')
+            UNION ALL
+            SELECT doc_id, '/source', 'source.maxLength', 'error',
+                   '[/source] constraint ''maxLength'' violated'
+            FROM documents WHERE source IS NOT NULL AND length(source) > 4
+            UNION ALL
+            SELECT doc_id, '/n_chars', 'n_chars.minimum', 'error',
+                   '[/n_chars] constraint ''minimum'' violated'
+            FROM documents WHERE n_chars IS NOT NULL AND n_chars < 40
+            UNION ALL
+            SELECT doc_id, '/n_chars', 'n_chars.multipleOf', 'error',
+                   '[/n_chars] constraint ''multipleOf'' violated'
+            FROM documents WHERE n_chars IS NOT NULL AND n_chars % 3 <> 0
+            UNION ALL
+            SELECT doc_id, '/n_chars', 'n_chars.$ref', 'error',
+                   '[/n_chars] constraint ''maximum'' violated'
+            FROM documents WHERE n_chars IS NOT NULL AND n_chars > 380
+        """,
         "stratified_sample": f"""
             SELECT doc_id, lang FROM documents
             WHERE {_duck_u("doc_id::VARCHAR, 'strat'")} <

@@ -95,7 +95,18 @@ def cmd_validate(args: argparse.Namespace) -> int:
     else:
         docs = load_table(spark, args.input)
     media = load_table(spark, args.media_catalog) if args.media_catalog else None
-    ruleset = _load_ruleset(args.rules)
+    definitions = None
+    if args.schema:
+        # the reference's own interface: a JSON-Schema document
+        # (JSONValidator.java:321-345) compiled to the flat rule table
+        from json_validator_spark.rules.schema_import import ruleset_from_json_schema
+
+        if args.rules:
+            raise SystemExit("--rules and --schema are mutually exclusive")
+        with open(args.schema) as f:
+            ruleset, definitions = ruleset_from_json_schema(json.load(f))
+    else:
+        ruleset = _load_ruleset(args.rules)
 
     t0 = time.perf_counter()
     if args.checkpoint:
@@ -106,7 +117,7 @@ def cmd_validate(args: argparse.Namespace) -> int:
 
         run_with_checkpoint(
             spark, docs, ruleset, args.checkpoint, args.run_id or "cli-run",
-            media_catalog=media, extra_violations=extra,
+            media_catalog=media, extra_violations=extra, definitions=definitions,
         )
         violations = read_violations(spark, args.checkpoint)
         write_table(ordered(violations), f"{args.output}/violations")
@@ -122,7 +133,7 @@ def cmd_validate(args: argparse.Namespace) -> int:
         write_table(aggregate_report(violations), f"{args.output}/aggregate")
     else:
         res = validate_run(
-            spark, docs, ruleset, media_catalog=media,
+            spark, docs, ruleset, definitions=definitions, media_catalog=media,
             repartition_to=args.repartition,
             stats_columns=None,
             extra_violations=extra,
@@ -166,6 +177,12 @@ def main(argv: list[str] | None = None) -> int:
         "single-scan read, no inference pass)",
     )
     v.add_argument("--rules", default=None, help="rule-table JSON (FIXTURES.md §4)")
+    v.add_argument(
+        "--schema", default=None,
+        help="JSON-Schema document compiled to the rule table "
+        "(rules/schema_import.py — the reference's own interface); "
+        "mutually exclusive with --rules",
+    )
     v.add_argument("--media-catalog", default=None)
     v.add_argument("--checkpoint", default=None)
     v.add_argument("--run-id", default=None)

@@ -64,6 +64,7 @@ def run_with_checkpoint(
     max_buckets_this_call: int | None = None,
     media_catalog: DataFrame | None = None,
     extra_violations: list[DataFrame] | None = None,
+    definitions: dict | None = None,
 ) -> list[int]:
     """Process pending buckets; returns the buckets completed by THIS
     call. ``max_buckets_this_call`` exists so tests can simulate a crash
@@ -83,6 +84,7 @@ def run_with_checkpoint(
         return _run_pending(
             spark, docs, ruleset, ckpt_dir, run_id, n_buckets, doc_id,
             max_buckets_this_call, media_catalog, extra_violations,
+            definitions,
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", _prev_mode)
@@ -99,6 +101,7 @@ def _run_pending(
     max_buckets_this_call: int | None,
     media_catalog: DataFrame | None,
     extra_violations: list[DataFrame] | None,
+    definitions: dict | None = None,
 ) -> list[int]:
     from json_validator_spark.plans.pipeline import validate_run
 
@@ -117,7 +120,7 @@ def _run_pending(
         for e in extra_violations or []
     ]
     result = validate_run(
-        spark, subset.drop("__bucket"), ruleset,
+        spark, subset.drop("__bucket"), ruleset, definitions=definitions,
         doc_id=doc_id, check_uniqueness=False, media_catalog=media_catalog,
         extra_violations=extra_subset or None,
     )
