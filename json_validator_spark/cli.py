@@ -78,18 +78,20 @@ def cmd_validate(args: argparse.Namespace) -> int:
         if args.extra_violations
         else None
     )
-    if args.input_format == "jsonl":
-        # raw JSON-lines surface (the reference's file-upload analogue):
-        # corrupt lines become first-class violations, valid rows proceed
+    if args.input_format in ("jsonl", "yaml"):
+        # raw-file surface (the reference's JSON/YAML upload analogue):
+        # corrupt documents become first-class violations, valid rows proceed
         from json_validator_spark.sources.ingest import (
             jsonl_corrupt_violations,
             jsonl_valid,
             load_jsonl,
+            load_yaml_docs,
         )
 
         if not args.input_schema:
-            raise SystemExit("--input-format jsonl requires --input-schema (DDL)")
-        raw = load_jsonl(spark, args.input, args.input_schema)
+            raise SystemExit(f"--input-format {args.input_format} requires --input-schema (DDL)")
+        loader = load_jsonl if args.input_format == "jsonl" else load_yaml_docs
+        raw = loader(spark, args.input, args.input_schema)
         docs = jsonl_valid(raw)
         extra = (extra or []) + [jsonl_corrupt_violations(raw)]
     else:
@@ -167,9 +169,10 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--input", required=True)
     v.add_argument("--output", required=True)
     v.add_argument(
-        "--input-format", choices=["table", "jsonl"], default="table",
-        help="'table' = Iceberg/parquet; 'jsonl' = raw JSON lines with "
-        "corrupt-line capture (requires --input-schema)",
+        "--input-format", choices=["table", "jsonl", "yaml"], default="table",
+        help="'table' = Iceberg/parquet; 'jsonl' = raw JSON lines; 'yaml' = "
+        "YAML files (multi-doc, needs pyyaml) — both raw formats capture "
+        "corrupt documents as violations (require --input-schema)",
     )
     v.add_argument(
         "--input-schema", default=None,

@@ -72,15 +72,69 @@ def load_jsonl(spark, path: str, schema: str) -> DataFrame:
     parse fills plain fields with NULLs on corrupt input, so a corrupt
     *column* is the only reliable discriminator); split with
     ``jsonl_valid`` / ``jsonl_corrupt_violations``."""
-    raw = spark.read.text(path)
+    return _parse_raw_json(spark.read.text(path).withColumnRenamed("value", "_raw"), schema)
+
+
+def _parse_raw_json(raw: DataFrame, schema: str) -> DataFrame:
+    """``(_raw string)`` → ``(_raw, _doc struct<schema, _cr>)`` — the
+    shared acceptance step behind both the JSONL and the YAML surface."""
     return raw.select(
-        F.col("value").alias("_raw"),
+        "_raw",
         F.from_json(
-            F.col("value"),
+            F.col("_raw"),
             f"struct<{schema}, _cr string>",
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_cr"},
         ).alias("_doc"),
     )
+
+
+def load_yaml_docs(spark, path: str, schema: str) -> DataFrame:
+    """YAML file ingestion — the other half of the reference's JSON/YAML
+    acceptance (``ValidationSpecs.java:225-243`` sniffs and converts;
+    YAML is parsed then handled as JSON). Each file may hold multiple
+    ``---``-separated documents; every document converts to a canonical
+    JSON string in ``mapInPandas`` (pyyaml per Arrow batch of files) and
+    flows through the SAME ``from_json`` + corrupt-column acceptance as
+    ``load_jsonl`` — an unparseable file or a non-object document lands
+    in ``_doc._cr`` and reports as ``corrupt.document``.
+
+    Shape: ``binaryFile`` source (one task per file — YAML configs are
+    many-small-files by nature; Spark packs small files into shared
+    tasks via ``maxPartitionBytes``), then a narrow Arrow stage. Gated
+    on pyyaml at call time with a clear error."""
+    try:
+        import yaml  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "YAML ingestion needs pyyaml on driver and executors "
+            "(ship it via --py-files or the cluster image)"
+        ) from e
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def to_json_lines(batches):
+        import json as _json
+
+        import pandas as pd
+        import yaml as _yaml
+
+        for pdf in batches:
+            out = []
+            for blob in pdf["content"]:
+                text = bytes(blob).decode("utf-8", errors="replace")
+                try:
+                    docs = list(_yaml.safe_load_all(text))
+                except _yaml.YAMLError:
+                    out.append(text)  # whole file → one corrupt row
+                    continue
+                for d in docs:
+                    if d is None:  # empty document between separators
+                        continue
+                    out.append(_json.dumps(d, sort_keys=True, default=str))
+            yield pd.DataFrame({"_raw": out})
+
+    raw = files.mapInPandas(to_json_lines, schema="_raw string")
+    return _parse_raw_json(raw, schema)
 
 
 def jsonl_valid(df: DataFrame) -> DataFrame:

@@ -145,6 +145,45 @@ def test_cli_validate_jsonl_with_corrupt_lines(tmp_path, spark):
     assert verd["1"] == "SUCCESS" and verd["2"] == "FAILURE"
 
 
+def test_cli_validate_yaml_multidoc(tmp_path, spark):
+    """YAML surface: multi-doc files + one unparseable file, through the
+    same acceptance layer as JSONL (YAML → canonical JSON → from_json)."""
+    import pytest
+
+    pytest.importorskip("yaml")
+    from json_validator_spark.cli import main
+
+    ydir = tmp_path / "yml"
+    ydir.mkdir()
+    (ydir / "a.yaml").write_text(
+        "doc_id: 1\nlang: en\n---\ndoc_id: 2\nlang: xx\n"
+    )
+    (ydir / "b.yaml").write_text("doc_id: 3\nlang: en\n")
+    (ydir / "bad.yaml").write_text("{unclosed: [\n")
+    rules = {
+        "name": "yaml-test",
+        "rules": [
+            {"rule_id": "enum.lang", "target": "/lang", "kind": "enum",
+             "params": json.dumps({"values": ["en"]}), "severity": "error"},
+        ],
+    }
+    rules_path = tmp_path / "rules.json"
+    rules_path.write_text(json.dumps(rules))
+    out = str(tmp_path / "yaml_out")
+    rc = main([
+        "validate", "--input", str(ydir), "--output", out,
+        "--input-format", "yaml", "--input-schema", "doc_id long, lang string",
+        "--rules", str(rules_path),
+    ])
+    assert rc == 0
+    v = spark.read.parquet(f"{out}/violations").collect()
+    rules_hit = {(r["doc_id"], r["rule_id"]) for r in v if not r["doc_id"].startswith("corrupt:")}
+    assert rules_hit == {("2", "enum.lang")}
+    assert sum(1 for r in v if r["rule_id"] == "corrupt.document") == 1
+    verd = {r["doc_id"]: r["result"] for r in spark.read.parquet(f"{out}/verdicts").collect()}
+    assert verd["1"] == "SUCCESS" and verd["2"] == "FAILURE" and verd["3"] == "SUCCESS"
+
+
 def test_cli_validate_with_checkpoint(tmp_path, spark, landing):
     from json_validator_spark.cli import main
 
