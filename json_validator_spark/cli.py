@@ -93,9 +93,18 @@ def cmd_validate(args: argparse.Namespace) -> int:
         loader = load_jsonl if args.input_format == "jsonl" else load_yaml_docs
         raw = loader(spark, args.input, args.input_schema)
         docs = jsonl_valid(raw)
-        extra = (extra or []) + [jsonl_corrupt_violations(raw)]
+        corrupt = jsonl_corrupt_violations(raw)
+        extra = (extra or []) + [corrupt]
+        # the verdict surface must FAIL corrupt uploads like the
+        # reference does: include their surrogate ids in the per-doc base
+        from pyspark.sql import functions as F
+
+        verdict_base = docs.select(F.col("doc_id").cast("string").alias("doc_id")).unionByName(
+            corrupt.select("doc_id")
+        )
     else:
         docs = load_table(spark, args.input)
+        verdict_base = docs
     media = load_table(spark, args.media_catalog) if args.media_catalog else None
     definitions = None
     if args.schema:
@@ -131,7 +140,7 @@ def cmd_validate(args: argparse.Namespace) -> int:
             doc_verdicts_merged,
         )
 
-        write_table(doc_verdicts_merged(docs, violations), f"{args.output}/verdicts")
+        write_table(doc_verdicts_merged(verdict_base, violations), f"{args.output}/verdicts")
         write_table(aggregate_report(violations), f"{args.output}/aggregate")
     else:
         res = validate_run(
@@ -143,12 +152,17 @@ def cmd_validate(args: argparse.Namespace) -> int:
         # same verdict surface in both modes: {output}/verdicts is ALWAYS
         # per-doc merged-TAR rows (doc_id, n_errors, n_warnings, result);
         # the partition rollup gets its own table
+        from json_validator_spark.operators.report import doc_verdicts_merged
+
         write_table(ordered(res.violations), f"{args.output}/violations")
-        write_table(res.doc_verdicts_merged, f"{args.output}/verdicts")
+        write_table(doc_verdicts_merged(verdict_base, res.violations), f"{args.output}/verdicts")
         write_table(res.partition_verdicts, f"{args.output}/partition_verdicts")
         write_table(res.aggregate, f"{args.output}/aggregate")
     elapsed = time.perf_counter() - t0
-    n_docs = docs.count()
+    # count from the materialized verdict table (one row per doc incl.
+    # corrupt uploads) — docs.count() would re-run the whole raw
+    # ingestion (text/binaryFile scan + parse) a second time
+    n_docs = load_table(spark, f"{args.output}/verdicts").count()
     print(
         json.dumps(
             {

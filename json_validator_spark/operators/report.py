@@ -141,6 +141,28 @@ def top_violations(violations: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+_ITEM_FIELDS = "location:string,rule_id:string,severity:string,description:string"
+
+
+def _report_items_agg():
+    """Sorted report-item list aggregate — the ReportItemComparator
+    ordering (sort_array over (location, rule_id, ...) structs)."""
+    return F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("span_path").alias("location"),
+                F.col("rule_id").alias("rule_id"),
+                F.col("severity").alias("severity"),
+                F.col("message").alias("description"),
+            )
+        )
+    )
+
+
+def _empty_items():
+    return F.array().cast(f"array<struct<{_ITEM_FIELDS}>>")
+
+
 def tar_reports_from_violations(
     docs: DataFrame, violations: DataFrame, doc_id: str = "doc_id"
 ) -> DataFrame:
@@ -157,21 +179,10 @@ def tar_reports_from_violations(
         .agg(
             F.sum((F.col("severity") == "error").cast("long")).alias("n_errors"),
             F.sum((F.col("severity") == "warning").cast("long")).alias("n_warnings"),
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("span_path").alias("location"),
-                        F.col("rule_id").alias("rule_id"),
-                        F.col("severity").alias("severity"),
-                        F.col("message").alias("description"),
-                    )
-                )
-            ).alias("reports"),
+            _report_items_agg().alias("reports"),
         )
     )
-    empty = F.array().cast(
-        "array<struct<location:string,rule_id:string,severity:string,description:string>>"
-    )
+    empty = _empty_items()
     base = docs.select(F.col(doc_id).cast("string").alias("doc_id"))
     return (
         base.join(agg, base["doc_id"] == agg["__d"], "left")
@@ -199,22 +210,9 @@ def tar_reports(doc_verdicts_df: DataFrame, violations: DataFrame) -> DataFrame:
     violation count, never corpus-sized."""
     items = (
         violations.groupBy(F.col("doc_id").cast("string").alias("doc_id"))
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("span_path").alias("location"),
-                        F.col("rule_id").alias("rule_id"),
-                        F.col("severity").alias("severity"),
-                        F.col("message").alias("description"),
-                    )
-                )
-            ).alias("reports")
-        )
+        .agg(_report_items_agg().alias("reports"))
     )
-    empty = F.array().cast(
-        "array<struct<location:string,rule_id:string,severity:string,description:string>>"
-    )
+    empty = _empty_items()
     return (
         doc_verdicts_df.select(
             F.col("doc_id").cast("string").alias("doc_id"),

@@ -138,10 +138,16 @@ def validate_run(
     # plus failing row-rule partitions (distinct __pid among error rows;
     # set-layer rows carry NULL __pid and are excluded, matching
     # partition_verdicts' row-rule scope). Collect = one pipeline pass.
+    # coalesce: F.sum over an EMPTY stream is NULL — a fully clean corpus
+    # must report 0 counters, not None
     metrics = tagged.agg(
         F.count(F.lit(1)).alias("n_violations"),
-        F.sum((F.col("severity") == "error").cast("long")).alias("n_errors"),
-        F.sum((F.col("severity") == "warning").cast("long")).alias("n_warnings"),
+        F.coalesce(
+            F.sum((F.col("severity") == "error").cast("long")), F.lit(0)
+        ).alias("n_errors"),
+        F.coalesce(
+            F.sum((F.col("severity") == "warning").cast("long")), F.lit(0)
+        ).alias("n_warnings"),
         F.count_distinct(
             F.when(F.col("severity") == "error", F.col("__pid"))
         ).alias("n_failing_partitions"),

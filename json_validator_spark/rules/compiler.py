@@ -63,6 +63,14 @@ def resolve_refs(
         new_params["schema"] = resolve_refs(params["schema"], definitions, _seen)
     if "schemas" in params and isinstance(params["schemas"], list):
         new_params["schemas"] = [resolve_refs(s, definitions, _seen) for s in params["schemas"]]
+    # subschemas held in dict-valued params: per-key `properties` and the
+    # discriminator `mapping` (same holders _uses_python_predicate walks)
+    for holder in ("properties", "mapping"):
+        if isinstance(params.get(holder), dict):
+            new_params[holder] = {
+                k: resolve_refs(v, definitions, _seen) if isinstance(v, dict) else v
+                for k, v in params[holder].items()
+            }
     return {**schema, "params": new_params}
 
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from json_validator_spark.rules.model import Rule, RuleSet
+from json_validator_spark.rules.model import Rule, RuleSet, RuleSetGroup
 
 # Annotation-only keywords: legal everywhere, produce no rule.
 _ANNOTATIONS = {
@@ -61,7 +61,7 @@ _HANDLED = (
     | _ANNOTATIONS
     | {
         "type", "uniqueItems", "items", "prefixItems", "contains",
-        "minContains", "maxContains", "propertyNames", "patternProperties",
+        "minContains", "maxContains", "additionalItems", "propertyNames", "patternProperties",
         "additionalProperties", "properties", "required", "dependentRequired",
         "dependentSchemas", "discriminator", "allOf", "anyOf", "oneOf", "not",
         "$ref", "readOnly", "writeOnly",
@@ -107,12 +107,22 @@ def _applications(sub: dict[str, Any], where: str) -> list[tuple[str, dict]]:
 
     if sub.get("uniqueItems"):
         apps.append(("uniqueItems", {}))
-    if "prefixItems" in sub:
-        apps.append(("prefixItems", {"schemas": [_node(s, f"{where}/prefixItems") for s in sub["prefixItems"]]}))
-    if "items" in sub and isinstance(sub["items"], (dict, bool)):
-        p: dict[str, Any] = {"schema": _node(sub["items"], f"{where}/items")}
-        if "prefixItems" in sub:  # items beyond the tuple prefix (2020-12)
-            p["start"] = len(sub["prefixItems"])
+    # tuple-form positional schemas: 2020-12 `prefixItems`, or draft-4's
+    # array-form `items` (with `additionalItems` as the remainder schema)
+    prefix = sub.get("prefixItems")
+    if prefix is None and isinstance(sub.get("items"), list):
+        prefix = sub["items"]
+    if prefix is not None:
+        apps.append(("prefixItems", {"schemas": [_node(s, f"{where}/prefixItems") for s in prefix]}))
+    remainder = None
+    if isinstance(sub.get("items"), (dict, bool)):
+        remainder = sub["items"]
+    elif "additionalItems" in sub and isinstance(sub.get("items"), list):
+        remainder = sub["additionalItems"]
+    if remainder is not None:
+        p: dict[str, Any] = {"schema": _node(remainder, f"{where}/items")}
+        if prefix is not None:  # items beyond the tuple prefix
+            p["start"] = len(prefix)
         apps.append(("items", p))
     if "contains" in sub:
         p = {"schema": _node(sub["contains"], f"{where}/contains")}
@@ -124,9 +134,12 @@ def _applications(sub: dict[str, Any], where: str) -> list[tuple[str, dict]]:
 
     if "propertyNames" in sub:
         pn = sub["propertyNames"]
-        if not isinstance(pn, dict) or set(pn) - _ANNOTATIONS != {"pattern"}:
+        if pn in (True, {}) or (isinstance(pn, dict) and not (set(pn) - _ANNOTATIONS)):
+            pass  # annotation-only subschema: valid no-op, no rule
+        elif not isinstance(pn, dict) or set(pn) - _ANNOTATIONS != {"pattern"}:
             raise ValueError(f"propertyNames at {where} supports only a pattern subschema")
-        apps.append(("propertyNames", {"regex": pn["pattern"]}))
+        else:
+            apps.append(("propertyNames", {"regex": pn["pattern"]}))
     if "patternProperties" in sub:
         for rx, s in sub["patternProperties"].items():
             apps.append(("patternProperties", {"key_regex": rx, "schema": _node(s, f"{where}/patternProperties")}))
@@ -142,20 +155,30 @@ def _applications(sub: dict[str, Any], where: str) -> list[tuple[str, dict]]:
             f"additionalProperties at {where}: only `false` (closed object) is "
             "supported on map-typed columns"
         )
-    if t == "object":
-        for key in sub.get("required", []):
-            apps.append(("requiredKey", {"key": key}))
-        if "properties" in sub:
-            apps.append(
-                ("properties", {
-                    "properties": {k: _node(s, f"{where}/properties/{k}") for k, s in sub["properties"].items()}
-                })
-            )
+    # object keywords apply whenever present — JSON Schema applies
+    # `required`/`properties` to any value that IS an object regardless
+    # of a declared `type` (including type: ["object","null"] and no
+    # type at all); on this engine they target a map-typed column, and
+    # a mistargeted column surfaces as an analysis error, never a
+    # silently dropped constraint
+    for key in sub.get("required", []):
+        apps.append(("requiredKey", {"key": key}))
+    if "properties" in sub:
+        apps.append(
+            ("properties", {
+                "properties": {k: _node(s, f"{where}/properties/{k}") for k, s in sub["properties"].items()}
+            })
+        )
     if "dependentSchemas" in sub:
         for key, s in sub["dependentSchemas"].items():
             apps.append(("dependentSchemas", {"key": key, "schema": _node(s, f"{where}/dependentSchemas")}))
     if "discriminator" in sub:  # OpenAPI: {propertyName, mapping{value: schema}}
         d = sub["discriminator"]
+        if "mapping" not in d:
+            raise ValueError(
+                f"discriminator at {where}: an explicit `mapping` is required "
+                "(implicit schema-name mapping has no referent in a rule table)"
+            )
         apps.append(
             ("discriminator", {
                 "key": d["propertyName"],
@@ -197,7 +220,7 @@ def _node(sub: Any, where: str) -> dict[str, Any]:
 
 def ruleset_from_json_schema(
     schema: dict[str, Any], name: str = "imported"
-) -> tuple[RuleSet, dict[str, dict[str, Any]]]:
+) -> tuple["RuleSet | RuleSetGroup", dict[str, dict[str, Any]]]:
     """Compile a JSON-Schema OBJECT document (top-level ``type: object``
     with ``properties`` over the table's columns) into ``(RuleSet,
     definitions)`` ready for ``violations_df`` / ``validate_run``.
@@ -205,13 +228,30 @@ def ruleset_from_json_schema(
     Per-keyword rule granularity is preserved (one rule per keyword
     application, ``rule_id = <prop>.<kind>[.n]``) so the report surface
     matches the reference's per-keyword messages. A subschema may set
-    ``x-severity: warning|info`` to downgrade all its rules."""
+    ``x-severity: warning|info`` to downgrade all its rules.
+
+    Top-level ``allOf`` members (object schemas) merge into the main
+    rule set; a top-level ``anyOf``/``oneOf`` of object schemas becomes
+    the schema-set combination the engine already executes
+    (``Combination.ANY``/``ONE_OF`` branches — the reference's
+    ALL/ANY/ONE_OF approach, ``JSONValidator.java:252-296``); the
+    result is then a ``RuleSetGroup`` conjoining the main rules with the
+    combinator branches. Any OTHER top-level constraint keyword raises:
+    the engine refuses rather than silently dropping a constraint."""
+    from json_validator_spark.rules.model import Combination
+
+    _TOP_LEVEL = {"type", "properties", "required", "$defs", "dependentRequired",
+                  "allOf", "anyOf", "oneOf"} | _ANNOTATIONS
+    unknown_top = set(schema) - _TOP_LEVEL
+    if unknown_top:
+        raise ValueError(
+            f"unsupported top-level keyword(s): {sorted(unknown_top)} "
+            "(the engine refuses rather than silently dropping constraints)"
+        )
     if schema.get("type", "object") != "object" or "properties" not in schema:
         raise ValueError("top-level schema must be an object with `properties`")
-    _check_known(
-        {k: v for k, v in schema.items() if k not in ("properties", "required", "$defs", "dependentRequired")},
-        "#",
-    )
+    if "anyOf" in schema and "oneOf" in schema:
+        raise ValueError("top-level anyOf and oneOf together are not supported")
 
     definitions = {
         f"#/$defs/{dn}": _node(ds, f"#/$defs/{dn}")
@@ -221,27 +261,63 @@ def ruleset_from_json_schema(
     rules: list[Rule] = []
     seen: dict[str, int] = {}
 
-    def add(prop: str, kind: str, params: dict, severity: str) -> None:
-        base = f"{prop}.{kind}"
+    def add(prop: str, kind: str, params: dict, severity: str,
+            ruleset: str = "default", prefix: str = "") -> None:
+        base = f"{prefix}{prop}.{kind}"
         n = seen.get(base, 0)
         seen[base] = n + 1
         rules.append(
-            Rule(base if n == 0 else f"{base}.{n}", f"/{prop}", kind, params, severity=severity)
+            Rule(base if n == 0 else f"{base}.{n}", f"/{prop}", kind, params,
+                 severity=severity, ruleset=ruleset)
         )
 
-    for prop in schema.get("required", []):
-        add(prop, "required", {}, "error")
-    for prop, deps in schema.get("dependentRequired", {}).items():
-        for dep in deps:
-            add(dep, "dependentRequired", {"if_target": f"/{prop}"}, "error")
+    def add_object_schema(obj: dict[str, Any], where: str,
+                          ruleset: str = "default", prefix: str = "") -> None:
+        for prop in obj.get("required", []):
+            add(prop, "required", {}, "error", ruleset, prefix)
+        for prop, deps in obj.get("dependentRequired", {}).items():
+            for dep in deps:
+                add(dep, "dependentRequired", {"if_target": f"/{prop}"},
+                    "error", ruleset, prefix)
+        for prop, sub in obj.get("properties", {}).items():
+            if not isinstance(sub, (dict, bool)):
+                raise ValueError(f"property {prop!r}: subschema must be an object or boolean")
+            sev = sub.get("x-severity", "error") if isinstance(sub, dict) else "error"
+            for kind, params in _applications(
+                sub if isinstance(sub, dict) else {}, f"{where}/properties/{prop}"
+            ):
+                add(prop, kind, params, sev, ruleset, prefix)
+            if sub is False:
+                add(prop, "notAllowed", {}, "error", ruleset, prefix)
 
-    for prop, sub in schema["properties"].items():
-        if not isinstance(sub, (dict, bool)):
-            raise ValueError(f"property {prop!r}: subschema must be an object or boolean")
-        sev = sub.get("x-severity", "error") if isinstance(sub, dict) else "error"
-        for kind, params in _applications(sub if isinstance(sub, dict) else {}, f"#/properties/{prop}"):
-            add(prop, kind, params, sev)
-        if sub is False:
-            add(prop, "notAllowed", {}, "error")
+    add_object_schema(schema, "#")
+    for i, member in enumerate(schema.get("allOf", [])):
+        _require_object_member(member, f"#/allOf/{i}")
+        add_object_schema(member, f"#/allOf/{i}", prefix=f"allOf{i}.")
 
-    return RuleSet(rules=tuple(rules), name=name), definitions
+    main = RuleSet(rules=tuple(rules), name=name)
+
+    combo_kw = "anyOf" if "anyOf" in schema else ("oneOf" if "oneOf" in schema else None)
+    if combo_kw is None:
+        return main, definitions
+    rules = []
+    for i, member in enumerate(schema[combo_kw]):
+        _require_object_member(member, f"#/{combo_kw}/{i}")
+        add_object_schema(member, f"#/{combo_kw}/{i}",
+                          ruleset=f"branch{i}", prefix=f"{combo_kw}{i}.")
+    branches = RuleSet(
+        rules=tuple(rules),
+        combination=Combination.ANY if combo_kw == "anyOf" else Combination.ONE_OF,
+        name=f"{name}-{combo_kw}",
+    )
+    return RuleSetGroup(groups=(main, branches), name=name), definitions
+
+
+def _require_object_member(member: Any, where: str) -> None:
+    if not isinstance(member, dict) or not (
+        set(member) <= {"type", "properties", "required", "dependentRequired"} | _ANNOTATIONS
+    ):
+        raise ValueError(
+            f"combinator member at {where} must be an object schema using only "
+            "type/properties/required/dependentRequired"
+        )

@@ -118,19 +118,34 @@ def load_yaml_docs(spark, path: str, schema: str) -> DataFrame:
         import pandas as pd
         import yaml as _yaml
 
+        def norm(o):
+            # YAML is a superset of JSON: mapping keys may be dates/ints/
+            # bools — stringify keys (and non-JSON scalars like dates)
+            # so json.dumps never raises; matches how the reference's
+            # Jackson YAML→JSON conversion coerces keys to strings
+            if isinstance(o, dict):
+                return {str(k): norm(v) for k, v in o.items()}
+            if isinstance(o, (list, tuple)):
+                return [norm(x) for x in o]
+            if isinstance(o, (str, int, float, bool)) or o is None:
+                return o
+            return str(o)
+
         for pdf in batches:
             out = []
             for blob in pdf["content"]:
                 text = bytes(blob).decode("utf-8", errors="replace")
                 try:
                     docs = list(_yaml.safe_load_all(text))
-                except _yaml.YAMLError:
+                    lines = [
+                        _json.dumps(norm(d), sort_keys=True)
+                        for d in docs
+                        if d is not None  # empty document between separators
+                    ]
+                except Exception:  # YAMLError, or a pathological payload
                     out.append(text)  # whole file → one corrupt row
                     continue
-                for d in docs:
-                    if d is None:  # empty document between separators
-                        continue
-                    out.append(_json.dumps(d, sort_keys=True, default=str))
+                out.extend(lines)
             yield pd.DataFrame({"_raw": out})
 
     raw = files.mapInPandas(to_json_lines, schema="_raw string")

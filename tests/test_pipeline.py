@@ -69,6 +69,17 @@ def test_run_metrics_single_action(spark):
     assert m["n_failing_partitions"] == n_fail
 
 
+def test_run_metrics_clean_corpus_zero_counters(spark):
+    """A violation-free corpus reports 0 counters, not NULL (F.sum over
+    an empty stream is NULL without the coalesce)."""
+    from json_validator_spark.rules.model import Rule, RuleSet
+
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, s string")
+    rs = RuleSet(rules=(Rule("req.s", "/s", "required"),))
+    m = validate_run(spark, docs, rs, check_uniqueness=False).metrics.collect()[0]
+    assert (m["n_violations"], m["n_errors"], m["n_warnings"], m["n_failing_partitions"]) == (0, 0, 0, 0)
+
+
 def test_determinism_across_parallelism(spark):
     """Same violation set regardless of partitioning — the N-vs-4N gate."""
     docs = synth_documents(spark, N_DOCS)

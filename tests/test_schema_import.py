@@ -123,6 +123,103 @@ def test_import_requires_object_with_properties():
         ruleset_from_json_schema({"type": "array"})
 
 
+def test_import_top_level_oneof_branches(spark):
+    """Top-level oneOf of object schemas compiles to the engine's
+    ONE_OF schema-set combination conjoined with the main rules."""
+    rs, defs = ruleset_from_json_schema({
+        "type": "object",
+        "properties": {"name": {"minLength": 1}},
+        "oneOf": [
+            {"required": ["a"]},
+            {"required": ["b"]},
+        ],
+    })
+    df = spark.createDataFrame(
+        [(0, "x", "1", None), (1, "x", None, None), (2, "x", "1", "2")],
+        "doc_id long, name string, a string, b string",
+    )
+    from json_validator_spark.operators.row_checks import with_violations
+
+    got = {
+        r["doc_id"]: r["doc_pass"]
+        for r in with_violations(df, rs, defs).select("doc_id", "doc_pass").collect()
+    }
+    # doc 0: exactly one branch (a present) → pass; doc 1: zero → fail;
+    # doc 2: both → fail (oneOf)
+    assert got == {0: True, 1: False, 2: False}
+
+
+def test_import_top_level_unknown_constraint_raises():
+    with pytest.raises(ValueError, match="unsupported top-level keyword"):
+        ruleset_from_json_schema(
+            {"type": "object", "properties": {}, "patternProperties": {"^x": {}}}
+        )
+
+
+def test_import_required_without_declared_type(spark):
+    """`required` inside a property subschema applies even without an
+    explicit type: object (JSON Schema semantics — it constrains any
+    value that IS an object; here, the map-typed column)."""
+    rs, defs = ruleset_from_json_schema(
+        {"type": "object", "properties": {"meta": {"required": ["k"]}}}
+    )
+    df = spark.createDataFrame(
+        [(0, {"k": "1"}), (1, {"other": "1"})], "doc_id long, meta map<string,string>"
+    )
+    got = {(r["doc_id"], r["rule_id"]) for r in violations_df(df, rs, definitions=defs).collect()}
+    assert got == {(1, "meta.requiredKey")}
+
+
+def test_import_nested_ref_in_map_properties(spark):
+    """$ref nested under a map property's `properties` holder resolves
+    (compiler.resolve_refs recurses into dict-valued param holders)."""
+    rs, defs = ruleset_from_json_schema({
+        "type": "object",
+        "$defs": {"short": {"maxLength": 2}},
+        "properties": {
+            "meta": {"type": "object", "properties": {"k": {"$ref": "#/$defs/short"}}}
+        },
+    })
+    df = spark.createDataFrame(
+        [(0, {"k": "ab"}), (1, {"k": "abc"}), (2, {"other": "x"})],
+        "doc_id long, meta map<string,string>",
+    )
+    got = {(r["doc_id"], r["rule_id"]) for r in violations_df(df, rs, definitions=defs).collect()}
+    assert got == {(1, "meta.properties")}
+
+
+def test_import_draft4_tuple_items(spark):
+    """Draft-4 array-form `items` + `additionalItems` maps to
+    prefixItems + items(start=len(prefix))."""
+    rs, defs = ruleset_from_json_schema({
+        "type": "object",
+        "properties": {
+            "arr": {"items": [{"minimum": 10}], "additionalItems": {"maximum": 3}}
+        },
+    })
+    df = spark.createDataFrame(
+        [(0, [10, 1]), (1, [5, 1]), (2, [10, 7])], "doc_id long, arr array<long>"
+    )
+    got = {(r["doc_id"], r["rule_id"]) for r in violations_df(df, rs, definitions=defs).collect()}
+    assert got == {(1, "arr.prefixItems"), (2, "arr.items")}
+
+
+def test_import_edge_subschemas():
+    # annotation-only propertyNames is a valid no-op
+    rs, _ = ruleset_from_json_schema(
+        {"type": "object",
+         "properties": {"m": {"type": "object", "propertyNames": {"title": "x"}}}}
+    )
+    assert all(r.kind != "propertyNames" for r in rs.rules)
+    # discriminator without mapping raises descriptively
+    with pytest.raises(ValueError, match="explicit `mapping`"):
+        ruleset_from_json_schema(
+            {"type": "object",
+             "properties": {"m": {"type": "object",
+                                  "discriminator": {"propertyName": "kind"}}}}
+        )
+
+
 def test_cli_schema_over_jsonl_end_to_end(tmp_path, spark):
     """The reference's full workflow on this engine: raw JSON file in,
     JSON-Schema document as the contract, violation report out."""

@@ -140,9 +140,11 @@ def test_cli_validate_jsonl_with_corrupt_lines(tmp_path, spark):
     assert [r["doc_id"] for r in by_rule["enum.lang"]] == ["2"]
     corrupt = by_rule["corrupt.document"]
     assert len(corrupt) == 1 and corrupt[0]["doc_id"].startswith("corrupt:")
-    # merged verdict surface counts the corrupt doc as failed too
+    # merged verdict surface FAILS the corrupt upload (reference behavior)
     verd = {r["doc_id"]: r["result"] for r in spark.read.parquet(f"{out}/verdicts").collect()}
     assert verd["1"] == "SUCCESS" and verd["2"] == "FAILURE"
+    corrupt_verdicts = [v for d, v in verd.items() if d.startswith("corrupt:")]
+    assert corrupt_verdicts == ["FAILURE"]
 
 
 def test_cli_validate_yaml_multidoc(tmp_path, spark):
@@ -182,6 +184,27 @@ def test_cli_validate_yaml_multidoc(tmp_path, spark):
     assert sum(1 for r in v if r["rule_id"] == "corrupt.document") == 1
     verd = {r["doc_id"]: r["result"] for r in spark.read.parquet(f"{out}/verdicts").collect()}
     assert verd["1"] == "SUCCESS" and verd["2"] == "FAILURE" and verd["3"] == "SUCCESS"
+    assert [v for d, v in verd.items() if d.startswith("corrupt:")] == ["FAILURE"]
+
+
+def test_yaml_non_string_keys_survive(tmp_path, spark):
+    """YAML mapping keys may be dates/ints/bools — key stringification
+    must keep the doc valid instead of crashing json.dumps (and the
+    whole task) with TypeError."""
+    import pytest
+
+    pytest.importorskip("yaml")
+    from json_validator_spark.sources.ingest import jsonl_valid, load_yaml_docs
+
+    ydir = tmp_path / "ydk"
+    ydir.mkdir()
+    (ydir / "d.yaml").write_text(
+        "doc_id: 7\nmeta:\n  2024-01-05: x\n  1: a\n  name: b\n"
+    )
+    raw = load_yaml_docs(spark, str(ydir), "doc_id long, meta map<string,string>")
+    rows = jsonl_valid(raw).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 7
+    assert rows[0]["meta"]["2024-01-05"] == "x" and rows[0]["meta"]["1"] == "a"
 
 
 def test_cli_validate_with_checkpoint(tmp_path, spark, landing):
