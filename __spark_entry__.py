@@ -608,7 +608,10 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads → Arrow-batched decode →
     per-mime feature aggregates. Deterministic synthetic media (no
     media table in the driver testdata); codec stubbed, plumbing real.
-    Rows-only (no SQL analogue of the binary pipeline)."""
+    Oracle-backed: the synthetic payload is md5(media_ref) tiled 16x,
+    so the byte-level aggregates (mean, histogram entropy) are exactly
+    reproducible in DuckDB from the digest hex — only the stubbed
+    ``feature`` vector is engine-side, and it is not in this result."""
     from json_validator_spark.operators.media import decode_features, synth_media_table
     from json_validator_spark.sources.synth import synth_media_catalog
 
@@ -2175,6 +2178,45 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n
             FROM refs GROUP BY 1, 2
         """,
-        # media_features: stubbed-codec byte-feature pipeline → genuinely
-        # no SQL oracle (rows-only).
+        # media_features: the synthetic payload is md5(media_ref)'s 16
+        # digest bytes tiled 16x to 256 bytes (media.synth_media_table),
+        # so byte_mean equals the mean of the 16 digest bytes and the
+        # byte-histogram entropy equals the entropy of the digest-byte
+        # distribution (p = k/16 — tiling scales counts, not
+        # probabilities). Both are exact binary fractions, so the
+        # round-6 values match Spark's numpy path bit-for-bit; only the
+        # stubbed `feature` projection has no SQL analogue and it is
+        # (deliberately) not part of this aggregate.
+        "media_features": """
+            WITH ids AS (SELECT unnest(generate_series(0, 494)) AS id),
+            refs AS (
+              SELECT 'media://' || substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-'
+                     || substr(h, 13, 4) || '-' || substr(h, 17, 4) || '-'
+                     || substr(h, 21, 12) AS media_ref,
+                     CASE id % 3 WHEN 0 THEN 'image/png'
+                                 WHEN 1 THEN 'image/jpeg'
+                                 ELSE 'audio/wav' END AS mime_type
+              FROM (SELECT id, lpad(lower(to_hex(id)), 32, '0') AS h FROM ids) t
+            ),
+            bytes AS (
+              SELECT media_ref, mime_type,
+                     ('0x' || substr(md5(media_ref), 2 * i + 1, 2))::INT AS b
+              FROM refs, (SELECT unnest(generate_series(0, 15)) AS i) pos
+            ),
+            per_val AS (
+              SELECT media_ref, mime_type, b,
+                     count(*)::DOUBLE / 16 AS p
+              FROM bytes GROUP BY 1, 2, 3
+            ),
+            per_media AS (
+              SELECT media_ref, mime_type,
+                     round(sum(p * b), 6) AS byte_mean,
+                     round(-sum(p * log2(p)), 6) AS ent
+              FROM per_val GROUP BY 1, 2
+            )
+            SELECT mime_type, count(*)::BIGINT AS n,
+                   round(avg(byte_mean), 6) AS avg_byte_mean,
+                   round(avg(ent), 6) AS avg_entropy
+            FROM per_media GROUP BY 1 ORDER BY 1
+        """,
     }
