@@ -322,6 +322,31 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(sims, max_hamming=3, n_bands=4, max_bucket=10**6)
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: simhash banded pairs → iterative
+    min-label connected components (pointer-jumping, O(log diameter)
+    rounds) → one (doc_id, component_id) row per clustered doc with the
+    cluster size and the min-id canonical flag. DuckDB mirror: the same
+    pair set fed through a recursive CTE computing min-reachable-id —
+    a HARD oracle for an iterative algorithm."""
+    from json_validator_spark.operators.dedup import (
+        connected_components,
+        simhash,
+        simhash_neardup_pairs,
+    )
+
+    sims = simhash(_union_dup_docs(_load_spread(spark, sf_dir, "documents")))
+    pairs = simhash_neardup_pairs(sims, max_hamming=3, n_bands=4, max_bucket=10**6)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "component_id").select(
+        F.col("node").alias("doc_id"),
+        "component_id",
+        "cluster_size",
+        (F.col("node") == F.col("component_id")).alias("is_canonical"),
+    )
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.similarity import cosine_topk
 
@@ -1140,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "dedup_components": q_dedup_components,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_numpy": q_knn_numpy,
         "knn_lsh": q_knn_lsh,
@@ -1767,6 +1793,39 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.simhash, b.simhash))::INT AS hamming
             FROM fp a, fp b
             WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+            """
+        ),
+        # dedup_components: the engine's iterative pointer-jumping CC vs
+        # DuckDB's recursive CTE computing min-reachable-id over the
+        # identical symmetric simhash-pair edge set.
+        "dedup_components": (
+            _SIMHASH_CTE.replace("__DOCSRC__", "docs").replace(
+                "WITH base AS",
+                f"WITH RECURSIVE docs AS ({_UNION_DUP_SQL}), base AS",
+                1,
+            )
+            + """
+            , pairs AS (
+              SELECT a.doc_id AS da, b.doc_id AS db
+              FROM fp a, fp b
+              WHERE a.doc_id < b.doc_id
+                AND bit_count(xor(a.simhash, b.simhash)) <= 3
+            ), edges AS (
+              SELECT da AS node, db AS peer FROM pairs
+              UNION
+              SELECT db AS node, da AS peer FROM pairs
+            ), reach(node, root) AS (
+              SELECT node, node FROM (SELECT DISTINCT node FROM edges) n
+              UNION
+              SELECT e.peer, r.root FROM reach r JOIN edges e ON e.node = r.node
+            ), comp AS (
+              SELECT node AS doc_id, min(root) AS component_id
+              FROM reach GROUP BY node
+            )
+            SELECT doc_id, component_id,
+                   (count(*) OVER (PARTITION BY component_id))::BIGINT AS cluster_size,
+                   doc_id = component_id AS is_canonical
+            FROM comp
             """
         ),
         "knn_bruteforce": _KNN_SQL,

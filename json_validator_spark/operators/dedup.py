@@ -459,3 +459,92 @@ def drop_near_duplicates(
     low, hash join otherwise."""
     drops = pairs.select(F.col("doc_id_b").alias("__drop")).distinct()
     return df.join(drops, df[id_col] == drops["__drop"], "left_anti")
+
+
+# ----------------------------------------------------------------------
+# Connected components — transitive near-dup clusters
+# ----------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_id_a",
+    dst_col: str = "doc_id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive closure of a near-dup pair graph: every node gets the
+    MINIMUM id reachable from it as its ``component_id``.
+
+    The pairwise apply step (``drop_near_duplicates``) is edge-greedy;
+    chains A~B~C where A~C was never emitted (banding misses, or the
+    hot-bucket star guard truncated) still need cluster-level election.
+    This is the reference's "one verdict per document" contract
+    (``JSONValidator.java:443-459``) lifted to duplicate *clusters*.
+
+    Algorithm: min-label propagation with pointer jumping — each round
+    (1) every node takes the min of its own label and its neighbors'
+    labels (one join edges⋈labels + one partial-aggregated groupBy min),
+    then (2) labels chase their parent's label (labels⋈labels), which
+    doubles path lengths and brings convergence to O(log diameter)
+    rounds instead of O(diameter) — the standard MapReduce-CC shape
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+    Scale notes: the edge list is symmetrized once, repartitioned on the
+    join key and persisted, so each round reuses that exchange; labels
+    shuffle once per round on the node hash. Each round ends with
+    ``localCheckpoint`` to cut the iterative lineage (swap for
+    ``checkpoint`` + a checkpoint dir on a real cluster). Convergence is
+    detected with a single count of changed labels per round — the only
+    driver-side data are those scalar counts. Giant components are safe:
+    the min-aggregation is map-side combined, so a viral cluster's label
+    never concentrates on one task.
+
+    Returns ``(node, component_id)`` — one row per distinct node in the
+    pair graph. Docs with no near-dup edge are their own singleton
+    component by definition and are not emitted (join back with a
+    coalesce for the full-corpus view).
+    """
+    a, b = F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    half = pairs.select(a, b)
+    edges = (
+        half.union(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .withColumnRenamed("a", "e_node")
+        .withColumnRenamed("b", "e_peer")
+    )
+    edges = edges.repartition("e_node").persist()
+
+    labels = edges.select(F.col("e_node").alias("node")).distinct().select(
+        "node", F.col("node").alias("comp")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # (1) neighbor-min: candidate label for e_peer is comp(e_node)
+        prop = edges.join(labels, edges["e_node"] == labels["node"]).select(
+            F.col("e_peer").alias("node"), "comp"
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # (2) pointer jumping: comp <- comp's comp (left join: roots
+        # point at themselves, so a miss keeps the current label)
+        parents = new.select(
+            F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
+        )
+        new = (
+            new.join(parents, new["comp"] == parents["p_node"], "left")
+            .select("node", F.coalesce("p_comp", "comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("comp", "old"), "node")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+
+    edges.unpersist()
+    return labels.select("node", F.col("comp").alias("component_id"))

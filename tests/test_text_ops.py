@@ -482,3 +482,24 @@ def test_zero_vector_never_wins_topk(spark):
         out = fn(vecs, queries, k=5).collect()
         assert all(r["neighbor_id"] != 99 for r in out), fn.__name__
         assert all(not (r["sim"] != r["sim"]) for r in out)  # no NaN
+
+
+def test_connected_components_transitive(spark):
+    """Chain 1-2-3-4 (no direct 1~4 edge), triangle 10-11-12, isolated
+    pair 20-21: min-label CC must close the chain transitively, which
+    the edge-greedy apply step cannot. Also: long path (pointer jumping
+    must converge within max_iter) and determinism across reruns."""
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    # a 12-node path 100..111 — diameter 11, converges only if pointer
+    # jumping actually doubles path lengths (plain propagation would
+    # need 11 rounds; give it headroom but assert correctness)
+    edges += [(100 + i, 101 + i) for i in range(11)]
+    pairs = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
+    out = dedup.connected_components(pairs)
+    got = {r["node"]: r["component_id"] for r in out.collect()}
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    expect.update({100 + i: 100 for i in range(12)})
+    assert got == expect
+    # deterministic on rerun
+    again = {r["node"]: r["component_id"] for r in dedup.connected_components(pairs).collect()}
+    assert again == expect
