@@ -814,6 +814,17 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(docs).select("doc_id", "split")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (``operators/packing``): md5-sharded,
+    doc_id-ordered greedy boundary packing at a 256-token budget —
+    per-doc ``(doc_id, shard, n_tokens, seq_id, seq_offset)``, mirrored
+    exactly by DuckDB window cumsums over the same shard/order keys."""
+    from json_validator_spark.operators.packing import pack_sequences
+
+    docs = _load(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=256, n_shards=8)
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (``operators/scrub``): deterministic email/phone
     injection into the corpus text (every 7th / 11th doc), then one
@@ -1191,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_import": q_schema_import,
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
+        "pack_sequences": q_pack_sequences,
         "pii_scrub": q_pii_scrub,
         "top_violations": q_top_violations,
         "tar_reports": q_tar_reports,
@@ -2034,6 +2046,27 @@ def oracle_sql() -> dict[str, str]:
                         WHEN {_duck_u("doc_id::VARCHAR, 'split'")} < 0.9 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        # pack_sequences: identical shard hash (md5 prefix), identical
+        # per-shard doc_id order, identical exclusive cumsum → identical
+        # sequence assignment, row for row.
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 8 AS shard,
+                     len({_DUCK_TOKS})::BIGINT AS n_tokens
+              FROM documents
+            ), w AS (
+              SELECT doc_id, shard, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+              FROM t
+            )
+            SELECT doc_id, shard, n_tokens,
+                   (cum_before // 256)::BIGINT AS seq_id,
+                   (cum_before % 256)::BIGINT AS seq_offset
+            FROM w
         """,
         "pii_scrub": """
             WITH t AS (

@@ -1,0 +1,88 @@
+"""Training-sequence packing — deterministic doc → sequence assignment.
+
+Pretraining pipelines concatenate documents into fixed token-budget
+training sequences. At 100 TB the packer must be (a) deterministic
+(resume/rerun gives byte-identical assignments — the same contract as
+the validation layer), (b) shuffle-minimal, and (c) free of any global
+ordering: a single total-order window over the corpus would funnel
+everything through one task.
+
+This packer uses *sharded boundary packing*:
+
+- ``shard = md5(doc_id) % n_shards`` — deterministic, engine-portable
+  (the same ``functions/text.hash_long`` md5 discipline every other
+  operator uses, so DuckDB reproduces assignments exactly).
+- within a shard, docs are ordered by ``doc_id`` and packed greedily at
+  token-budget boundaries: a doc joins sequence ``floor(tokens_before /
+  budget)``. Document boundaries are preserved — a sequence may overrun
+  the budget by less than one document (the standard concat-then-split-
+  at-doc-boundaries policy); no document is ever split.
+
+The per-shard window is ONE shuffle keyed on ``shard`` plus an
+in-partition sort — the identical physical shape as any keyed window
+aggregation. Choose ``n_shards`` well above the executor count so each
+shard's sort fits a task (at 10^12 docs: tens of thousands of shards);
+the packing quality is unaffected because budgets are per-shard-local.
+
+Reference anchor: the reference processes documents one per request in
+a sequential loop (``RestValidationController.java:276-289``); packing
+is the training-pipeline generalization of that loop's "next document"
+ordering into a deterministic distributed assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from json_validator_spark.functions.text import hash_long, tokens
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document to a training sequence.
+
+    Returns ``(doc_id, shard, n_tokens, seq_id, seq_offset)`` where
+    ``seq_id`` is shard-local (globally unique as ``(shard, seq_id)``)
+    and ``seq_offset`` is the document's token offset inside its
+    sequence. Whitespace tokens (``functions/text.tokens``) are the
+    budget unit; swap in a BPE count column upstream if available —
+    the packer only needs *a* deterministic per-doc count.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        (hash_long(F.col(id_col), hex_chars=6) % n_shards).alias("shard"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(cum_before / F.lit(budget)).cast("long").alias("seq_id"),
+        (cum_before % F.lit(budget)).alias("seq_offset"),
+    )
+
+
+def sequence_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Per-sequence rollup of a ``pack_sequences`` result:
+    ``(shard, seq_id, n_docs, tokens_total, fill_ratio)``. One
+    partial-aggregated groupBy on the (shard, seq_id) key — the
+    packing-quality audit (fill_ratio near 1.0 = healthy; a fleet of
+    near-empty sequences means the budget is below the typical doc)."""
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_total"),
+        F.round(F.sum("n_tokens") / F.lit(float(budget)), 6).alias("fill_ratio"),
+    )

