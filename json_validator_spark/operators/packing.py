@@ -66,12 +66,18 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return base.select(
-        "doc_id",
-        "shard",
-        "n_tokens",
-        F.floor(cum_before / F.lit(budget)).cast("long").alias("seq_id"),
-        (cum_before % F.lit(budget)).alias("seq_offset"),
+    # bind the window sum once (two references would declare the frame
+    # aggregation twice in WindowExec), then derive both assignment
+    # columns from the materialized value
+    return (
+        base.withColumn("__cum", cum_before)
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            F.floor(F.col("__cum") / F.lit(budget)).cast("long").alias("seq_id"),
+            (F.col("__cum") % F.lit(budget)).alias("seq_offset"),
+        )
     )
 
 

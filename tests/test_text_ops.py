@@ -503,3 +503,43 @@ def test_connected_components_transitive(spark):
     # deterministic on rerun
     again = {r["node"]: r["component_id"] for r in dedup.connected_components(pairs).collect()}
     assert again == expect
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Differential check: 3 seeded random graphs vs a driver-side
+    union-find. Guards the iterative pointer-jumping against convergence
+    bugs that a hand-built fixture would not reach (cross-linking
+    between partially-collapsed stars, duplicate edges, self-loops)."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 400
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(300)]
+        # reference: union-find with path compression
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min-id per component, only for nodes that appear in an edge
+        touched = {v for e in edges for v in e}
+        comp_min: dict[int, int] = {}
+        for v in touched:
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        expect = {v: comp_min[find(v)] for v in touched}
+
+        pairs = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
+        got = {
+            r["node"]: r["component_id"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert got == expect, f"seed {seed}"
