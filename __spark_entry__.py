@@ -347,6 +347,24 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level APPLY step: the surviving corpus after keeping one
+    doc per transitive simhash cluster — the downstream feed after
+    near-dup clustering. Oracle: recursive-CTE closure → drop every
+    non-canonical clustered node."""
+    from json_validator_spark.operators.dedup import (
+        drop_cluster_duplicates,
+        simhash,
+        simhash_neardup_pairs,
+    )
+
+    docs = _union_dup_docs(_load_spread(spark, sf_dir, "documents"))
+    pairs = simhash_neardup_pairs(
+        simhash(docs), max_hamming=3, n_bands=4, max_bucket=10**6
+    )
+    return drop_cluster_duplicates(docs, pairs).select("doc_id")
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.similarity import cosine_topk
 
@@ -1177,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "dedup_components": q_dedup_components,
+        "dedup_components_filter": q_dedup_components_filter,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_numpy": q_knn_numpy,
         "knn_lsh": q_knn_lsh,
@@ -1838,6 +1857,35 @@ def oracle_sql() -> dict[str, str]:
                    (count(*) OVER (PARTITION BY component_id))::BIGINT AS cluster_size,
                    doc_id = component_id AS is_canonical
             FROM comp
+            """
+        ),
+        "dedup_components_filter": (
+            _SIMHASH_CTE.replace("__DOCSRC__", "docs").replace(
+                "WITH base AS",
+                f"WITH RECURSIVE docs AS ({_UNION_DUP_SQL}), base AS",
+                1,
+            )
+            + """
+            , pairs AS (
+              SELECT a.doc_id AS da, b.doc_id AS db
+              FROM fp a, fp b
+              WHERE a.doc_id < b.doc_id
+                AND bit_count(xor(a.simhash, b.simhash)) <= 3
+            ), edges AS (
+              SELECT da AS node, db AS peer FROM pairs
+              UNION
+              SELECT db AS node, da AS peer FROM pairs
+            ), reach(node, root) AS (
+              SELECT node, node FROM (SELECT DISTINCT node FROM edges) n
+              UNION
+              SELECT e.peer, r.root FROM reach r JOIN edges e ON e.node = r.node
+            ), drops AS (
+              SELECT node FROM (
+                SELECT node, min(root) AS component_id FROM reach GROUP BY node
+              ) c WHERE node <> component_id
+            )
+            SELECT doc_id FROM docs
+            WHERE doc_id NOT IN (SELECT node FROM drops)
             """
         ),
         "knn_bruteforce": _KNN_SQL,

@@ -548,3 +548,20 @@ def connected_components(
 
     edges.unpersist()
     return labels.select("node", F.col("comp").alias("component_id"))
+
+
+def drop_cluster_duplicates(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 25
+) -> DataFrame:
+    """Cluster-level apply step: run ``connected_components`` over the
+    pair graph and keep exactly ONE document per transitive cluster
+    (the min-id canonical). Strictly stronger than the edge-greedy
+    ``drop_near_duplicates`` on chain-shaped clusters: A~B, B~C with no
+    A~C edge keeps {A} here, {A, C} there. Docs outside the pair graph
+    are untouched (singleton clusters). One anti-join on the distinct
+    non-canonical node set — broadcast-eligible at low dup rates."""
+    comp = connected_components(pairs, max_iter=max_iter)
+    drops = comp.filter(F.col("node") != F.col("component_id")).select(
+        F.col("node").alias("__drop")
+    )
+    return df.join(drops, df[id_col] == drops["__drop"], "left_anti")

@@ -543,3 +543,16 @@ def test_connected_components_random_vs_union_find(spark):
             for r in dedup.connected_components(pairs).collect()
         }
         assert got == expect, f"seed {seed}"
+
+
+def test_drop_cluster_duplicates_chain(spark):
+    """Chain 1~2~3 (no 1~3 edge): cluster apply keeps only doc 1, where
+    the edge-greedy apply would also keep nothing but {1} here — the
+    distinguishing case is 2~3 only-chained docs; verify singletons
+    outside the graph survive untouched."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_id_a long, doc_id_b long")
+    kept = sorted(r["doc_id"] for r in dedup.drop_cluster_duplicates(docs, pairs).collect())
+    assert kept == [1, 9]
