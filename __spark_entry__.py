@@ -550,6 +550,36 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_load_spread(spark, sf_dir, "documents"), k=20, window=8)
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary heavy hitters: top-50 corpus tokens by frequency,
+    lexicographic tie-break, dense 1-based rank."""
+    from json_validator_spark.operators.text_checks import vocab_topk
+
+    out = vocab_topk(_load_spread(spark, sf_dir, "documents"), k=50)
+    return out.select(F.col("rank").cast("long").alias("rank"), "token", "n")
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scores over `documents` (model trained on the
+    corpus itself). The keep threshold -3.45 sits inside the synthetic
+    corpus' score band ([-4.0, -3.38] across sf0.001-0.1) so BOTH
+    verdicts occur at every scale (~4% rejected), keeping the boolean
+    column a real signal rather than a constant."""
+    from json_validator_spark.operators.text_checks import lm_scores
+
+    return lm_scores(_load_spread(spark, sf_dir, "documents"), min_mean_lp=-3.45)
+
+
+def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc substring duplication at winnowing granularity (same
+    k=20/window=8 fingerprints as the `winnow` query)."""
+    from json_validator_spark.operators.text_checks import substring_dup_stats
+
+    return substring_dup_stats(
+        _load_spread(spark, sf_dir, "documents"), k=20, window=8, min_docs=2
+    )
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-JSON validation THROUGH the engine: parse the stringly
     ``props`` payload once (S2 acceptance layer), then evaluate map /
@@ -1209,6 +1239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "language_id": q_language_id,
         "winnow": q_winnow,
+        "vocab_topk": q_vocab_topk,
+        "lm_score": q_lm_score,
+        "substring_dup": q_substring_dup,
         "repetition": q_repetition,
         "boilerplate": q_boilerplate,
         "contamination": q_contamination,
@@ -1976,6 +2009,58 @@ def oracle_sql() -> dict[str, str]:
         "quality": _QUALITY_SQL,
         "language_id": _LANG_SQL,
         "winnow": _WINNOW_SQL,
+        "vocab_topk": f"""
+            WITH tok AS (
+              SELECT unnest({_DUCK_TOKS}) AS token FROM documents
+            ), freq AS (
+              SELECT token, count(*) AS n FROM tok GROUP BY 1
+            )
+            SELECT row_number() OVER (ORDER BY n DESC, token)::BIGINT AS rank,
+                   token, n::BIGINT AS n
+            FROM freq ORDER BY n DESC, token LIMIT 50
+        """,
+        # Quantized-term contract (see lm_scores docstring): each ln(tf)
+        # rounds to 6 decimals BEFORE the per-doc sum so engine-specific
+        # summation order cannot flip the 4-decimal score.
+        "lm_score": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+            ), freq AS (
+              SELECT token, count(*) AS tf FROM tok GROUP BY 1
+            ), total AS (
+              SELECT round(ln(sum(tf)::DOUBLE), 6) AS ln_total FROM freq
+            ), scored AS (
+              SELECT doc_id, round(ln(tf::DOUBLE), 6) AS lp
+              FROM tok JOIN freq USING (token)
+            ), pd AS (
+              SELECT doc_id, count(*) AS n, sum(lp) AS s FROM scored GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(n, 0)::BIGINT AS n_tokens,
+                   round(s / n - ln_total, 4) AS mean_lp,
+                   (round(s / n - ln_total, 4) >= -3.45) AS keep
+            FROM documents d CROSS JOIN total
+            LEFT JOIN pd ON pd.doc_id = d.doc_id
+        """,
+        "substring_dup": f"""
+            WITH fp AS ({_WINNOW_SQL}),
+            freq AS (
+              SELECT fingerprint, count(*) AS df FROM fp GROUP BY 1
+            ), pd AS (
+              SELECT doc_id, count(*) AS n_fp,
+                     sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_sh
+              FROM fp JOIN freq USING (fingerprint) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(n_fp, 0)::BIGINT AS n_fingerprints,
+                   coalesce(n_sh, 0)::BIGINT AS n_shared,
+                   round(coalesce(n_sh, 0)
+                         / greatest(coalesce(n_fp, 0), 1)::DOUBLE, 6) AS shared_ratio,
+                   (coalesce(n_fp, 0) > 0
+                    AND round(coalesce(n_sh, 0)
+                              / greatest(coalesce(n_fp, 0), 1)::DOUBLE, 6) > 0.5) AS flagged
+            FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+        """,
         "repetition": f"""
             WITH t AS (
               SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents

@@ -313,6 +313,144 @@ def contamination_overlap(
     )
 
 
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 50
+) -> DataFrame:
+    """Corpus vocabulary heavy hitters: the ``k`` most frequent tokens
+    with their counts and dense rank — the first step of vocabulary /
+    tokenizer construction over a pretraining corpus.
+    ``(rank, token, n)``, ties broken lexicographically so the result is
+    fully deterministic.
+
+    Shape: explode → ONE partial-aggregated ``groupBy(token)`` (the
+    grouped table is vocabulary-sized, millions of rows at web scale,
+    not corpus-sized) → ``orderBy(...).limit(k)`` which Spark compiles
+    to ``TakeOrderedAndProject`` — each partition keeps a local top-k
+    heap and only k·n_partitions rows reach the driver-side merge; the
+    full vocabulary is never globally sorted. The ``row_number`` window
+    runs on the ≤k-row result, not at scale."""
+    from pyspark.sql import Window
+
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = freq.orderBy(F.desc("n"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return top.select(
+        F.row_number().over(w).alias("rank"), "token", F.col("n").cast("long").alias("n")
+    )
+
+
+def lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_mean_lp: float = -7.0,
+) -> DataFrame:
+    """Unigram language-model document scoring — the CCNet/KenLM-style
+    quality filter: train a unigram model on the corpus itself
+    (P(t) = count(t) / total), score each document by its mean token
+    log-probability, and flag documents below ``min_mean_lp`` (rare-token
+    soup: OCR noise, codes, lorem-garbage score low; ordinary prose
+    scores high). ``(doc_id, n_tokens, mean_lp, keep)``, one row per
+    input doc; empty docs get ``n_tokens=0, mean_lp=null, keep=null``.
+
+    Cross-engine float discipline: each per-token term ``ln(tf)`` is
+    rounded to 6 decimals BEFORE the per-doc sum and the final score to
+    4, so Spark and the DuckDB oracle sum (near-)identical multisets and
+    per-engine summation order cannot flip the rounded result — the
+    quantization is part of the score's contract, not an approximation
+    bolted on after.
+
+    Shape: explode → partial-aggregated ``groupBy(token)`` builds the
+    vocabulary-sized frequency table; the score join is hash-partitioned
+    on token (both sides shuffle once on the same key; at 10^12 docs the
+    probe side dominates and streams); per-doc rollup partial-aggregates.
+    The grand total (= Σ tf over the vocabulary = corpus token count) is
+    computed as a scan-only ``sum(size(tokens))`` 1-row broadcast rather
+    than re-running the vocabulary groupBy a second time — one Exchange
+    fewer, same value. No all-pairs, no window, no driver-side loop."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = df.select(
+        F.sum(F.size(tokens(F.col(text_col)))).alias("__total")
+    )
+    scored = tok.join(freq, "token")
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.round(F.log(F.col("tf").cast("double")), 6)).alias("__sum_lp"),
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    n = F.coalesce("__n", F.lit(0)).cast("long")
+    mean_lp = F.round(
+        F.col("__sum_lp") / F.col("__n")
+        - F.round(F.log(F.col("__total").cast("double")), 6),
+        4,
+    )
+    return (
+        ids.join(per_doc, "doc_id", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            mean_lp.alias("mean_lp"),
+            (mean_lp >= min_mean_lp).alias("keep"),
+        )
+    )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    window: int = 8,
+    min_docs: int = 2,
+    max_shared_ratio: float = 0.5,
+) -> DataFrame:
+    """Cross-document SUBSTRING duplication (the signal behind
+    suffix-array dedup, Lee et al. 2021, approximated at winnowing
+    granularity): a document whose selected fingerprints mostly also
+    occur in other documents is largely made of text that exists
+    elsewhere in the corpus — even when no whole-document dedup method
+    fires. ``(doc_id, n_fingerprints, n_shared, shared_ratio, flagged)``,
+    one row per input doc.
+
+    Guarantee inherited from winnowing (Schleimer et al., SIGMOD'03):
+    any shared substring of length ≥ k + window - 1 chars contributes at
+    least one common fingerprint, so long verbatim overlaps cannot hide.
+
+    Shape: shuffle-free ``winnow_fingerprints`` (per-doc UNIQUE, so
+    count(*) per fingerprint = document frequency) → partial-aggregated
+    ``groupBy(fingerprint)`` → hash-partitioned self-frequency join →
+    per-doc partial-agg rollup — the same discipline as
+    ``boilerplate_stats``; a viral fingerprint costs O(docs containing
+    it), never O(n²)."""
+    fp = winnow_fingerprints(df, text_col, id_col, k, window)
+    freq = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        fp.join(freq, "fingerprint")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n_fp"),
+            F.sum((F.col("df") >= min_docs).cast("long")).alias("__n_shared"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    n_fp = F.coalesce("__n_fp", F.lit(0)).cast("long")
+    n_sh = F.coalesce("__n_shared", F.lit(0)).cast("long")
+    ratio = F.round(n_sh / F.greatest(n_fp, F.lit(1)).cast("double"), 6)
+    return ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        n_fp.alias("n_fingerprints"),
+        n_sh.alias("n_shared"),
+        ratio.alias("shared_ratio"),
+        ((n_fp > 0) & (ratio > max_shared_ratio)).alias("flagged"),
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
 ) -> DataFrame:

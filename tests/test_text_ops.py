@@ -556,3 +556,45 @@ def test_drop_cluster_duplicates_chain(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_id_a long, doc_id_b long")
     kept = sorted(r["doc_id"] for r in dedup.drop_cluster_duplicates(docs, pairs).collect())
     assert kept == [1, 9]
+
+
+def test_vocab_topk(spark, docs):
+    out = text_checks.vocab_topk(docs, k=3).collect()
+    got = [(r["rank"], r["token"], r["n"]) for r in out]
+    # 'the' appears twice in docs 1 and 2; the n=2 ties break
+    # lexicographically (batch < brown < check < ...).
+    assert got == [(1, "the", 4), (2, "batch", 2), (3, "brown", 2)]
+
+
+def test_lm_scores(spark, docs):
+    import math
+
+    out = {r["doc_id"]: r for r in text_checks.lm_scores(docs).collect()}
+    # doc 6 = single token 'zz' with tf=1: mean_lp = 0 - round(ln(total),6)
+    total = 9 + 9 + 8 + 8 + 9 + 1  # tokens across docs 1..6
+    assert out[6]["n_tokens"] == 1
+    assert out[6]["mean_lp"] == pytest.approx(round(-round(math.log(total), 6), 4))
+    # null-text doc: no tokens, null score, null keep
+    assert out[7]["n_tokens"] == 0 and out[7]["mean_lp"] is None and out[7]["keep"] is None
+    # docs of common tokens score higher than the rare-token doc
+    assert out[1]["mean_lp"] > out[6]["mean_lp"]
+    # exact duplicates get identical scores
+    assert out[3]["mean_lp"] == out[4]["mean_lp"]
+
+
+def test_substring_dup_stats(spark, docs):
+    out = {
+        r["doc_id"]: r
+        for r in text_checks.substring_dup_stats(docs, k=5, window=3).collect()
+    }
+    # docs 3 and 4 are byte-identical: every fingerprint shared
+    assert out[3]["shared_ratio"] == 1.0 and out[3]["flagged"] is True
+    assert out[4]["shared_ratio"] == 1.0
+    # docs 1 and 2 share a 40-char prefix >= k+window-1=7 chars: the
+    # winnowing guarantee forces at least one common fingerprint
+    assert out[1]["n_shared"] > 0 and out[2]["n_shared"] > 0
+    # doc 5 shares no substring with anything
+    assert out[5]["n_shared"] == 0 and out[5]["flagged"] is False
+    # short/null docs produce zero fingerprints and are not flagged
+    assert out[6]["n_fingerprints"] == 0 and out[6]["flagged"] is False
+    assert out[7]["n_fingerprints"] == 0
