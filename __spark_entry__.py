@@ -862,6 +862,39 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(docs).select("doc_id", "split")
 
 
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test carve
+    (``operators/sampling.cluster_safe_split``): a plain per-doc
+    ``hash_split`` scatters near-duplicates across splits, so the
+    held-out set contains near-copies of training docs. Here the split
+    key is the TRANSITIVE simhash near-dup cluster's canonical (min) id
+    — every cluster member lands in the same split by construction;
+    unclustered docs keep the plain per-id assignment. Oracle: the
+    recursive-CTE component closure + the identical md5
+    cumulative-weight CASE over ``coalesce(component_id, doc_id)``."""
+    from json_validator_spark.operators.dedup import simhash, simhash_neardup_pairs
+    from json_validator_spark.operators.sampling import cluster_safe_split
+
+    docs = _union_dup_docs(_load_spread(spark, sf_dir, "documents"))
+    pairs = simhash_neardup_pairs(
+        simhash(docs), max_hamming=3, n_bands=4, max_bucket=10**6
+    )
+    return cluster_safe_split(docs, pairs).select("doc_id", "split")
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture design (``operators/sampling.mixture_weights``):
+    per-stratum keep fractions that reshape the corpus TOKEN mixture
+    exactly onto target shares by downsampling only (Pile/DoReMi-style
+    source weighting). ONE partial-aggregated groupBy over the scan;
+    the share/argmax arithmetic runs as windows over the tiny grouped
+    result. Feeds ``stratified_sample`` directly."""
+    from json_validator_spark.operators.sampling import mixture_weights
+
+    docs = _load(spark, sf_dir, "documents")
+    return mixture_weights(docs, "lang", {"en": 0.5, "es": 0.3, "fr": 0.2})
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing (``operators/packing``): md5-sharded,
     doc_id-ordered greedy boundary packing at a 256-token budget —
@@ -1254,6 +1287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_import": q_schema_import,
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
+        "cluster_split": q_cluster_split,
+        "mixture_weights": q_mixture_weights,
         "pack_sequences": q_pack_sequences,
         "pii_scrub": q_pii_scrub,
         "top_violations": q_top_violations,
@@ -2179,6 +2214,72 @@ def oracle_sql() -> dict[str, str]:
                         WHEN {_duck_u("doc_id::VARCHAR, 'split'")} < 0.9 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        # cluster_split: recursive-CTE transitive closure over the same
+        # simhash pair set as dedup_components, then the hash_split md5
+        # CASE keyed by coalesce(component_id, doc_id) — cluster members
+        # share the canonical id hence the split, bit-for-bit.
+        "cluster_split": (
+            _SIMHASH_CTE.replace("__DOCSRC__", "docs").replace(
+                "WITH base AS",
+                f"WITH RECURSIVE docs AS ({_UNION_DUP_SQL}), base AS",
+                1,
+            )
+            + f"""
+            , pairs AS (
+              SELECT a.doc_id AS da, b.doc_id AS db
+              FROM fp a, fp b
+              WHERE a.doc_id < b.doc_id
+                AND bit_count(xor(a.simhash, b.simhash)) <= 3
+            ), edges AS (
+              SELECT da AS node, db AS peer FROM pairs
+              UNION
+              SELECT db AS node, da AS peer FROM pairs
+            ), reach(node, root) AS (
+              SELECT node, node FROM (SELECT DISTINCT node FROM edges) n
+              UNION
+              SELECT e.peer, r.root FROM reach r JOIN edges e ON e.node = r.node
+            ), comp AS (
+              SELECT node AS doc_id, min(root) AS component_id
+              FROM reach GROUP BY node
+            )
+            SELECT d.doc_id,
+                   CASE WHEN {_duck_u("coalesce(c.component_id, d.doc_id)::VARCHAR, 'split'")} < 0.8
+                        THEN 'train'
+                        WHEN {_duck_u("coalesce(c.component_id, d.doc_id)::VARCHAR, 'split'")} < 0.9
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM docs d LEFT JOIN comp c ON c.doc_id = d.doc_id
+            """
+        ),
+        # mixture_weights: same groupBy token accounting, same window
+        # share/argmax arithmetic (doubles in identical IEEE order, then
+        # round 6 — the standard cross-engine float discipline).
+        "mixture_weights": f"""
+            WITH per AS (
+              SELECT lang AS stratum,
+                     count(*)::BIGINT AS n_docs,
+                     coalesce(sum(len({_DUCK_TOKS})), 0)::BIGINT AS n_tokens
+              FROM documents GROUP BY lang
+            ), shared AS (
+              SELECT *,
+                     n_tokens / (sum(n_tokens) OVER ()) AS tok_share,
+                     CASE WHEN stratum = 'en' THEN 0.5
+                          WHEN stratum = 'es' THEN 0.3
+                          WHEN stratum = 'fr' THEN 0.2
+                          ELSE 0.0 END AS target
+              FROM per
+            ), rawed AS (
+              SELECT *,
+                     CASE WHEN tok_share > 0 THEN target / tok_share
+                          ELSE 0.0 END AS raw
+              FROM shared
+            )
+            SELECT stratum, n_docs, n_tokens,
+                   round(tok_share, 6) AS token_share,
+                   target AS target_share,
+                   round(raw / max(raw) OVER (), 6) AS keep_fraction
+            FROM rawed
         """,
         # pack_sequences: identical shard hash (md5 prefix), identical
         # per-shard doc_id order, identical exclusive cumsum → identical

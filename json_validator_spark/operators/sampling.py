@@ -82,3 +82,99 @@ def hash_split(
     for cum, name in reversed(conds):
         expr = F.when(u < F.lit(cum), F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: Mapping[str, float] | None = None,
+    id_col: str = "doc_id",
+    src_col: str = "doc_id_a",
+    dst_col: str = "doc_id_b",
+    salt: str = "split",
+    split_col: str = "split",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Leakage-safe train/val/test carve: a plain per-doc ``hash_split``
+    scatters near-duplicate documents across splits, so the held-out set
+    contains near-copies of training documents and every eval on it is
+    contaminated. Here the split key is the TRANSITIVE duplicate
+    cluster, not the document: run ``connected_components`` over the
+    near-dup pair graph, key every clustered doc by its cluster's
+    canonical (min) id, unclustered docs by their own id, and apply the
+    cumulative-weight hash assignment to that key — every member of a
+    cluster lands in the same split by construction.
+
+    Shape: the component table is (clustered docs)-sized — a small
+    fraction of the corpus at realistic dup rates — so the label join
+    is broadcast-eligible; the split assignment itself stays the same
+    plan-constant narrow projection as ``hash_split``. Output: input
+    schema + ``split``."""
+    from json_validator_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs, src_col, dst_col, max_iter=max_iter)
+    labeled = df.join(
+        comp.withColumnRenamed("node", "__cc_node"),
+        df[id_col] == F.col("__cc_node"),
+        "left",
+    )
+    keyed = labeled.select(
+        *[F.col(c) for c in df.columns],
+        F.coalesce(F.col("component_id"), F.col(id_col)).alias("__ckey"),
+    )
+    return hash_split(
+        keyed, weights, id_col="__ckey", salt=salt, split_col=split_col
+    ).drop("__ckey")
+
+
+def mixture_weights(
+    df: DataFrame,
+    strata_col: str,
+    targets: Mapping[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Compute the per-stratum keep fractions that reshape the corpus
+    TOKEN mixture toward ``targets`` (shares summing to 1) by
+    downsampling only — the data-mixture design step (Pile/DoReMi-style
+    source weighting) whose output feeds ``stratified_sample`` directly.
+
+    For each stratum: raw ratio w_s = target_share / actual_token_share;
+    keep_fraction = w_s / max_t(w_t), so the most under-represented
+    target stratum is kept in full and everything else is downsampled
+    proportionally — the unique only-downsampling solution that lands
+    exactly on the target mixture (strata absent from ``targets``,
+    including NULL, get target 0 and are dropped). Emits the audit
+    columns, one row per observed stratum:
+    ``(stratum, n_docs, n_tokens, token_share, target_share,
+    keep_fraction)``.
+
+    Shape: ONE partial-aggregated groupBy over a scan (the stratum
+    count is the number of sources/languages — tiny); the share/max
+    arithmetic runs as windows over that tiny grouped result, never at
+    corpus scale."""
+    from pyspark.sql import Window
+
+    from json_validator_spark.functions.text import tokens
+
+    per = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.size(tokens(F.col(text_col)))), F.lit(0)).alias("n_tokens"),
+    )
+    target: Column = F.lit(0.0)
+    for value, share in targets.items():
+        target = F.when(F.col("stratum") == F.lit(value), F.lit(float(share))).otherwise(
+            target
+        )
+    w_all = Window.partitionBy()
+    tok_share = F.col("n_tokens") / F.sum("n_tokens").over(w_all)
+    raw = F.when(tok_share > 0, target / tok_share).otherwise(F.lit(0.0))
+    keep = F.round(raw / F.max(raw).over(w_all), 6)
+    return per.select(
+        "stratum",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(tok_share, 6).alias("token_share"),
+        target.alias("target_share"),
+        keep.alias("keep_fraction"),
+    )

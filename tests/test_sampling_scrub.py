@@ -124,3 +124,46 @@ def test_pack_sequences_invariants(spark):
         if r["seq_id"] < per_shard_max[r["shard"]]:
             assert r["fill_ratio"] >= (budget - max_doc) / budget
             assert r["fill_ratio"] <= (budget + max_doc) / budget
+
+
+def test_cluster_safe_split_no_leakage(spark):
+    from json_validator_spark.operators.sampling import cluster_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # chains {0,1,2}, {10,11}, plus a bigger star around 50
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)] + [(50, x) for x in range(51, 60)],
+        "doc_id_a long, doc_id_b long",
+    )
+    out = cluster_safe_split(docs, pairs).collect()
+    split = {r["doc_id"]: r["split"] for r in out}
+    assert len(split) == 200 and set(split.values()) <= {"train", "val", "test"}
+    # every cluster member shares its cluster's split
+    assert split[0] == split[1] == split[2]
+    assert split[10] == split[11]
+    assert len({split[x] for x in range(50, 60)}) == 1
+    # unclustered docs keep the plain hash_split assignment
+    plain = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    for d in (5, 99, 150):
+        assert split[d] == plain[d]
+
+
+def test_mixture_weights_exact_targets(spark):
+    from json_validator_spark.operators.sampling import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(i, ["en", "en", "en", "es"][i % 4], "alpha beta gamma") for i in range(400)],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["stratum"]: r for r in mixture_weights(docs, "lang", {"en": 0.5, "es": 0.5}).collect()}
+    # en has 3x the docs of es (token mix identical) -> en downsampled to ~1/3
+    assert out["es"]["keep_fraction"] == 1.0
+    assert out["en"]["keep_fraction"] == pytest.approx(1 / 3, abs=1e-5)
+    # achieved mixture = target: share_s * keep_s proportional to targets
+    en = out["en"]["token_share"] * out["en"]["keep_fraction"]
+    es = out["es"]["token_share"] * out["es"]["keep_fraction"]
+    assert en / (en + es) == pytest.approx(0.5, abs=1e-5)
+    # token accounting is real
+    assert out["en"]["n_docs"] == 300 and out["es"]["n_docs"] == 100
