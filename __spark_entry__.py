@@ -2278,7 +2278,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT stratum, n_docs, n_tokens,
                    round(tok_share, 6) AS token_share,
                    target AS target_share,
-                   round(raw / max(raw) OVER (), 6) AS keep_fraction
+                   CASE WHEN max(raw) OVER () > 0
+                        THEN round(raw / max(raw) OVER (), 6)
+                        ELSE 0.0 END AS keep_fraction
             FROM rawed
         """,
         # pack_sequences: identical shard hash (md5 prefix), identical

@@ -503,6 +503,8 @@ def connected_components(
     component by definition and are not emitted (join back with a
     coalesce for the full-corpus view).
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1 (got {max_iter})")
     a, b = F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     half = pairs.select(a, b)
     edges = (
@@ -545,6 +547,18 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # Falling through with labels still moving means the returned
+        # components are WRONG (clusters split across labels) — and both
+        # consumers (drop_cluster_duplicates, cluster_safe_split) build
+        # leakage/dedup guarantees on them. Pointer jumping converges in
+        # O(log diameter) rounds, so hitting this means max_iter was set
+        # far too small for the graph; fail loudly instead.
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
 
     edges.unpersist()
     return labels.select("node", F.col("comp").alias("component_id"))
@@ -556,8 +570,11 @@ def drop_cluster_duplicates(
     """Cluster-level apply step: run ``connected_components`` over the
     pair graph and keep exactly ONE document per transitive cluster
     (the min-id canonical). Strictly stronger than the edge-greedy
-    ``drop_near_duplicates`` on chain-shaped clusters: A~B, B~C with no
-    A~C edge keeps {A} here, {A, C} there. Docs outside the pair graph
+    ``drop_near_duplicates`` when several min-side survivors share a
+    cluster: edges (1,3), (2,3) keep {1} here but {1, 2} there (the
+    edge-greedy pass only drops right-hand nodes, so 1 and 2 both
+    survive despite being transitively linked through 3). Docs outside
+    the pair graph
     are untouched (singleton clusters). One anti-join on the distinct
     non-canonical node set — broadcast-eligible at low dup rates."""
     comp = connected_components(pairs, max_iter=max_iter)

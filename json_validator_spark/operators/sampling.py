@@ -112,15 +112,18 @@ def cluster_safe_split(
     schema + ``split``."""
     from json_validator_spark.operators.dedup import connected_components
 
-    comp = connected_components(pairs, src_col, dst_col, max_iter=max_iter)
-    labeled = df.join(
-        comp.withColumnRenamed("node", "__cc_node"),
-        df[id_col] == F.col("__cc_node"),
-        "left",
+    comp = (
+        connected_components(pairs, src_col, dst_col, max_iter=max_iter)
+        # reserved names: the input df may itself carry a component_id
+        # column (e.g. a corpus already labeled by connected_components),
+        # which would make the coalesce reference ambiguous
+        .withColumnRenamed("node", "__cc_node")
+        .withColumnRenamed("component_id", "__cc_comp")
     )
+    labeled = df.join(comp, df[id_col] == F.col("__cc_node"), "left")
     keyed = labeled.select(
         *[F.col(c) for c in df.columns],
-        F.coalesce(F.col("component_id"), F.col(id_col)).alias("__ckey"),
+        F.coalesce(F.col("__cc_comp"), F.col(id_col)).alias("__ckey"),
     )
     return hash_split(
         keyed, weights, id_col="__ckey", salt=salt, split_col=split_col
@@ -157,9 +160,22 @@ def mixture_weights(
 
     from json_validator_spark.functions.text import tokens
 
+    bad = {k: w for k, w in targets.items() if not 0.0 <= w <= 1.0}
+    if bad:
+        raise ValueError(f"target shares must each be in [0, 1]: {bad}")
+    total_share = sum(targets.values())
+    if not 0.999 <= total_share <= 1.001:
+        raise ValueError(
+            f"target shares must sum to 1 (got {total_share}): {dict(targets)}"
+        )
+    # greatest(·, 0) pins legacy size(NULL) = -1 (Spark 3.x with
+    # spark.sql.legacy.sizeOfNull) and NULL alike to 0 tokens, matching
+    # the DuckDB oracle which skips NULL texts
     per = df.groupBy(F.col(strata_col).alias("stratum")).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.coalesce(F.sum(F.size(tokens(F.col(text_col)))), F.lit(0)).alias("n_tokens"),
+        F.coalesce(
+            F.sum(F.greatest(F.size(tokens(F.col(text_col))), F.lit(0))), F.lit(0)
+        ).alias("n_tokens"),
     )
     target: Column = F.lit(0.0)
     for value, share in targets.items():
@@ -169,7 +185,10 @@ def mixture_weights(
     w_all = Window.partitionBy()
     tok_share = F.col("n_tokens") / F.sum("n_tokens").over(w_all)
     raw = F.when(tok_share > 0, target / tok_share).otherwise(F.lit(0.0))
-    keep = F.round(raw / F.max(raw).over(w_all), 6)
+    # max(raw) = 0 means no target stratum exists in the corpus: emit
+    # keep = 0 everywhere instead of a silent NaN cascade
+    max_raw = F.max(raw).over(w_all)
+    keep = F.when(max_raw > 0, F.round(raw / max_raw, 6)).otherwise(F.lit(0.0))
     return per.select(
         "stratum",
         F.col("n_docs").cast("long").alias("n_docs"),

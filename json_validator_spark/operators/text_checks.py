@@ -313,14 +313,12 @@ def contamination_overlap(
     )
 
 
-def vocab_topk(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 50
-) -> DataFrame:
+def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     """Corpus vocabulary heavy hitters: the ``k`` most frequent tokens
-    with their counts and dense rank — the first step of vocabulary /
-    tokenizer construction over a pretraining corpus.
-    ``(rank, token, n)``, ties broken lexicographically so the result is
-    fully deterministic.
+    with their counts and ``row_number`` rank (the (n desc, token asc)
+    ordering is total, so ranks are unique and deterministic) — the
+    first step of vocabulary / tokenizer construction over a
+    pretraining corpus. ``(rank, token, n)``.
 
     Shape: explode → ONE partial-aggregated ``groupBy(token)`` (the
     grouped table is vocabulary-sized, millions of rows at web scale,
@@ -374,8 +372,13 @@ def lm_scores(
         F.explode(tokens(F.col(text_col))).alias("token"),
     )
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    # greatest(·, 0): legacy Spark 3.x configs evaluate size(NULL) as -1
+    # (spark.sql.legacy.sizeOfNull), which would silently subtract one
+    # token per NULL-text doc from the corpus total and shift every
+    # mean_lp; pin NULL/-1 to 0 as the DuckDB oracle does by skipping
+    # NULL texts
     total = df.select(
-        F.sum(F.size(tokens(F.col(text_col)))).alias("__total")
+        F.sum(F.greatest(F.size(tokens(F.col(text_col))), F.lit(0))).alias("__total")
     )
     scored = tok.join(freq, "token")
     per_doc = scored.groupBy("doc_id").agg(

@@ -96,16 +96,21 @@ def test_pack_sequences_invariants(spark):
     out = pack_sequences(docs, budget=budget, n_shards=4).collect()
     assert len(out) == 300 and len({r["doc_id"] for r in out}) == 300
     assert all(0 <= r["seq_offset"] < budget for r in out)
-    # per-(shard, seq) reconstruction: offsets are the running token sum
     from collections import defaultdict
-    groups = defaultdict(list)
+    # full reconstruction: within a shard, walking sequences in order and
+    # docs in doc_id order, every offset equals the exclusive running
+    # token sum modulo the budget boundary rule (cum // budget = seq_id,
+    # cum % budget = seq_offset)
+    shard_docs = defaultdict(list)
     for r in out:
-        groups[(r["shard"], r["seq_id"])].append(r)
-    for (_, seq_id), docs_in in groups.items():
-        docs_in.sort(key=lambda r: r["doc_id"])
-        # first doc of the shard's first sequence starts at 0
-        if seq_id == 0:
-            assert docs_in[0]["seq_offset"] == 0
+        shard_docs[r["shard"]].append(r)
+    for rows_in in shard_docs.values():
+        rows_in.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows_in:
+            assert r["seq_id"] == cum // budget
+            assert r["seq_offset"] == cum % budget
+            cum += r["n_tokens"]
     # determinism across partitionings
     again = pack_sequences(docs.repartition(17), budget=budget, n_shards=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
@@ -167,3 +172,38 @@ def test_mixture_weights_exact_targets(spark):
     assert en / (en + es) == pytest.approx(0.5, abs=1e-5)
     # token accounting is real
     assert out["en"]["n_docs"] == 300 and out["es"]["n_docs"] == 100
+
+
+def test_cluster_safe_split_component_id_column(spark):
+    """The input corpus may already carry a component_id column (e.g.
+    previously labeled by connected_components): the internal label join
+    must not become ambiguous, and the passthrough column survives."""
+    from json_validator_spark.operators.sampling import cluster_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", i * 10) for i in range(20)],
+        "doc_id long, text string, component_id long",
+    )
+    pairs = spark.createDataFrame([(0, 1)], "doc_id_a long, doc_id_b long")
+    out = cluster_safe_split(docs, pairs).collect()
+    assert len(out) == 20
+    split = {r["doc_id"]: r["split"] for r in out}
+    assert split[0] == split[1]
+    assert all(r["component_id"] == r["doc_id"] * 10 for r in out)
+
+
+def test_mixture_weights_validation_and_absent_targets(spark):
+    from json_validator_spark.operators.sampling import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(i, "en", "alpha beta") for i in range(10)],
+        "doc_id long, lang string, text string",
+    )
+    # shares must sum to 1 and each lie in [0, 1]
+    with pytest.raises(ValueError, match="sum to 1"):
+        mixture_weights(docs, "lang", {"en": 0.3})
+    with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        mixture_weights(docs, "lang", {"en": 1.5, "es": -0.5})
+    # no target stratum present in the corpus: keep = 0 everywhere, not NaN
+    out = mixture_weights(docs, "lang", {"fr": 1.0}).collect()
+    assert [r["keep_fraction"] for r in out] == [0.0]

@@ -546,16 +546,25 @@ def test_connected_components_random_vs_union_find(spark):
 
 
 def test_drop_cluster_duplicates_chain(spark):
-    """Chain 1~2~3 (no 1~3 edge): cluster apply keeps only doc 1, where
-    the edge-greedy apply would also keep nothing but {1} here — the
-    distinguishing case is 2~3 only-chained docs; verify singletons
-    outside the graph survive untouched."""
+    """Edges (1,3), (2,3) — the case that actually distinguishes the two
+    apply policies: edge-greedy ``drop_near_duplicates`` only drops
+    right-hand nodes ({3}), keeping BOTH 1 and 2 although they are
+    transitively linked through 3; the cluster apply keeps only the
+    canonical min (1). Singletons outside the graph survive untouched."""
     docs = spark.createDataFrame(
         [(i, f"text {i}") for i in (1, 2, 3, 9)], "doc_id long, text string"
     )
-    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_id_a long, doc_id_b long")
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], "doc_id_a long, doc_id_b long")
     kept = sorted(r["doc_id"] for r in dedup.drop_cluster_duplicates(docs, pairs).collect())
     assert kept == [1, 9]
+    greedy = sorted(
+        r["doc_id"] for r in dedup.drop_near_duplicates(docs, pairs).collect()
+    )
+    assert greedy == [1, 2, 9]
+    # chains converge too: 1~2, 2~3 gives the same cluster answer
+    chain = spark.createDataFrame([(1, 2), (2, 3)], "doc_id_a long, doc_id_b long")
+    kept2 = sorted(r["doc_id"] for r in dedup.drop_cluster_duplicates(docs, chain).collect())
+    assert kept2 == [1, 9]
 
 
 def test_vocab_topk(spark, docs):
@@ -598,3 +607,16 @@ def test_substring_dup_stats(spark, docs):
     # short/null docs produce zero fingerprints and are not flagged
     assert out[6]["n_fingerprints"] == 0 and out[6]["flagged"] is False
     assert out[7]["n_fingerprints"] == 0
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting max_iter with labels still moving returns WRONG
+    components — the guard must fail loudly instead (a long path graph
+    cannot settle in one round)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "doc_id_a long, doc_id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1)
+    with pytest.raises(ValueError, match="max_iter"):
+        dedup.connected_components(pairs, max_iter=0)
