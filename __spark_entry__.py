@@ -895,6 +895,20 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_weights(docs, "lang", {"en": 0.5, "es": 0.3, "fr": 0.2})
 
 
+def q_resample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end mixture apply
+    (``operators/sampling.resample_to_mixture``): the keep fractions
+    from ``mixture_weights`` drive a broadcast-joined md5 keep filter —
+    one tiny agg pass + one narrow scan-bound filter. Oracle: the same
+    fraction CTE joined null-safely, the same md5 uniform CASE."""
+    from json_validator_spark.operators.sampling import resample_to_mixture
+
+    docs = _load(spark, sf_dir, "documents")
+    return resample_to_mixture(
+        docs, "lang", {"en": 0.5, "es": 0.3, "fr": 0.2}
+    ).select("doc_id", "lang")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing (``operators/packing``): md5-sharded,
     doc_id-ordered greedy boundary packing at a 256-token budget —
@@ -1289,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "cluster_split": q_cluster_split,
         "mixture_weights": q_mixture_weights,
+        "resample_mixture": q_resample_mixture,
         "pack_sequences": q_pack_sequences,
         "pii_scrub": q_pii_scrub,
         "top_violations": q_top_violations,
@@ -2282,6 +2297,38 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(raw / max(raw) OVER (), 6)
                         ELSE 0.0 END AS keep_fraction
             FROM rawed
+        """,
+        # resample_mixture: the mixture_weights fraction CTE joined
+        # null-safely back onto the corpus, then the same md5 uniform
+        # keep decision as stratified_sample.
+        "resample_mixture": f"""
+            WITH per AS (
+              SELECT lang AS stratum,
+                     coalesce(sum(len({_DUCK_TOKS})), 0)::BIGINT AS n_tokens
+              FROM documents GROUP BY lang
+            ), shared AS (
+              SELECT *,
+                     n_tokens / (sum(n_tokens) OVER ()) AS tok_share,
+                     CASE WHEN stratum = 'en' THEN 0.5
+                          WHEN stratum = 'es' THEN 0.3
+                          WHEN stratum = 'fr' THEN 0.2
+                          ELSE 0.0 END AS target
+              FROM per
+            ), rawed AS (
+              SELECT *,
+                     CASE WHEN tok_share > 0 THEN target / tok_share
+                          ELSE 0.0 END AS raw
+              FROM shared
+            ), keeps AS (
+              SELECT stratum,
+                     CASE WHEN max(raw) OVER () > 0
+                          THEN round(raw / max(raw) OVER (), 6)
+                          ELSE 0.0 END AS keep_fraction
+              FROM rawed
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN keeps k ON d.lang IS NOT DISTINCT FROM k.stratum
+            WHERE {_duck_u("d.doc_id::VARCHAR, 'mix'")} < k.keep_fraction
         """,
         # pack_sequences: identical shard hash (md5 prefix), identical
         # per-shard doc_id order, identical exclusive cumsum → identical

@@ -197,3 +197,41 @@ def mixture_weights(
         target.alias("target_share"),
         keep.alias("keep_fraction"),
     )
+
+
+def resample_to_mixture(
+    df: DataFrame,
+    strata_col: str,
+    targets: Mapping[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """End-to-end mixture apply: ``mixture_weights`` computes the
+    per-stratum keep fractions, then every document is kept iff its
+    plan-deterministic md5 uniform falls under its stratum's fraction —
+    the corpus lands (in expectation, exactly at scale) on the target
+    token mixture in ONE pass. Schema passes through.
+
+    Shape: the weights table is strata-sized (a handful of rows) and
+    broadcast; the keep decision is the same narrow md5 filter as
+    ``stratified_sample`` — zero shuffle on the corpus side, so the
+    operator is scan-bound at 100 TB. The aggregation pass that computes
+    the weights is the one tiny groupBy from ``mixture_weights``.
+    Strata absent from ``targets`` (including NULL) get fraction 0 and
+    drop out; the null-safe join keys NULL strata correctly."""
+    from json_validator_spark.functions.text import unit_uniform
+
+    weights = mixture_weights(df, strata_col, targets, text_col, id_col).select(
+        F.col("stratum").alias("__mix_stratum"),
+        F.col("keep_fraction").alias("__mix_keep"),
+    )
+    joined = df.join(
+        F.broadcast(weights),
+        F.col(strata_col).eqNullSafe(F.col("__mix_stratum")),
+        "left",
+    )
+    u = unit_uniform(F.col(id_col), F.lit(salt))
+    return joined.filter(u < F.coalesce(F.col("__mix_keep"), F.lit(0.0))).select(
+        *df.columns
+    )

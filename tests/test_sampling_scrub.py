@@ -207,3 +207,30 @@ def test_mixture_weights_validation_and_absent_targets(spark):
     # no target stratum present in the corpus: keep = 0 everywhere, not NaN
     out = mixture_weights(docs, "lang", {"fr": 1.0}).collect()
     assert [r["keep_fraction"] for r in out] == [0.0]
+
+
+def test_resample_to_mixture_lands_on_targets(spark):
+    from json_validator_spark.operators.sampling import resample_to_mixture
+
+    rows = [
+        (i, ["en", "en", "en", "es", None][i % 5], "alpha beta gamma delta")
+        for i in range(5000)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = resample_to_mixture(docs, "lang", {"en": 0.5, "es": 0.5}).collect()
+    assert set(r.__fields__[0] for r in out[:1]) == {"doc_id"}  # schema passthrough
+    by_lang = {}
+    for r in out:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    # NULL stratum (no target) fully dropped
+    assert None not in by_lang
+    # uniform text -> doc mixture ~ token mixture ~ 50/50 within binomial noise
+    total = by_lang["en"] + by_lang["es"]
+    assert abs(by_lang["en"] / total - 0.5) < 0.06
+    # es is the scarcest target stratum: kept in full (1000 of 1000)
+    assert by_lang["es"] == 1000
+    # deterministic across partitionings
+    again = resample_to_mixture(
+        docs.repartition(13), "lang", {"en": 0.5, "es": 0.5}
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
