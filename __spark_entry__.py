@@ -84,6 +84,14 @@ _UNION_DUP_SQL = (
     "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0"
 )
 
+# the ingest increment of _increment_docs, mirrored
+_INCR_NEW_SQL = (
+    "SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0 "
+    "UNION ALL SELECT doc_id + 300000 AS doc_id, "
+    "text || ' zq' || (doc_id + 300000)::VARCHAR AS text "
+    "FROM documents WHERE doc_id % 7 = 3"
+)
+
 # DuckDB fragments mirroring functions/text.py
 _DUCK_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
@@ -300,6 +308,58 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         _union_dup_docs(_load_spread(spark, sf_dir, "documents")),
         k=3, n_hashes=16, n_bands=8, threshold=0.999,
     )
+
+
+def _increment_docs(docs: DataFrame) -> DataFrame:
+    """A deterministic ingest increment for the incremental-dedup
+    queries: exact copies of every 7th doc (id+200000 — content already
+    in the corpus, must be REJECTED) plus uniquely perturbed copies of
+    docs ≡ 3 (mod 7) (id+300000, one unique token appended — must be
+    ACCEPTED at the 0.999 threshold: corpus docs cap at ~100 tokens, so
+    one appended token caps Jaccard vs the original at ~0.99)."""
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    modified = docs.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" zq"),
+            (F.col("doc_id") + 300000).cast("string"),
+        ).alias("text"),
+    )
+    return copies.unionByName(modified)
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup: a new batch probed one-sidedly against
+    the existing corpus (``dedup.incremental_neardup_pairs``) — the
+    shuffle is sized by the increment, never the corpus. Same 0.999
+    exact-duplicate contract as ``dedup_minhash`` (LSH recall is certain
+    for identical shingle sets), so the oracle is the exact new-vs-corpus
+    Jaccard join. The hot-bucket star guard is disabled here
+    (``max_bucket=10**6``) because the oracle computes exact all-members
+    semantics; its truncation behavior is pytest-covered."""
+    from json_validator_spark.operators.dedup import incremental_neardup_pairs
+
+    corpus = _load_spread(spark, sf_dir, "documents")
+    return incremental_neardup_pairs(
+        _increment_docs(corpus), corpus,
+        k=3, n_hashes=16, n_bands=8, threshold=0.999, max_bucket=10**6,
+    )
+
+
+def q_dedup_incremental_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest APPLY step (``dedup.accept_new_documents``): new docs
+    surviving both the corpus probe and intra-batch edge-greedy dedup —
+    what actually gets appended to the corpus."""
+    from json_validator_spark.operators.dedup import accept_new_documents
+
+    corpus = _load_spread(spark, sf_dir, "documents")
+    return accept_new_documents(
+        _increment_docs(corpus), corpus,
+        k=3, n_hashes=16, n_bands=8, threshold=0.999, max_bucket=10**6,
+    ).select("doc_id")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1269,6 +1329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_filter": q_dedup_filter,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_accept": q_dedup_incremental_accept,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "dedup_components": q_dedup_components,
@@ -1896,6 +1958,56 @@ def oracle_sql() -> dict[str, str]:
             .replace("WITH sh AS", f"WITH docs AS ({_UNION_DUP_SQL}), sh AS", 1)
             + ") p"
         ),
+        # dedup_incremental / _accept: exact new-vs-corpus Jaccard at the
+        # 0.999 exact-duplicate contract (same recall argument as
+        # dedup_minhash); accept additionally mirrors the edge-greedy
+        # intra-batch drop (greater member of any ≥0.999 pair).
+        "dedup_incremental": f"""
+            WITH newb AS ({_INCR_NEW_SQL}),
+            sh_new AS ({_SHINGLE_CTE.replace("__DOCSRC__", "newb")}),
+            sh_c AS ({_SHINGLE_CTE.replace("__DOCSRC__", "documents")}),
+            nn AS (SELECT doc_id, count(*) AS n FROM sh_new GROUP BY doc_id),
+            nc AS (SELECT doc_id, count(*) AS n FROM sh_c GROUP BY doc_id),
+            common AS (
+              SELECT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id,
+                     count(*) AS n_common
+              FROM sh_new n JOIN sh_c c USING (shingle)
+              GROUP BY 1, 2
+            )
+            SELECT new_doc_id, corpus_doc_id,
+                   round(n_common / (nn.n + nc.n - n_common)::DOUBLE, 6) AS jaccard
+            FROM common
+            JOIN nn ON nn.doc_id = new_doc_id
+            JOIN nc ON nc.doc_id = corpus_doc_id
+            WHERE n_common / (nn.n + nc.n - n_common)::DOUBLE >= 0.999
+        """,
+        "dedup_incremental_accept": f"""
+            WITH newb AS ({_INCR_NEW_SQL}),
+            sh_new AS ({_SHINGLE_CTE.replace("__DOCSRC__", "newb")}),
+            sh_c AS ({_SHINGLE_CTE.replace("__DOCSRC__", "documents")}),
+            nn AS (SELECT doc_id, count(*) AS n FROM sh_new GROUP BY doc_id),
+            nc AS (SELECT doc_id, count(*) AS n FROM sh_c GROUP BY doc_id),
+            xdrop AS (
+              SELECT DISTINCT n.doc_id
+              FROM sh_new n JOIN sh_c c USING (shingle)
+              JOIN nn ON nn.doc_id = n.doc_id
+              JOIN nc ON nc.doc_id = c.doc_id
+              GROUP BY n.doc_id, c.doc_id, nn.n, nc.n
+              HAVING count(*) / (nn.n + nc.n - count(*))::DOUBLE >= 0.999
+            ),
+            idrop AS (
+              SELECT DISTINCT b.doc_id
+              FROM sh_new a JOIN sh_new b USING (shingle)
+              JOIN nn na ON na.doc_id = a.doc_id
+              JOIN nn nb ON nb.doc_id = b.doc_id
+              WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id, na.n, nb.n
+              HAVING count(*) / (na.n + nb.n - count(*))::DOUBLE >= 0.999
+            )
+            SELECT doc_id FROM newb
+            WHERE doc_id NOT IN (SELECT doc_id FROM xdrop)
+              AND doc_id NOT IN (SELECT doc_id FROM idrop)
+        """,
         "simhash": _SIMHASH_CTE.replace("__DOCSRC__", "documents")
         + "SELECT doc_id, simhash FROM fp",
         "simhash_pairs": (

@@ -174,6 +174,28 @@ def minhash_signatures(
     )
 
 
+def _banded(signatures: DataFrame, n_bands: int, rows_per_band: int) -> DataFrame:
+    """``(doc_id, band_idx, band_hash)`` — one row per signature band;
+    the shared banding step of the self-join (``lsh_candidate_pairs``)
+    and the incremental probe (``incremental_candidate_pairs``)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.md5(
+                    F.array_join(
+                        F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band), "|"
+                    )
+                ).alias("band_hash"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    return signatures.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", "b.band_idx", "b.band_hash"
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     n_bands: int = 4,
@@ -194,22 +216,7 @@ def lsh_candidate_pairs(
     cluster connected (dedup keeps the min-id survivor and drops docs
     reachable from it), while buckets at or under the cap keep the
     exact all-pairs semantics."""
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band_idx"),
-                F.md5(
-                    F.array_join(
-                        F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band), "|"
-                    )
-                ).alias("band_hash"),
-            )
-            for bi in range(n_bands)
-        ]
-    )
-    banded = signatures.select(
-        "doc_id", F.explode(bands).alias("b")
-    ).select("doc_id", "b.band_idx", "b.band_hash")
+    banded = _banded(signatures, n_bands, rows_per_band)
     keys = ["band_idx", "band_hash"]
     sizes = banded.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("__n"), F.min("doc_id").alias("__min_doc")
@@ -290,6 +297,160 @@ def minhash_neardup_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return out.select("doc_id_a", "doc_id_b", "jaccard")
+
+
+# ----------------------------------------------------------------------
+# Incremental dedup — a new batch probed against the existing corpus
+# ----------------------------------------------------------------------
+
+def incremental_candidate_pairs(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """One-sided LSH probe: ``(new_doc_id, corpus_doc_id,
+    n_bands_shared)`` for every (new batch doc, corpus doc) pair that
+    agrees on ≥1 signature band.
+
+    This is the production ingest shape the self-join cannot give you:
+    when a daily increment lands against a 10^12-doc corpus, re-running
+    pairwise dedup over old ∪ new re-shuffles the whole corpus. Here the
+    corpus side is banded once (in production: a *stored* band index,
+    written at corpus-build time and reused every increment) and the
+    join is new-bands ⋈ corpus-bands on (band_idx, band_hash) — the
+    shuffle is sized by the increment, not the corpus, and AQE
+    broadcasts the new side outright when the increment is small.
+
+    Hot-bucket guard, one-sided: a corpus band bucket larger than
+    ``max_bucket`` (a boilerplate/viral-duplicate flood) would multiply
+    every probing new doc by the full bucket; instead such buckets are
+    collapsed to their min-id representative, so each new doc gains ONE
+    candidate edge per hot bucket — O(increment) instead of
+    O(increment × bucket). Buckets at or under the cap keep exact
+    all-members semantics."""
+    bn = _banded(new_sigs, n_bands, rows_per_band).withColumnRenamed(
+        "doc_id", "new_doc_id"
+    )
+    bc = _banded(corpus_sigs, n_bands, rows_per_band)
+    keys = ["band_idx", "band_hash"]
+    sizes = bc.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"), F.min("doc_id").alias("__min_doc")
+    )
+    tagged = bc.join(sizes, keys)  # co-partitioned: same key as the groupBy
+    direct = bn.join(tagged.filter(F.col("__n") <= max_bucket), keys).select(
+        "new_doc_id", F.col("doc_id").alias("corpus_doc_id")
+    )
+    hot = (
+        tagged.filter(F.col("__n") > max_bucket)
+        .select(*keys, F.col("__min_doc").alias("corpus_doc_id"))
+        .distinct()
+    )
+    star = bn.join(hot, keys).select("new_doc_id", "corpus_doc_id")
+    return (
+        direct.unionByName(star)
+        .groupBy("new_doc_id", "corpus_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bands_shared"))
+    )
+
+
+def incremental_neardup_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Incremental MinHash dedup end-to-end: LSH candidates from the
+    one-sided probe (``incremental_candidate_pairs``), then true shingle
+    Jaccard computed ONLY for candidate pairs. Returns
+    ``(new_doc_id, corpus_doc_id, jaccard)`` with jaccard ≥ threshold.
+
+    Same verification shape as ``minhash_neardup_pairs``: the candidate
+    frame is joined against both posting lists; AQE broadcasts the
+    (small) candidate side, so neither shingle table is shuffled. In
+    production the corpus signatures/postings are precomputed artifacts;
+    here they are derived inline from ``corpus_df`` so the operator is
+    self-contained."""
+    rows_per_band = n_hashes // n_bands
+    new_sigs = minhash_signatures(new_df, text_col, id_col, k, n_hashes)
+    corpus_sigs = minhash_signatures(corpus_df, text_col, id_col, k, n_hashes)
+    cand = incremental_candidate_pairs(
+        new_sigs, corpus_sigs, n_bands, rows_per_band, max_bucket=max_bucket
+    )
+    sh_new = doc_shingles(new_df, text_col, id_col, k).withColumnRenamed(
+        "doc_id", "new_doc_id"
+    )
+    sh_c = doc_shingles(corpus_df, text_col, id_col, k).withColumnRenamed(
+        "doc_id", "corpus_doc_id"
+    )
+    n_new = sh_new.groupBy("new_doc_id").agg(F.count(F.lit(1)).alias("n_new"))
+    n_c = sh_c.groupBy("corpus_doc_id").agg(F.count(F.lit(1)).alias("n_c"))
+    common = (
+        cand.select("new_doc_id", "corpus_doc_id")
+        .join(sh_new, "new_doc_id")
+        .join(sh_c, ["corpus_doc_id", "shingle"])
+        .groupBy("new_doc_id", "corpus_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(n_new, "new_doc_id")
+        .join(n_c, "corpus_doc_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_new") + F.col("n_c") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("new_doc_id", "corpus_doc_id", "jaccard")
+
+
+def accept_new_documents(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """The ingest apply step: the subset of ``new_df`` that survives
+    incremental dedup — drop every new doc that (a) near-matches ANY
+    existing corpus doc (``incremental_neardup_pairs``) or (b) is the
+    greater member of an intra-batch near-dup pair
+    (``minhash_neardup_pairs`` over the batch alone, edge-greedy policy
+    as in ``drop_near_duplicates``). All original columns pass through.
+
+    Two anti-joins on distinct drop sets — both sized by the duplicate
+    rate of the INCREMENT, broadcast-eligible in the common case. Note
+    the (a)/(b) interaction is deliberately greedy: if new docs A < B
+    duplicate each other and A also matches the corpus, both drop — A
+    via (a), B via (b) — which is correct (their content is already
+    represented in the corpus)."""
+    x = incremental_neardup_pairs(
+        new_df, corpus_df, text_col, id_col, k, n_hashes, n_bands, threshold,
+        max_bucket,
+    )
+    intra = minhash_neardup_pairs(
+        new_df, text_col, id_col, k, n_hashes, n_bands, threshold, max_bucket
+    )
+    drops = (
+        x.select(F.col("new_doc_id").alias("__drop"))
+        .unionByName(intra.select(F.col("doc_id_b").alias("__drop")))
+        .distinct()
+    )
+    return new_df.join(drops, new_df[id_col] == drops["__drop"], "left_anti")
 
 
 # ----------------------------------------------------------------------

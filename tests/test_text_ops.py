@@ -620,3 +620,53 @@ def test_connected_components_nonconvergence_raises(spark):
         dedup.connected_components(pairs, max_iter=1)
     with pytest.raises(ValueError, match="max_iter"):
         dedup.connected_components(pairs, max_iter=0)
+
+
+def test_incremental_neardup_and_accept(spark, docs):
+    """Incremental ingest: exact copy of a corpus doc is rejected, a
+    fresh doc is accepted, and an intra-batch duplicate pair keeps only
+    its min-id member."""
+    new_rows = [
+        (101, "spark schema rule check table row column batch"),  # = corpus 3/4
+        (102, "totally fresh content about distributed validation engines"),
+        (103, "totally fresh content about distributed validation engines"),
+        (104, None),  # null text: no shingles, always accepted
+    ]
+    new_df = spark.createDataFrame(new_rows, "doc_id long, text string")
+    pairs = dedup.incremental_neardup_pairs(
+        new_df, docs, k=2, n_hashes=16, n_bands=8, threshold=0.9
+    )
+    got = {(r["new_doc_id"], r["corpus_doc_id"]): r["jaccard"] for r in pairs.collect()}
+    assert got.get((101, 3)) == 1.0 and got.get((101, 4)) == 1.0
+    assert all(nid == 101 for nid, _ in got)  # fresh docs match nothing
+    kept = dedup.accept_new_documents(
+        new_df, docs, k=2, n_hashes=16, n_bands=8, threshold=0.9
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {102, 104}
+    # all original columns pass through
+    assert kept.columns == new_df.columns
+
+
+def test_incremental_hot_bucket_guard(spark):
+    """A corpus band bucket over max_bucket collapses to its min-id
+    representative: each probing new doc gains ONE candidate edge per
+    hot bucket instead of |bucket|."""
+    n = 20
+    corpus = spark.createDataFrame(
+        [(i, "same viral content repeated " * 3) for i in range(n)],
+        "doc_id long, text string",
+    )
+    new_df = spark.createDataFrame(
+        [(100, "same viral content repeated " * 3)], "doc_id long, text string"
+    )
+    new_sigs = dedup.minhash_signatures(new_df)
+    corpus_sigs = dedup.minhash_signatures(corpus)
+    cand = dedup.incremental_candidate_pairs(new_sigs, corpus_sigs, max_bucket=5)
+    got = cand.collect()
+    assert len(got) == 1 and got[0]["corpus_doc_id"] == 0  # the representative
+    # under the cap: every bucket member is a candidate
+    full = dedup.incremental_candidate_pairs(new_sigs, corpus_sigs, max_bucket=1000)
+    assert full.count() == n
+    # the verified probe still rejects the duplicate new doc either way
+    kept = dedup.accept_new_documents(new_df, corpus, threshold=0.9, max_bucket=5)
+    assert kept.count() == 0
