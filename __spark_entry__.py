@@ -575,6 +575,24 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning recipe (``text_checks.filter_pipeline``):
+    quality + language + repetition + boilerplate in one keep/drop
+    verdict with fixed-order reason codes. Narrow signals fused over a
+    single tokenization; agg signals join back per doc. Thresholds
+    chosen so every reason code fires on this corpus (43 short docs,
+    'zh' docs predict 'und', the word-soup tail trips repetition)."""
+    from json_validator_spark.operators.text_checks import filter_pipeline
+
+    return filter_pipeline(
+        _load_spread(spark, sf_dir, "documents"),
+        min_tokens=20, max_dup_ratio=0.65,
+        allowed_langs=("en", "es", "fr", "de"),
+        max_top_bigram_frac=0.08, max_boilerplate_ratio=0.2,
+        boiler_k=3, boiler_min_df=3,
+    )
+
+
 def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style boilerplate fraction at 2-token segment granularity
     (the corpus' small vocabulary makes 2-grams the realistic repetition
@@ -1353,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup": q_substring_dup,
         "repetition": q_repetition,
         "boilerplate": q_boilerplate,
+        "filter_pipeline": q_filter_pipeline,
         "contamination": q_contamination,
         "events_json": q_events_json,
         "corrupt_records": q_corrupt_records,
@@ -2267,6 +2286,71 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(n_boilerplate, 0)
                          / greatest(coalesce(n_segments, 0), 1)::DOUBLE, 6) AS boilerplate_ratio
             FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+        """,
+        # filter_pipeline: the composed recipe — quality + language
+        # (fused CTE), repetition + boilerplate (agg CTEs) — with the
+        # identical fixed-order reason string. All threshold comparisons
+        # run on the ROUNDED ratios, exactly as the engine compares its
+        # rounded output columns.
+        "filter_pipeline": f"""
+            WITH t AS (
+              SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+            ), q AS (
+              SELECT doc_id, len(toks) AS n_tok,
+                     len(list_distinct(toks)) AS n_distinct,
+                     {", ".join(f"len(list_filter(toks, x -> x IN {ws})) AS s_{lg}" for lg, ws in _LANG_SCORES.items())},
+                     greatest({", ".join(f"len(list_filter(toks, x -> x IN {ws}))" for ws in _LANG_SCORES.values())}) AS best
+              FROM t
+            ), g AS (
+              SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+              FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+            ), pg AS (
+              SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2
+            ), rep AS (
+              SELECT doc_id, sum(n) AS n_bigrams, max(n) AS top_n
+              FROM pg GROUP BY 1
+            ), segs0 AS (
+              SELECT doc_id, toks, ceil(len(toks) / 3.0)::INT AS n FROM t
+            ), segs AS (
+              SELECT doc_id,
+                     md5(array_to_string(list_slice(toks, (i - 1) * 3 + 1, (i - 1) * 3 + 3), ' ')) AS seg_hash
+              FROM segs0, unnest(generate_series(1, n)) AS s(i)
+            ), freq AS (
+              SELECT seg_hash, count(*) AS df FROM segs GROUP BY 1
+            ), boil AS (
+              SELECT s.doc_id, count(*) AS n_segments,
+                     sum(CASE WHEN f.df >= 3 THEN 1 ELSE 0 END) AS n_boilerplate
+              FROM segs s JOIN freq f USING (seg_hash) GROUP BY 1
+            ), j AS (
+              SELECT q.doc_id,
+                     q.n_tok AS n_tokens,
+                     CASE WHEN best IS NULL OR best = 0 THEN 'und'
+                          {" ".join(f"WHEN s_{lg} = best THEN '{lg}'" for lg in _LANG_SCORES)}
+                     END AS pred_lang,
+                     round((q.n_tok - q.n_distinct)
+                           / greatest(q.n_tok, 1)::DOUBLE, 6) AS dup_token_ratio,
+                     round(coalesce(r.top_n, 0)
+                           / greatest(coalesce(r.n_bigrams, 0), 1)::DOUBLE, 6) AS top_bigram_frac,
+                     round(coalesce(b.n_boilerplate, 0)
+                           / greatest(coalesce(b.n_segments, 0), 1)::DOUBLE, 6) AS boilerplate_ratio
+              FROM q
+              LEFT JOIN rep r ON r.doc_id = q.doc_id
+              LEFT JOIN boil b ON b.doc_id = q.doc_id
+            ), reasons AS (
+              SELECT *,
+                     concat_ws(',',
+                       CASE WHEN n_tokens < 20 THEN 'too_short' END,
+                       CASE WHEN dup_token_ratio > 0.65 THEN 'dup_tokens' END,
+                       CASE WHEN pred_lang NOT IN ('en','es','fr','de') THEN 'lang' END,
+                       CASE WHEN top_bigram_frac > 0.08 THEN 'repetition' END,
+                       CASE WHEN boilerplate_ratio > 0.2 THEN 'boilerplate' END
+                     ) AS drop_reasons
+              FROM j
+            )
+            SELECT doc_id, n_tokens::BIGINT AS n_tokens, pred_lang,
+                   dup_token_ratio, top_bigram_frac, boilerplate_ratio,
+                   (drop_reasons = '') AS keep, drop_reasons
+            FROM reasons
         """,
         "contamination": (
             "WITH corpus_sh AS ("

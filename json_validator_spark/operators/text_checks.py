@@ -146,6 +146,96 @@ def language_id(
     return scored.select(*cols)
 
 
+def filter_pipeline(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_dup_ratio: float = 0.6,
+    allowed_langs: tuple[str, ...] = ("en", "es", "fr", "de"),
+    max_top_bigram_frac: float = 0.2,
+    max_boilerplate_ratio: float = 0.5,
+    boiler_k: int = 8,
+    boiler_min_df: int = 3,
+) -> DataFrame:
+    """The composed cleaning recipe a pretraining pipeline actually
+    runs: length + token-duplication (quality), stopword-profile
+    language ID, Gopher-style top-bigram repetition, and C4-style
+    boilerplate frequency — ONE keep/drop verdict per document with
+    auditable reason codes. ``(doc_id, n_tokens, pred_lang,
+    dup_token_ratio, top_bigram_frac, boilerplate_ratio, keep,
+    drop_reasons)``; ``drop_reasons`` is a fixed-order comma-joined
+    string (``too_short,dup_tokens,lang,repetition,boilerplate``),
+    empty when kept.
+
+    Shape: the two narrow signal families (quality, language) are FUSED
+    into one projection chain over a single let-bound tokenization —
+    running the standalone operators side by side and joining would
+    tokenize twice and shuffle twice more. The two aggregation-based
+    signals (``repetition_stats``, ``boilerplate_stats``) intrinsically
+    need their explode+groupBy passes and join back on doc_id; both
+    emit exactly one row per input doc. Total: 3 scans, 2 doc_id joins,
+    zero Python."""
+    all_stop = [w for ws in STOPWORDS.values() for w in ws]
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    counts = base.select(
+        "doc_id",
+        F.size(toks).alias("__n_tok"),
+        F.size(F.array_distinct(toks)).alias("__n_distinct"),
+        *[
+            F.size(F.filter(toks, lambda t: t.isin(list(ws)))).alias(f"__s_{lang}")
+            for lang, ws in STOPWORDS.items()
+        ],
+    )
+    scores = {lang: F.col(f"__s_{lang}") for lang in STOPWORDS}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(list(scores)):  # first language in STOPWORDS wins ties
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    n_tok = F.col("__n_tok")
+    narrow = counts.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        pred.alias("pred_lang"),
+        _ratio(n_tok - F.col("__n_distinct"), n_tok).alias("dup_token_ratio"),
+    )
+    rep = repetition_stats(df, text_col, id_col).select("doc_id", "top_bigram_frac")
+    boil = boilerplate_stats(df, text_col, id_col, boiler_k, boiler_min_df).select(
+        "doc_id", "boilerplate_ratio"
+    )
+    joined = narrow.join(rep, "doc_id").join(boil, "doc_id")
+    reasons = F.filter(
+        F.array(
+            F.when(F.col("n_tokens") < min_tokens, F.lit("too_short")),
+            F.when(F.col("dup_token_ratio") > max_dup_ratio, F.lit("dup_tokens")),
+            F.when(~F.col("pred_lang").isin(list(allowed_langs)), F.lit("lang")),
+            F.when(F.col("top_bigram_frac") > max_top_bigram_frac, F.lit("repetition")),
+            F.when(
+                F.col("boilerplate_ratio") > max_boilerplate_ratio,
+                F.lit("boilerplate"),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    # let-bind: the reasons array is referenced by two output columns
+    tagged = joined.select("*", reasons.alias("__reasons"))
+    return tagged.select(
+        "doc_id",
+        "n_tokens",
+        "pred_lang",
+        "dup_token_ratio",
+        "top_bigram_frac",
+        "boilerplate_ratio",
+        (F.size("__reasons") == 0).alias("keep"),
+        F.array_join("__reasons", ",").alias("drop_reasons"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

@@ -670,3 +670,32 @@ def test_incremental_hot_bucket_guard(spark):
     # the verified probe still rejects the duplicate new doc either way
     kept = dedup.accept_new_documents(new_df, corpus, threshold=0.9, max_bucket=5)
     assert kept.count() == 0
+
+
+def test_filter_pipeline_reasons(spark):
+    """Composed cleaning recipe: each reason code fires on the doc built
+    to trip it, reasons are fixed-order, and a clean doc keeps."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and then the "
+            "dog naps while the fox keeps running through fields"),  # clean en
+        (2, "short text"),                                           # too_short
+        (3, " ".join(["dup"] * 30)),                                 # dup+repetition
+        (4, "xyzzy plugh quux corge grault garply waldo fred plugh "
+            "thud foo bar baz qux quux corge grault garply waldo fred"),  # lang (und)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in text_checks.filter_pipeline(
+            docs, min_tokens=5, max_dup_ratio=0.6,
+            allowed_langs=("en",), max_top_bigram_frac=0.5,
+            max_boilerplate_ratio=2.0,  # boilerplate disabled for this tiny frame
+        ).collect()
+    }
+    assert out[1]["keep"] is True and out[1]["drop_reasons"] == ""
+    # 2 tokens, no en stopwords; its single bigram is also 100% of bigrams
+    assert out[2]["drop_reasons"] == "too_short,lang,repetition"
+    assert out[3]["keep"] is False
+    assert out[3]["drop_reasons"] == "dup_tokens,lang,repetition"  # fixed order
+    assert out[4]["drop_reasons"] == "lang" and out[4]["pred_lang"] == "und"
+    assert set(out) == {1, 2, 3, 4}  # one verdict per doc
