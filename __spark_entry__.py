@@ -987,6 +987,16 @@ def q_resample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (``packing.global_shuffle``): exact
+    global rank under ORDER BY md5(doc_id:salt) with NO global-sort
+    window — md5-prefix range shards + in-shard rank + tiny offset
+    cumsum. Oracle: DuckDB's literal row_number() over the same key."""
+    from json_validator_spark.operators.packing import global_shuffle
+
+    return global_shuffle(_load_spread(spark, sf_dir, "documents"))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing (``operators/packing``): md5-sharded,
     doc_id-ordered greedy boundary packing at a 256-token budget —
@@ -1385,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_split": q_cluster_split,
         "mixture_weights": q_mixture_weights,
         "resample_mixture": q_resample_mixture,
+        "global_shuffle": q_global_shuffle,
         "pack_sequences": q_pack_sequences,
         "pii_scrub": q_pii_scrub,
         "top_violations": q_top_violations,
@@ -2529,6 +2540,15 @@ def oracle_sql() -> dict[str, str]:
         # pack_sequences: identical shard hash (md5 prefix), identical
         # per-shard doc_id order, identical exclusive cumsum → identical
         # sequence assignment, row for row.
+        # global_shuffle: the engine's sharded rank must equal the
+        # literal global row_number over the identical md5 key.
+        "global_shuffle": """
+            SELECT doc_id,
+                   (row_number() OVER (
+                      ORDER BY md5(concat_ws(':', doc_id::VARCHAR, 'shuf')), doc_id
+                    ) - 1)::BIGINT AS position
+            FROM documents
+        """,
         "pack_sequences": f"""
             WITH t AS (
               SELECT doc_id,

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from json_validator_spark.functions.text import hash_long, tokens
+from json_validator_spark.functions.text import hash_hex, hash_long, tokens
 
 
 def pack_sequences(
@@ -78,6 +78,49 @@ def pack_sequences(
             F.floor(F.col("__cum") / F.lit(budget)).cast("long").alias("seq_id"),
             (F.col("__cum") % F.lit(budget)).alias("seq_offset"),
         )
+    )
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuf",
+    shard_hex_chars: int = 3,
+) -> DataFrame:
+    """Deterministic global training order WITHOUT a global sort window:
+    every document gets ``position`` = its exact rank under
+    ``ORDER BY md5(doc_id:salt), doc_id`` — the reshuffle a pretraining
+    pipeline applies so corpus insertion order never leaks into the
+    batch stream. Changing ``salt`` yields an independent permutation
+    (per-epoch shuffles). Returns ``(doc_id, position)``.
+
+    The naive ``row_number() OVER (ORDER BY key)`` funnels the corpus
+    through ONE task. Instead the md5 key's hex prefix IS the range
+    partition (prefix order ≡ key order): shard = first
+    ``shard_hex_chars`` hex chars (16^3 = 4096 shards by default; raise
+    for 10^12 docs so each in-shard sort fits a task), rank within the
+    shard by (key, id), then add the exclusive cumsum of shard sizes —
+    a tiny ≤16^k-row frame whose window and broadcast join cost
+    nothing. One data shuffle total (the shard hash), same shape as any
+    keyed window; ties on duplicate ids hold the multiset
+    {(doc_id, position)} invariant either way."""
+    key = hash_hex(F.col(id_col), F.lit(salt), width=32)
+    base = df.select(F.col(id_col).alias("doc_id"), key.alias("__key")).select(
+        "doc_id",
+        "__key",
+        F.conv(F.substring("__key", 1, shard_hex_chars), 16, 10)
+        .cast("int")
+        .alias("__shard"),
+    )
+    w = Window.partitionBy("__shard").orderBy("__key", "doc_id")
+    local = base.withColumn("__r", F.row_number().over(w))
+    sizes = base.groupBy("__shard").agg(F.count(F.lit(1)).alias("__n"))
+    off_w = Window.orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.select(
+        "__shard", F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off")
+    )
+    return local.join(F.broadcast(offs), "__shard").select(
+        "doc_id", (F.col("__off") + F.col("__r") - 1).cast("long").alias("position")
     )
 
 

@@ -234,3 +234,29 @@ def test_resample_to_mixture_lands_on_targets(spark):
         docs.repartition(13), "lang", {"en": 0.5, "es": 0.5}
     ).collect()
     assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+
+
+def test_global_shuffle_is_exact_permutation(spark):
+    """Sharded rank == the literal global rank by (md5 key, id): the
+    positions are exactly 0..n-1, match a driver-side sort, are
+    partitioning-invariant, and a different salt gives a different
+    permutation."""
+    import hashlib
+
+    from json_validator_spark.operators.packing import global_shuffle
+
+    n = 400
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["position"] for r in global_shuffle(docs).collect()}
+    assert sorted(out.values()) == list(range(n))
+    expected = sorted(range(n), key=lambda i: (hashlib.md5(f"{i}:shuf".encode()).hexdigest(), i))
+    assert out == {doc: pos for pos, doc in enumerate(expected)}
+    again = {
+        r["doc_id"]: r["position"]
+        for r in global_shuffle(docs.repartition(13)).collect()
+    }
+    assert again == out
+    epoch2 = {r["doc_id"]: r["position"] for r in global_shuffle(docs, salt="e2").collect()}
+    assert sorted(epoch2.values()) == list(range(n)) and epoch2 != out
