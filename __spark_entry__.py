@@ -637,6 +637,17 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("rank").cast("long").alias("rank"), "token", "n")
 
 
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge candidates (``text_checks.bpe_merge_candidates``):
+    top-50 adjacent-character pairs over the word-count table, total
+    (n desc, pair asc) order. Oracle: the same two-level aggregation in
+    DuckDB with a literal row_number."""
+    from json_validator_spark.operators.text_checks import bpe_merge_candidates
+
+    out = bpe_merge_candidates(_load_spread(spark, sf_dir, "documents"), k=50)
+    return out.select(F.col("rank").cast("long").alias("rank"), "pair", "n")
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality scores over `documents` (model trained on the
     corpus itself). The keep threshold -3.45 sits inside the synthetic
@@ -1377,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "winnow": q_winnow,
         "vocab_topk": q_vocab_topk,
+        "bpe_pairs": q_bpe_pairs,
         "lm_score": q_lm_score,
         "substring_dup": q_substring_dup,
         "repetition": q_repetition,
@@ -2210,6 +2222,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY n DESC, token)::BIGINT AS rank,
                    token, n::BIGINT AS n
             FROM freq ORDER BY n DESC, token LIMIT 50
+        """,
+        "bpe_pairs": f"""
+            WITH tok AS (
+              SELECT unnest({_DUCK_TOKS}) AS word FROM documents
+            ), wc AS (
+              SELECT word, count(*) AS freq FROM tok GROUP BY 1
+            ), p AS (
+              SELECT substr(word, i, 1) || ' ' || substr(word, i + 1, 1) AS pair,
+                     freq
+              FROM wc, unnest(generate_series(1, length(word) - 1)) AS u(i)
+            ), agg AS (
+              SELECT pair, sum(freq) AS n FROM p GROUP BY 1
+            )
+            SELECT row_number() OVER (ORDER BY n DESC, pair)::BIGINT AS rank,
+                   pair, n::BIGINT AS n
+            FROM agg ORDER BY n DESC, pair LIMIT 50
         """,
         # Quantized-term contract (see lm_scores docstring): each ln(tf)
         # rounds to 6 decimals BEFORE the per-doc sum so engine-specific

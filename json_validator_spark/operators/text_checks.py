@@ -428,6 +428,109 @@ def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     )
 
 
+def bpe_merge_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+    top_words: int | None = None,
+) -> DataFrame:
+    """BPE tokenizer training, step 1: adjacent-symbol pair frequencies
+    over the corpus, ``(rank, pair, n)`` for the top ``k`` pairs under
+    the total (n desc, pair asc) order — the merge candidates.
+
+    Classic BPE counts pairs over the WORD-COUNT table, not the corpus:
+    explode tokens → one partial-aggregated ``groupBy(word)`` (the
+    grouped table is vocabulary-sized), then each *distinct* word emits
+    its ``len-1`` adjacent character pairs weighted by word frequency —
+    at 10^12 docs the pair pass touches millions of rows, not
+    quadrillions of characters. ``top_words`` optionally caps the
+    vocabulary at the most frequent types first (standard practice for
+    web-scale tokenizer training). Top-k compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort);
+    the rank window runs on the ≤k-row result."""
+    from pyspark.sql import Window
+
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+    wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    if top_words is not None:
+        wc = wc.orderBy(F.desc("freq"), F.asc("word")).limit(top_words)
+    w = F.col("word")
+    pairs = wc.select(
+        "freq",
+        F.explode(
+            F.transform(
+                seq1(F.length(w) - 1),
+                lambda i: F.concat(
+                    w.substr(i, F.lit(1)), F.lit(" "), w.substr(i + 1, F.lit(1))
+                ),
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("freq").alias("n"))
+    top = agg.orderBy(F.desc("n"), F.asc("pair")).limit(k)
+    rank_w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return top.select(
+        F.row_number().over(rank_w).alias("rank"),
+        "pair",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    n_merges: int = 100,
+    text_col: str = "text",
+    top_words: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Full iterative BPE merge training (Sennrich et al., ACL'16) over
+    the corpus word-count table: repeatedly merge the most frequent
+    adjacent symbol pair (ties broken lexicographically — fully
+    deterministic) and return the ordered merge list.
+
+    The iteration is inherently sequential, so it runs driver-side over
+    the COLLECTED word-count table — bounded by ``top_words`` (the
+    distributed ``groupBy(word)`` reduces 100 TB of text to a
+    vocabulary-sized frame first; capping at the most frequent ~10^5-10^6
+    types is how production tokenizers train). The distributed part is
+    exactly ``bpe_merge_candidates``'s shape; everything after the
+    collect touches only the capped vocabulary."""
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+    wc = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(top_words)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {tuple(r["word"]): r["freq"] for r in wc}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        joined = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, freq in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + freq
+        vocab = new_vocab
+    return merges
+
+
 def lm_scores(
     df: DataFrame,
     text_col: str = "text",

@@ -699,3 +699,25 @@ def test_filter_pipeline_reasons(spark):
     assert out[3]["drop_reasons"] == "dup_tokens,lang,repetition"  # fixed order
     assert out[4]["drop_reasons"] == "lang" and out[4]["pred_lang"] == "und"
     assert set(out) == {1, 2, 3, 4}  # one verdict per doc
+
+
+def test_bpe_pair_counts_and_training(spark):
+    """Pair counts match hand-computation; iterative training's first
+    merge equals the top candidate pair; merges apply transitively
+    (merged symbols pair up in later rounds); determinism across
+    partitioning."""
+    rows = [(1, "aab aab bc"), (2, "aab bc bc")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # words: aab x3, bc x3 -> pairs: 'a a' 3, 'a b' 3, 'b c' 3
+    cand = text_checks.bpe_merge_candidates(docs, k=10).collect()
+    got = [(r["rank"], r["pair"], r["n"]) for r in cand]
+    assert got == [(1, "a a", 3), (2, "a b", 3), (3, "b c", 3)]
+    merges = text_checks.train_bpe_merges(docs, n_merges=3)
+    # round 1: 'a a' (lexicographic tie-break) -> aab becomes (aa, b)
+    # round 2: pairs {('aa','b'): 3, ('b','c'): 3} -> ('aa','b') wins
+    # round 3: only ('b','c') remains
+    assert merges == [("a", "a"), ("aa", "b"), ("b", "c")]
+    again = text_checks.train_bpe_merges(docs.repartition(7), n_merges=3)
+    assert again == merges
+    # exhausting all pairs stops early instead of looping
+    assert len(text_checks.train_bpe_merges(docs, n_merges=50)) < 50
