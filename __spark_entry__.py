@@ -331,6 +331,29 @@ def _increment_docs(docs: DataFrame) -> DataFrame:
     return copies.unionByName(modified)
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (``set_checks.snapshot_diff``): documents
+    vs a deterministically perturbed next version — %13==0 removed,
+    %13==1 text-revised, %13==2 re-added under a new id. One full-outer
+    hash join on content hashes; the oracle mirrors the same md5 with
+    the same separators."""
+    from json_validator_spark.operators.set_checks import snapshot_diff
+
+    old = _load(spark, sf_dir, "documents")
+    rest = [c for c in old.columns if c != "doc_id"]
+    did = F.col("doc_id")
+    kept = old.filter(did % 13 != 0).withColumn(
+        "text",
+        F.when(did % 13 == 1, F.concat(F.col("text"), F.lit(" rev2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    added = old.filter(did % 13 == 2).select(
+        (did + 400000).alias("doc_id"), *rest
+    )
+    return snapshot_diff(old, kept.unionByName(added))
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash dedup: a new batch probed one-sidedly against
     the existing corpus (``dedup.incremental_neardup_pairs``) — the
@@ -1368,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_filter": q_dedup_filter,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "snapshot_diff": q_snapshot_diff,
         "dedup_incremental": q_dedup_incremental,
         "dedup_incremental_accept": q_dedup_incremental_accept,
         "simhash": q_simhash,
@@ -2000,6 +2024,42 @@ def oracle_sql() -> dict[str, str]:
             .replace("WITH sh AS", f"WITH docs AS ({_UNION_DUP_SQL}), sh AS", 1)
             + ") p"
         ),
+        # snapshot_diff: identical md5 row-hash recipe (unit-separator
+        # chr(31), NULL sentinel chr(30), column order text/lang/source/
+        # n_chars) over both snapshots, FULL JOIN on the id.
+        "snapshot_diff": """
+            WITH newsnap AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 1 THEN text || ' rev2' ELSE text END AS text,
+                     lang, source, n_chars
+              FROM documents WHERE doc_id % 13 <> 0
+              UNION ALL
+              SELECT doc_id + 400000 AS doc_id, text, lang, source, n_chars
+              FROM documents WHERE doc_id % 13 = 2
+            ), o AS (
+              SELECT doc_id,
+                     md5(concat_ws(chr(31),
+                       coalesce(text, chr(30)), coalesce(lang, chr(30)),
+                       coalesce(source, chr(30)),
+                       coalesce(n_chars::VARCHAR, chr(30)))) AS old_hash
+              FROM documents
+            ), n AS (
+              SELECT doc_id,
+                     md5(concat_ws(chr(31),
+                       coalesce(text, chr(30)), coalesce(lang, chr(30)),
+                       coalesce(source, chr(30)),
+                       coalesce(n_chars::VARCHAR, chr(30)))) AS new_hash
+              FROM newsnap
+            ), j AS (
+              SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_hash, new_hash,
+                     CASE WHEN old_hash IS NULL THEN 'added'
+                          WHEN new_hash IS NULL THEN 'removed'
+                          WHEN old_hash <> new_hash THEN 'changed' END AS status
+              FROM o FULL JOIN n ON o.doc_id = n.doc_id
+            )
+            SELECT doc_id, status, old_hash, new_hash
+            FROM j WHERE status IS NOT NULL
+        """,
         # dedup_incremental / _accept: exact new-vs-corpus Jaccard at the
         # 0.999 exact-duplicate contract (same recall argument as
         # dedup_minhash); accept additionally mirrors the edge-greedy

@@ -394,3 +394,57 @@ def drift_violations(
                 "message": f"[/{column}] KS statistic exceeds the allowed maximum",
             })
     return out
+
+
+# ----------------------------------------------------------------------
+# Snapshot diff — row-level change detection between corpus versions
+# ----------------------------------------------------------------------
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    hash_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two corpus snapshots: ``(doc_id, status,
+    old_hash, new_hash)`` with status ∈ {added, removed, changed};
+    unchanged rows are not emitted. The row-granular complement of the
+    distribution-drift checks (``psi``/``ks_statistic``) and the input
+    side of incremental validation: re-validate exactly the added ∪
+    changed set against the rule layer instead of the whole corpus.
+
+    Content identity is an md5 over the non-id columns (or
+    ``hash_cols``), ASCII-unit-separated with an explicit NULL sentinel
+    so NULL ≠ '' ≠ absent. Shape: one narrow hash projection per side,
+    ONE full-outer hash join on the id — co-partitioned (zero exchange)
+    when both snapshots are bucket-stored on the id
+    (``sources/tables.write_bucketed``); the emitted frame is
+    change-rate-sized. Requires unique ids per snapshot (the
+    ``uniqueness_violations`` gate) — duplicate ids would cross-product
+    in the join."""
+    cols = list(hash_cols) if hash_cols is not None else [
+        c for c in old_df.columns if c != id_col
+    ]
+    missing = [c for c in cols if c not in new_df.columns]
+    if missing:
+        raise ValueError(f"hash_cols absent from new snapshot: {missing}")
+
+    def row_hash(side: DataFrame) -> Column:
+        return F.md5(
+            F.concat_ws(
+                "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x1e")) for c in cols]
+            )
+        )
+
+    old = old_df.select(F.col(id_col).alias("doc_id"), row_hash(old_df).alias("old_hash"))
+    new = new_df.select(F.col(id_col).alias("doc_id"), row_hash(new_df).alias("new_hash"))
+    joined = old.join(new, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+    )
+    return (
+        joined.select("doc_id", status.alias("status"), "old_hash", "new_hash")
+        .filter(F.col("status").isNotNull())
+    )

@@ -171,3 +171,32 @@ def test_stats_violations_same_column_twice(spark):
         "rule_id",
     )
     assert got == {("stats.max.v",), ("stats.null_rate.v",)}
+
+
+def test_snapshot_diff_statuses(spark):
+    from json_validator_spark.operators.set_checks import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "en"), (3, "c", None), (4, "d", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "en"),          # unchanged -> omitted
+         (2, "b2", "en"),         # changed
+         (3, "c", ""),            # NULL -> '' must read as changed
+         (5, "e", "de")],         # added; 4 removed
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in snapshot_diff(old, new).collect()}
+    assert set(out) == {2, 3, 4, 5}
+    assert out[2]["status"] == "changed"
+    assert out[3]["status"] == "changed"  # the NULL sentinel at work
+    assert out[4]["status"] == "removed" and out[4]["new_hash"] is None
+    assert out[5]["status"] == "added" and out[5]["old_hash"] is None
+    # subsetting the hashed columns: lang-only diff vanishes for doc 3
+    sub = {r["doc_id"]: r["status"]
+           for r in snapshot_diff(old, new, hash_cols=["text"]).collect()}
+    assert sub == {2: "changed", 4: "removed", 5: "added"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="absent"):
+        snapshot_diff(old, new.drop("lang"))
