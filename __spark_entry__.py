@@ -560,6 +560,17 @@ def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroid_similarity(_load(spark, sf_dir, "embeddings"))
 
 
+def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column
+    (``embedding_checks.quantize_embeddings``): per-dim min/max in one
+    agg pass, codes + reconstruction error per vector, half-step error
+    invariant. All float64 with explicit floor(x+0.5) rounding, so the
+    DuckDB mirror reproduces codes and errors exactly."""
+    from json_validator_spark.operators.embedding_checks import quantize_embeddings
+
+    return quantize_embeddings(_load(spark, sf_dir, "embeddings"), dim=64)
+
+
 def q_embedding_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.embedding_checks import embedding_violations
 
@@ -1042,6 +1053,17 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, budget=256, n_shards=8)
 
 
+def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing APPLY step (``packing.materialize_sequences``): the
+    actual concatenated training sequences at a 256-token budget.
+    Oracle: DuckDB string_agg in doc_id order over the identical
+    shard/cumsum assignment."""
+    from json_validator_spark.operators.packing import materialize_sequences
+
+    docs = _load(spark, sf_dir, "documents")
+    return materialize_sequences(docs, budget=256, n_shards=8)
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (``operators/scrub``): deterministic email/phone
     injection into the corpus text (every 7th / 11th doc), then one
@@ -1407,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats": q_embedding_stats,
         "label_centroid_sim": q_label_centroid_sim,
         "embedding_violations": q_embedding_violations,
+        "quantize": q_quantize,
         "token_stats": q_token_stats,
         "quality": q_quality,
         "language_id": q_language_id,
@@ -1433,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_mixture": q_resample_mixture,
         "global_shuffle": q_global_shuffle,
         "pack_sequences": q_pack_sequences,
+        "pack_materialize": q_pack_materialize,
         "pii_scrub": q_pii_scrub,
         "top_violations": q_top_violations,
         "tar_reports": q_tar_reports,
@@ -2243,6 +2267,33 @@ def oracle_sql() -> dict[str, str]:
                    round(min(dot / (vn * cn)), 6) AS min_cos
             FROM per_vec GROUP BY label
         """,
+        # quantize: identical float64 arithmetic — same per-dim min/max,
+        # same floor(x+0.5) code, same round(err,9)→max→round(6) chain.
+        "quantize": """
+            WITH e AS (
+              SELECT vec_id, i, embedding[i]::DOUBLE AS x
+              FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+            ), stats AS (
+              SELECT i, min(x) AS lo, max(x) AS hi FROM e GROUP BY 1
+            ), q AS (
+              SELECT vec_id, e.i, x, lo, hi,
+                     (CASE WHEN hi = lo THEN 0
+                           ELSE least(greatest(floor((x - lo) / ((hi - lo) / 255.0) + 0.5), 0), 255)
+                      END)::INT AS code
+              FROM e JOIN stats ON stats.i = e.i
+            ), r AS (
+              SELECT vec_id, i, code,
+                     round(abs(x - (CASE WHEN hi = lo THEN lo
+                                         ELSE lo + code * ((hi - lo) / 255.0) END)), 9) AS err
+              FROM q
+            )
+            SELECT vec_id,
+                   list(code ORDER BY i) AS codes,
+                   round(max(err), 6) AS max_abs_err,
+                   (max(err) <= (SELECT max((hi - lo) / 510.0) FROM stats) + 1e-12)
+                     AS within_bound
+            FROM r GROUP BY vec_id
+        """,
         "embedding_violations": """
             WITH e AS (
               SELECT vec_id, embedding,
@@ -2654,6 +2705,25 @@ def oracle_sql() -> dict[str, str]:
                    (cum_before // 256)::BIGINT AS seq_id,
                    (cum_before % 256)::BIGINT AS seq_offset
             FROM w
+        """,
+        "pack_materialize": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 8 AS shard,
+                     len({_DUCK_TOKS})::BIGINT AS n_tokens
+              FROM documents
+            ), w AS (
+              SELECT doc_id, text, shard, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+              FROM t
+            )
+            SELECT shard, (cum_before // 256)::BIGINT AS seq_id,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS tokens_total,
+                   string_agg(text, ' ' ORDER BY doc_id) AS text
+            FROM w GROUP BY 1, 2
         """,
         "pii_scrub": """
             WITH t AS (

@@ -138,3 +138,65 @@ def embedding_violations(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    bits: int = 8,
+) -> DataFrame:
+    """Scalar (per-dimension min/max) int quantization of an embedding
+    column — the storage/index-build step an ANN system runs before
+    sharding vectors: ``(vec_id, codes array<int>, max_abs_err,
+    within_bound)`` where ``within_bound`` asserts the reconstruction
+    error never exceeds half a quantization step (+1 ulp slack) — the
+    correctness invariant of round-to-nearest scalar quantization.
+
+    Shape: per-dimension min/max in ONE agg pass of ``2*dim`` aggregate
+    expressions over indexed array access (no explode — the shuffle
+    carries one 2*dim-value partial per partition), constants
+    cross-joined back as a single broadcast row, then a narrow
+    projection quantizes every vector. All arithmetic is float64 with
+    explicit floor(x+0.5) rounding so DuckDB reproduces codes and
+    errors bit-for-bit. Constant dimensions (min == max) map to code 0
+    with zero error."""
+    v = F.col(vec_col)
+    levels = (1 << bits) - 1
+    stats = df.agg(
+        *[F.min(v[i].cast("double")).alias(f"__lo{i}") for i in range(dim)],
+        *[F.max(v[i].cast("double")).alias(f"__hi{i}") for i in range(dim)],
+    )
+    joined = df.select(F.col(id_col).alias("vec_id"), v.alias("__v")).crossJoin(
+        F.broadcast(stats)
+    )
+    codes, errs = [], []
+    for i in range(dim):
+        lo, hi = F.col(f"__lo{i}"), F.col(f"__hi{i}")
+        x = F.col("__v")[i].cast("double")
+        scale = (hi - lo) / F.lit(float(levels))
+        code = F.when(hi == lo, F.lit(0)).otherwise(
+            F.least(
+                F.greatest(F.floor((x - lo) / scale + F.lit(0.5)), F.lit(0)),
+                F.lit(levels),
+            )
+        ).cast("int")
+        recon = F.when(hi == lo, lo).otherwise(lo + code.cast("double") * scale)
+        codes.append(code)
+        errs.append(F.abs(x - recon))
+        # half-step bound: |err| <= scale/2 (+ tiny fp slack); constant dims exact
+        errs[-1] = F.round(errs[-1], 9)
+    max_err = F.greatest(*errs) if dim > 1 else errs[0]
+    half_step = F.greatest(
+        *[
+            (F.col(f"__hi{i}") - F.col(f"__lo{i}")) / F.lit(2.0 * levels)
+            for i in range(dim)
+        ]
+    )
+    return joined.select(
+        "vec_id",
+        F.array(*codes).alias("codes"),
+        F.round(max_err, 6).alias("max_abs_err"),
+        (max_err <= half_step + F.lit(1e-12)).alias("within_bound"),
+    )

@@ -124,6 +124,50 @@ def global_shuffle(
     )
 
 
+def materialize_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """The packing APPLY step: the actual training sequences —
+    ``(shard, seq_id, n_docs, tokens_total, text)`` with ``text`` the
+    member documents concatenated in ``doc_id`` order (``sep`` stands in
+    for the EOS token between documents).
+
+    Shape: ``pack_sequences``' keyed window (one shuffle on shard) →
+    join the text back by doc_id → ONE groupBy((shard, seq_id)) whose
+    ``collect_list`` runs map-side partial; member order inside a
+    sequence is restored deterministically by sorting the collected
+    (doc_id, text) structs — the sort is per-sequence (a handful of
+    docs, budget-bounded), never global. NULL text concatenates as
+    empty, matching ``concat_ws`` semantics in both engines."""
+    packed = pack_sequences(df, budget, n_shards, text_col, id_col)
+    docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    joined = packed.join(docs, "doc_id")
+    return (
+        joined.groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_total"),
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", F.col("__text").alias("t")))
+            ).alias("__members"),
+        )
+        .select(
+            "shard",
+            "seq_id",
+            "n_docs",
+            "tokens_total",
+            F.array_join(
+                F.transform(F.col("__members"), lambda m: m["t"]), sep, ""
+            ).alias("text"),
+        )
+    )
+
+
 def sequence_stats(packed: DataFrame, budget: int) -> DataFrame:
     """Per-sequence rollup of a ``pack_sequences`` result:
     ``(shard, seq_id, n_docs, tokens_total, fill_ratio)``. One

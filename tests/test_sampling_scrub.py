@@ -260,3 +260,32 @@ def test_global_shuffle_is_exact_permutation(spark):
     assert again == out
     epoch2 = {r["doc_id"]: r["position"] for r in global_shuffle(docs, salt="e2").collect()}
     assert sorted(epoch2.values()) == list(range(n)) and epoch2 != out
+
+
+def test_materialize_sequences_matches_assignment(spark):
+    """The apply step agrees row-for-row with pack_sequences: same
+    (shard, seq_id) groups, text concatenated in doc_id order, token
+    totals preserved; deterministic across partitioning."""
+    from json_validator_spark.operators.packing import (
+        materialize_sequences,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (1 + i % 7))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    packed = pack_sequences(docs, budget=16, n_shards=4).collect()
+    seqs = materialize_sequences(docs, budget=16, n_shards=4).collect()
+    by_seq: dict = {}
+    for r in sorted(packed, key=lambda r: (r["shard"], r["seq_id"], r["doc_id"])):
+        by_seq.setdefault((r["shard"], r["seq_id"]), []).append(r)
+    assert len(seqs) == len(by_seq)
+    texts = {i: f'{" ".join(["w"] * (1 + i % 7))}' for i in range(200)}
+    for s in seqs:
+        members = by_seq[(s["shard"], s["seq_id"])]
+        assert s["n_docs"] == len(members)
+        assert s["tokens_total"] == sum(m["n_tokens"] for m in members)
+        assert s["text"] == " ".join(texts[m["doc_id"]] for m in members)
+    again = materialize_sequences(docs.repartition(11), budget=16, n_shards=4)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, seqs))

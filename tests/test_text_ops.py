@@ -721,3 +721,25 @@ def test_bpe_pair_counts_and_training(spark):
     assert again == merges
     # exhausting all pairs stops early instead of looping
     assert len(text_checks.train_bpe_merges(docs, n_merges=50)) < 50
+
+
+def test_quantize_embeddings_invariants(spark):
+    """Scalar quantization: extremes map to code 0/levels, constant
+    dims to code 0 with zero error, every reconstruction stays within
+    half a quantization step."""
+    from json_validator_spark.operators.embedding_checks import quantize_embeddings
+
+    rows = [
+        (1, [0.0, 5.0, -1.0, 7.0]),
+        (2, [10.0, 5.0, 1.0, 7.0]),
+        (3, [5.0, 5.0, 0.0, 7.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df, dim=4).collect()}
+    assert out[1]["codes"][0] == 0 and out[2]["codes"][0] == 255  # extremes
+    assert [o["codes"][1] for o in out.values()] == [0, 0, 0]     # constant dim
+    assert out[3]["codes"][2] == 128                               # 0.0 in [-1,1] -> midpoint
+    assert all(o["within_bound"] for o in out.values())
+    # max error bounded by half the largest step: (10-0)/255/2 ≈ 0.0196
+    # (1e-6 slack: max_abs_err is reported rounded to 6 decimals)
+    assert all(o["max_abs_err"] <= 10.0 / 255 / 2 + 1e-6 for o in out.values())
