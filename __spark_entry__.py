@@ -2048,9 +2048,10 @@ def oracle_sql() -> dict[str, str]:
             .replace("WITH sh AS", f"WITH docs AS ({_UNION_DUP_SQL}), sh AS", 1)
             + ") p"
         ),
-        # snapshot_diff: identical md5 row-hash recipe (unit-separator
-        # chr(31), NULL sentinel chr(30), column order text/lang/source/
-        # n_chars) over both snapshots, FULL JOIN on the id.
+        # snapshot_diff: identical md5-of-per-column-md5 recipe
+        # (unit-separator chr(31), NULL sentinel chr(30), column order
+        # text/lang/source/n_chars) over both snapshots, FULL JOIN on
+        # the id. Per-column digests make the hash injection-proof.
         "snapshot_diff": """
             WITH newsnap AS (
               SELECT doc_id,
@@ -2063,16 +2064,16 @@ def oracle_sql() -> dict[str, str]:
             ), o AS (
               SELECT doc_id,
                      md5(concat_ws(chr(31),
-                       coalesce(text, chr(30)), coalesce(lang, chr(30)),
-                       coalesce(source, chr(30)),
-                       coalesce(n_chars::VARCHAR, chr(30)))) AS old_hash
+                       coalesce(md5(text), chr(30)), coalesce(md5(lang), chr(30)),
+                       coalesce(md5(source), chr(30)),
+                       coalesce(md5(n_chars::VARCHAR), chr(30)))) AS old_hash
               FROM documents
             ), n AS (
               SELECT doc_id,
                      md5(concat_ws(chr(31),
-                       coalesce(text, chr(30)), coalesce(lang, chr(30)),
-                       coalesce(source, chr(30)),
-                       coalesce(n_chars::VARCHAR, chr(30)))) AS new_hash
+                       coalesce(md5(text), chr(30)), coalesce(md5(lang), chr(30)),
+                       coalesce(md5(source), chr(30)),
+                       coalesce(md5(n_chars::VARCHAR), chr(30)))) AS new_hash
               FROM newsnap
             ), j AS (
               SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_hash, new_hash,
@@ -2446,7 +2447,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
             ), q AS (
-              SELECT doc_id, len(toks) AS n_tok,
+              SELECT doc_id, coalesce(len(toks), 0) AS n_tok,
                      len(list_distinct(toks)) AS n_distinct,
                      {", ".join(f"len(list_filter(toks, x -> x IN {ws})) AS s_{lg}" for lg, ws in _LANG_SCORES.items())},
                      greatest({", ".join(f"len(list_filter(toks, x -> x IN {ws}))" for ws in _LANG_SCORES.values())}) AS best

@@ -108,8 +108,11 @@ def global_shuffle(
     base = df.select(F.col(id_col).alias("doc_id"), key.alias("__key")).select(
         "doc_id",
         "__key",
+        # long, not int: 8+ hex chars (the setting large corpora need)
+        # overflow INT32 — ANSI mode crashes, non-ANSI NULLs the shard
+        # and the inner offset join would silently drop rows
         F.conv(F.substring("__key", 1, shard_hex_chars), 16, 10)
-        .cast("int")
+        .cast("long")
         .alias("__shard"),
     )
     w = Window.partitionBy("__shard").orderBy("__key", "doc_id")
@@ -142,8 +145,10 @@ def materialize_sequences(
     ``collect_list`` runs map-side partial; member order inside a
     sequence is restored deterministically by sorting the collected
     (doc_id, text) structs — the sort is per-sequence (a handful of
-    docs, budget-bounded), never global. NULL text concatenates as
-    empty, matching ``concat_ws`` semantics in both engines."""
+    docs, budget-bounded), never global. NULL-text members are skipped
+    by the join (no value, no separator) — the same semantics as
+    DuckDB's ``string_agg``, so the oracle mirrors exactly; they still
+    count toward ``n_docs``/``tokens_total``."""
     packed = pack_sequences(df, budget, n_shards, text_col, id_col)
     docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
     joined = packed.join(docs, "doc_id")
@@ -162,7 +167,7 @@ def materialize_sequences(
             "n_docs",
             "tokens_total",
             F.array_join(
-                F.transform(F.col("__members"), lambda m: m["t"]), sep, ""
+                F.transform(F.col("__members"), lambda m: m["t"]), sep
             ).alias("text"),
         )
     )

@@ -413,9 +413,12 @@ def snapshot_diff(
     side of incremental validation: re-validate exactly the added ∪
     changed set against the rule layer instead of the whole corpus.
 
-    Content identity is an md5 over the non-id columns (or
-    ``hash_cols``), ASCII-unit-separated with an explicit NULL sentinel
-    so NULL ≠ '' ≠ absent. Shape: one narrow hash projection per side,
+    Content identity is an md5 over PER-COLUMN md5 digests of the
+    non-id columns (or ``hash_cols``) — fixed-width components cannot
+    shift across column boundaries, so values containing the separator
+    can never make a changed row hash unchanged (separator injection);
+    NULL gets a non-hex sentinel so NULL ≠ '' ≠ any value. Shape: one
+    narrow hash projection per side,
     ONE full-outer hash join on the id — co-partitioned (zero exchange)
     when both snapshots are bucket-stored on the id
     (``sources/tables.write_bucketed``); the emitted frame is
@@ -429,15 +432,19 @@ def snapshot_diff(
     if missing:
         raise ValueError(f"hash_cols absent from new snapshot: {missing}")
 
-    def row_hash(side: DataFrame) -> Column:
-        return F.md5(
-            F.concat_ws(
-                "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x1e")) for c in cols]
-            )
+    # unbound column expression — resolves against whichever side's
+    # select it lands in
+    row_hash = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.md5(F.col(c).cast("string")), F.lit("\x1e"))
+                for c in cols
+            ],
         )
-
-    old = old_df.select(F.col(id_col).alias("doc_id"), row_hash(old_df).alias("old_hash"))
-    new = new_df.select(F.col(id_col).alias("doc_id"), row_hash(new_df).alias("new_hash"))
+    )
+    old = old_df.select(F.col(id_col).alias("doc_id"), row_hash.alias("old_hash"))
+    new = new_df.select(F.col(id_col).alias("doc_id"), row_hash.alias("new_hash"))
     joined = old.join(new, "doc_id", "full_outer")
     status = (
         F.when(F.col("old_hash").isNull(), F.lit("added"))

@@ -175,8 +175,8 @@ def filter_pipeline(
     signals (``repetition_stats``, ``boilerplate_stats``) intrinsically
     need their explode+groupBy passes and join back on doc_id; both
     emit exactly one row per input doc. Total: 3 scans, 2 doc_id joins,
-    zero Python."""
-    all_stop = [w for ws in STOPWORDS.values() for w in ws]
+    zero Python. NULL text counts as 0 tokens (so ``too_short`` fires,
+    same as an empty doc, rather than NULL-comparing to never-fire)."""
     base = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("__toks"),
@@ -184,7 +184,7 @@ def filter_pipeline(
     toks = F.col("__toks")
     counts = base.select(
         "doc_id",
-        F.size(toks).alias("__n_tok"),
+        F.when(toks.isNull(), F.lit(0)).otherwise(F.size(toks)).alias("__n_tok"),
         F.size(F.array_distinct(toks)).alias("__n_distinct"),
         *[
             F.size(F.filter(toks, lambda t: t.isin(list(ws)))).alias(f"__s_{lang}")
@@ -428,6 +428,19 @@ def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     )
 
 
+def _word_counts(
+    df: DataFrame, text_col: str, top_words: int | None
+) -> DataFrame:
+    """``(word, freq)`` — the distributed word-count table both BPE
+    entry points build on; ``top_words`` caps it at the most frequent
+    types under the deterministic (freq desc, word asc) order."""
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+    wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    if top_words is not None:
+        wc = wc.orderBy(F.desc("freq"), F.asc("word")).limit(top_words)
+    return wc
+
+
 def bpe_merge_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -450,10 +463,7 @@ def bpe_merge_candidates(
     the rank window runs on the ≤k-row result."""
     from pyspark.sql import Window
 
-    tok = df.select(F.explode(tokens(F.col(text_col))).alias("word"))
-    wc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
-    if top_words is not None:
-        wc = wc.orderBy(F.desc("freq"), F.asc("word")).limit(top_words)
+    wc = _word_counts(df, text_col, top_words)
     w = F.col("word")
     pairs = wc.select(
         "freq",
@@ -494,14 +504,7 @@ def train_bpe_merges(
     types is how production tokenizers train). The distributed part is
     exactly ``bpe_merge_candidates``'s shape; everything after the
     collect touches only the capped vocabulary."""
-    tok = df.select(F.explode(tokens(F.col(text_col))).alias("word"))
-    wc = (
-        tok.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .orderBy(F.desc("freq"), F.asc("word"))
-        .limit(top_words)
-        .collect()
-    )
+    wc = _word_counts(df, text_col, top_words).collect()
     vocab: dict[tuple[str, ...], int] = {tuple(r["word"]): r["freq"] for r in wc}
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):

@@ -289,3 +289,27 @@ def test_materialize_sequences_matches_assignment(spark):
         assert s["text"] == " ".join(texts[m["doc_id"]] for m in members)
     again = materialize_sequences(docs.repartition(11), budget=16, n_shards=4)
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, seqs))
+
+
+def test_review_fixes_shuffle_materialize(spark):
+    """Review regressions: (a) global_shuffle with 8-hex shards (the
+    large-corpus setting) must not overflow the shard cast; (b) NULL-
+    text members concatenate without a doubled separator, matching
+    string_agg semantics."""
+    from json_validator_spark.operators.packing import (
+        global_shuffle,
+        materialize_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w x y") for i in range(50)], "doc_id long, text string"
+    )
+    out = global_shuffle(docs, shard_hex_chars=8).collect()
+    assert sorted(r["position"] for r in out) == list(range(50))
+    nd = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "d e f")], "doc_id long, text string"
+    )
+    seqs = materialize_sequences(nd, budget=1000, n_shards=1).collect()
+    assert len(seqs) == 1
+    assert seqs[0]["text"] == "a b c d e f"  # no double separator
+    assert seqs[0]["n_docs"] == 3            # the NULL doc still counts

@@ -200,3 +200,18 @@ def test_snapshot_diff_statuses(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="absent"):
         snapshot_diff(old, new.drop("lang"))
+
+
+def test_snapshot_diff_separator_injection(spark):
+    """Per-column digests: values containing the separator can no
+    longer shift content across column boundaries and mask a change."""
+    from json_validator_spark.operators.set_checks import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a\x1fb", "c")], "doc_id long, text string, lang string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "b\x1fc")], "doc_id long, text string, lang string"
+    )
+    out = snapshot_diff(old, new).collect()
+    assert len(out) == 1 and out[0]["status"] == "changed"

@@ -743,3 +743,20 @@ def test_quantize_embeddings_invariants(spark):
     # max error bounded by half the largest step: (10-0)/255/2 ≈ 0.0196
     # (1e-6 slack: max_abs_err is reported rounded to 6 decimals)
     assert all(o["max_abs_err"] <= 10.0 / 255 / 2 + 1e-6 for o in out.values())
+
+
+def test_filter_pipeline_null_text_too_short(spark):
+    """NULL text counts as 0 tokens: too_short fires exactly as for an
+    empty doc instead of NULL-comparing to never-fire."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "!!!")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text_checks.filter_pipeline(
+            docs, min_tokens=5, allowed_langs=("en", "und"),
+            max_top_bigram_frac=2.0, max_boilerplate_ratio=2.0,
+        ).collect()
+    }
+    assert out[1]["n_tokens"] == 0 and "too_short" in out[1]["drop_reasons"]
+    assert out[2]["n_tokens"] == 0 and "too_short" in out[2]["drop_reasons"]
