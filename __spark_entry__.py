@@ -671,6 +671,15 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("rank").cast("long").alias("rank"), "token", "n")
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc TF-IDF top-3 terms (``text_checks.tfidf_top_terms``):
+    tf·ln(N/df) with (score desc, term asc) tie-break; ranking on the
+    unrounded float64 score, bit-identical across engines."""
+    from json_validator_spark.operators.text_checks import tfidf_top_terms
+
+    return tfidf_top_terms(_load_spread(spark, sf_dir, "documents"), k=3)
+
+
 def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge candidates (``text_checks.bpe_merge_candidates``):
     top-50 adjacent-character pairs over the word-count table, total
@@ -1436,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "vocab_topk": q_vocab_topk,
         "bpe_pairs": q_bpe_pairs,
+        "tfidf": q_tfidf,
         "lm_score": q_lm_score,
         "substring_dup": q_substring_dup,
         "repetition": q_repetition,
@@ -2334,6 +2344,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY n DESC, token)::BIGINT AS rank,
                    token, n::BIGINT AS n
             FROM freq ORDER BY n DESC, token LIMIT 50
+        """,
+        "tfidf": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+            ), dfq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), tot AS (
+              SELECT count(*) AS n FROM documents
+            ), s AS (
+              SELECT doc_id, term, tf, df,
+                     tf * ln(n::DOUBLE / df) AS score
+              FROM tf JOIN dfq USING (term), tot
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+              FROM s
+            )
+            SELECT doc_id, rank::BIGINT AS rank, term,
+                   tf::BIGINT AS tf, df::BIGINT AS df,
+                   round(score, 6) AS score
+            FROM r WHERE rank <= 3
         """,
         "bpe_pairs": f"""
             WITH tok AS (

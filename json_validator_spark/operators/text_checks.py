@@ -428,6 +428,56 @@ def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document TF-IDF top terms — the classic retrieval/keyword
+    feature: ``(doc_id, rank, term, tf, df, score)`` for each doc's
+    ``k`` highest-scoring terms under ``tf · ln(N/df)`` with the total
+    (score desc, term asc) tie-break.
+
+    Shape: explode tokens → ONE partial-aggregated groupBy((doc, term))
+    for tf → groupBy(term) for document frequency (vocabulary-sized) →
+    join back on term, with the 1-row corpus count cross-joined as a
+    broadcast constant (no driver-side ``count()`` action). The top-k
+    window partitions by doc — a keyed window over each doc's distinct
+    terms, never a global sort. Ranking runs on the UNROUNDED float64
+    score (bit-identical in both engines — same multiply/log over the
+    same integers), output rounds to 6 decimals."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__score",
+            F.col("tf") * F.log(F.col("__n").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("__score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round("__score", 6).alias("score"),
+        )
+    )
+
+
 def _word_counts(
     df: DataFrame, text_col: str, top_words: int | None
 ) -> DataFrame:

@@ -760,3 +760,30 @@ def test_filter_pipeline_null_text_too_short(spark):
     }
     assert out[1]["n_tokens"] == 0 and "too_short" in out[1]["drop_reasons"]
     assert out[2]["n_tokens"] == 0 and "too_short" in out[2]["drop_reasons"]
+
+
+def test_tfidf_top_terms(spark):
+    """TF-IDF: a corpus-wide term scores ln(1)=0, rare terms dominate,
+    ranks are contiguous per doc, tie-break lexicographic."""
+    import math
+
+    rows = [
+        (1, "common rare1 common"),
+        (2, "common rare2"),
+        (3, "common"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text_checks.tfidf_top_terms(docs, k=3).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 'common' appears in all 3 docs -> idf = ln(3/3) = 0
+    for r in out:
+        if r["term"] == "common":
+            assert r["score"] == 0.0 and r["df"] == 3
+    # rare terms (df=1) outrank 'common' despite tf=2 for doc 1
+    assert by_doc[1][0]["term"] == "rare1"
+    assert by_doc[1][0]["score"] == pytest.approx(math.log(3.0), abs=1e-6)
+    assert by_doc[2][0]["term"] == "rare2"
+    for docid, terms in by_doc.items():
+        assert [t["rank"] for t in terms] == list(range(1, len(terms) + 1))
