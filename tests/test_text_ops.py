@@ -787,3 +787,33 @@ def test_tfidf_top_terms(spark):
     assert by_doc[2][0]["term"] == "rare2"
     for docid, terms in by_doc.items():
         assert [t["rank"] for t in terms] == list(range(1, len(terms) + 1))
+
+
+def test_plan_shapes_new_ops(spark, docs):
+    """Plan regressions for the late-round operators: filter_pipeline's
+    fused narrow branch tokenizes each row exactly once per scan (one
+    split() per of the 3 scans: fused quality+lang, repetition,
+    boilerplate — not one per referencing output column), and tfidf /
+    global_shuffle never sort globally (no single-partition Exchange
+    feeding a corpus-sized Window/Sort)."""
+    from json_validator_spark.operators.packing import global_shuffle
+
+    fp = text_checks.filter_pipeline(docs)
+    fplan = fp._jdf.queryExecution().optimizedPlan().toString()
+    # one tokenization per scan: fused quality+lang (1), repetition (1),
+    # boilerplate's self-frequency join (2 — it reads the segment scan
+    # on both sides by design). A per-output-column re-tokenization
+    # regression would push this to 10+.
+    assert fplan.count("split(") == 4
+
+    tf = text_checks.tfidf_top_terms(docs, k=3)
+    tplan = tf._jdf.queryExecution().executedPlan().toString()
+    # the top-k window is keyed on doc_id (the only single-partition
+    # exchange is the 1-row corpus-count aggregate)
+    assert "hashpartitioning(doc_id" in tplan
+
+    gs = global_shuffle(docs)
+    gplan = gs._jdf.queryExecution().executedPlan().toString()
+    # the only single-partition exchange allowed is the tiny <=4096-row
+    # shard-offset cumsum; the data-path window must be hash-partitioned
+    assert "hashpartitioning(__shard" in gplan
