@@ -97,3 +97,57 @@ def dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def neardup_ingest_stream(
+    spark: SparkSession,
+    input_path: str,
+    schema: str,
+    corpus_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 8,
+    threshold: float = 0.9,
+    max_bucket: int = 1000,
+) -> StreamingQuery:
+    """Streaming ingest with NEAR-dup screening: every arriving
+    micro-batch is probed one-sidedly against the standing corpus
+    (``operators/dedup.accept_new_documents`` — LSH candidates sized by
+    the increment, exact-Jaccard verify), and only surviving docs land,
+    idempotently per batch. The streaming complement of
+    ``dedup_stream``'s exact-hash state: exact dups of *streamed*
+    content are caught by that operator's state store; NEAR dups of
+    *corpus* content are caught here by the standing index.
+
+    Cross-increment near-dups (batch N+1 nearly duplicating batch N's
+    accepted docs, neither in the corpus yet) are out of this
+    operator's scope by design — full LSH signature state in the state
+    store would hold a signature per historical doc; the production
+    pattern is instead to FOLD accepted batches into the corpus index
+    between triggers (cheap: signatures/bands are incremental
+    artifacts), which this operator models by re-reading
+    ``corpus_path`` at every batch — append accepted output there and
+    the next trigger probes against it."""
+    from json_validator_spark.operators.dedup import accept_new_documents
+    from json_validator_spark.streaming.validate_stream import write_batch_idempotent
+
+    stream = spark.readStream.schema(schema).parquet(input_path)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        corpus = batch.sparkSession.read.parquet(corpus_path)
+        kept = accept_new_documents(
+            batch, corpus, text_col, id_col, k, n_hashes, n_bands, threshold,
+            max_bucket,
+        )
+        write_batch_idempotent(kept, batch_id, f"{output_path}/accepted")
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -387,3 +387,47 @@ def test_windowed_drift_scores(spark):
     calm, drifted = scores[0], scores[1]
     assert calm["psi"] < 0.01 and calm["ks"] < 0.01
     assert drifted["psi"] > 0.25 and drifted["ks"] > 0.2
+
+
+def test_neardup_ingest_stream(tmp_path, spark):
+    """Streaming near-dup ingest: a micro-batch is screened against the
+    standing corpus (exact copy rejected, fresh doc accepted, intra-
+    batch duplicate pair keeps the min id); folding accepted docs into
+    the corpus makes the next trigger reject their near-copies."""
+    from json_validator_spark.streaming.dedup_stream import neardup_ingest_stream
+
+    landing = str(tmp_path / "landing")
+    corpus_dir = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame(
+        [(1, "the corpus already holds this exact document text"),
+         (2, "another standing corpus document about spark tables")],
+        schema,
+    ).write.parquet(corpus_dir)
+    spark.createDataFrame(
+        [(101, "the corpus already holds this exact document text"),  # reject
+         (102, "completely novel content never seen before anywhere"),
+         (103, "completely novel content never seen before anywhere")],  # intra dup
+        schema,
+    ).write.parquet(landing)
+
+    q = neardup_ingest_stream(spark, landing, schema, corpus_dir, out, ckpt)
+    q.awaitTermination(120)
+    accepted = spark.read.parquet(f"{out}/accepted")
+    assert {r["doc_id"] for r in accepted.collect()} == {102}
+
+    # fold the accepted batch into the corpus; a late near-copy of 102
+    # must now be rejected by the standing index
+    accepted.write.mode("append").parquet(corpus_dir)
+    spark.createDataFrame(
+        [(201, "completely novel content never seen before anywhere"),  # now a dup
+         (202, "yet another genuinely fresh piece of text entirely")],
+        schema,
+    ).write.mode("append").parquet(landing)
+    q2 = neardup_ingest_stream(spark, landing, schema, corpus_dir, out, ckpt)
+    q2.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(f"{out}/accepted").collect()}
+    assert got == {102, 202}
