@@ -370,3 +370,51 @@ def test_differential_nested_combinators(spark):
     for i, a, s in rows:
         want |= interpret_nested(i, a, s)
     assert got == want
+
+
+def test_differential_snapshot_diff(spark):
+    """snapshot_diff vs an independent pure-Python dict diff over seeded
+    random snapshot pairs with NULLs, empty strings, separator bytes
+    and every status class."""
+    import random
+
+    from json_validator_spark.operators.set_checks import snapshot_diff
+
+    rng = random.Random(20260817)
+    alphabet = ["", "a", "b", "a\x1fb", "\x1e", None, "x" * 5]
+
+    def rand_snapshot(ids):
+        return {
+            i: (rng.choice(alphabet), rng.choice(alphabet)) for i in ids
+        }
+
+    for trial in range(5):
+        old_ids = set(rng.sample(range(100), 60))
+        new_ids = set(rng.sample(range(100), 60))
+        old = rand_snapshot(old_ids)
+        new = rand_snapshot(new_ids)
+        # force some unchanged rows so the omission path is exercised
+        for i in list(old_ids & new_ids)[:10]:
+            new[i] = old[i]
+
+        expected = {}
+        for i in old_ids | new_ids:
+            if i not in new:
+                expected[i] = "removed"
+            elif i not in old:
+                expected[i] = "added"
+            elif old[i] != new[i]:
+                expected[i] = "changed"
+
+        schema = "doc_id long, text string, lang string"
+        old_df = spark.createDataFrame(
+            [(i, *old[i]) for i in sorted(old_ids)], schema
+        )
+        new_df = spark.createDataFrame(
+            [(i, *new[i]) for i in sorted(new_ids)], schema
+        )
+        got = {
+            r["doc_id"]: r["status"]
+            for r in snapshot_diff(old_df, new_df).collect()
+        }
+        assert got == expected, f"trial {trial}"
