@@ -1062,6 +1062,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, budget=256, n_shards=8)
 
 
+def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence packing audit (``packing.sequence_stats``): doc
+    count, token total and fill ratio per (shard, seq_id) — one
+    partial-aggregated groupBy over the assignment."""
+    from json_validator_spark.operators.packing import pack_sequences, sequence_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    return sequence_stats(pack_sequences(docs, budget=256, n_shards=8), budget=256)
+
+
 def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The packing APPLY step (``packing.materialize_sequences``): the
     actual concatenated training sequences at a 256-token budget.
@@ -1466,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_mixture": q_resample_mixture,
         "global_shuffle": q_global_shuffle,
         "pack_sequences": q_pack_sequences,
+        "pack_stats": q_pack_stats,
         "pack_materialize": q_pack_materialize,
         "pii_scrub": q_pii_scrub,
         "top_violations": q_top_violations,
@@ -2739,6 +2750,25 @@ def oracle_sql() -> dict[str, str]:
                    (cum_before // 256)::BIGINT AS seq_id,
                    (cum_before % 256)::BIGINT AS seq_offset
             FROM w
+        """,
+        "pack_stats": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 8 AS shard,
+                     len({_DUCK_TOKS})::BIGINT AS n_tokens
+              FROM documents
+            ), w AS (
+              SELECT doc_id, shard, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+              FROM t
+            )
+            SELECT shard, (cum_before // 256)::BIGINT AS seq_id,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS tokens_total,
+                   round(sum(n_tokens) / 256.0, 6) AS fill_ratio
+            FROM w GROUP BY 1, 2
         """,
         "pack_materialize": f"""
             WITH t AS (
