@@ -118,6 +118,22 @@ def q_corpus_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return violations_df(corpus, derived_corpus_ruleset())
 
 
+def q_preprocess_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S5 JSONPath-preprocessor analogue
+    (``sources/preprocess.pointer_project``): project ``/spans/*/kind``
+    out of the derived span corpus into addressable (doc_id, span_path,
+    value) rows — the reference's per-type JSONPath pre-projection
+    (``ValidationSpecs.java:87-130``) as a narrow posexplode. Oracle:
+    the same spans2 construction the corpus_validation mirror uses."""
+    from json_validator_spark.sources.derive import derive_corpus
+    from json_validator_spark.sources.preprocess import pointer_project
+
+    corpus = derive_corpus(_load_spread(spark, sf_dir, "documents"))
+    return pointer_project(corpus, "/spans/*/kind").select(
+        "doc_id", "span_path", F.col("value").cast("string").alias("value")
+    )
+
+
 def q_row_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.row_checks import violations_df
 
@@ -1417,6 +1433,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "corpus_validation": q_corpus_validation,
+        "preprocess_pointer": q_preprocess_pointer,
         "row_rules": q_row_rules,
         "doc_verdicts": q_doc_verdicts,
         "aggregate_report": q_aggregate_report,
@@ -1497,7 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB)
 # ----------------------------------------------------------------------
 
-_CORPUS_SQL = f"""
+_CORPUS_SPANS_CTE = f"""
 WITH base AS (
   SELECT doc_id,
          {_DUCK_TOKS} AS toks,
@@ -1528,6 +1545,9 @@ WITH base AS (
          (kind = 'text' AND (text_null OR toks_null)) AS text_missing
   FROM spans
 )
+"""
+
+_CORPUS_SQL = _CORPUS_SPANS_CTE + """
 SELECT doc_id, '/spans/' || i::VARCHAR || '/kind' AS span_path,
        'enum.span.kind' AS rule_id, 'error' AS severity,
        '[/spans/*/kind] value is not in the allowed set' AS message
@@ -1541,7 +1561,7 @@ UNION ALL
 SELECT doc_id, '/spans/' || i::VARCHAR || '/media_ref',
        'format.span.media_ref', 'error',
        '[/spans/*/media_ref] value does not conform to the required format'
-FROM spans2 WHERE kind = 'media' AND NOT regexp_matches(media_ref, '^media://[0-9a-f]{{32}}$')
+FROM spans2 WHERE kind = 'media' AND NOT regexp_matches(media_ref, '^media://[0-9a-f]{32}$')
 UNION ALL
 SELECT DISTINCT doc_id, '/spans', 'monotonic.offsets', 'error',
        '[/spans] array field is not strictly increasing'
@@ -1948,6 +1968,14 @@ def oracle_sql() -> dict[str, str]:
     bucket = _QTY_BUCKET_SQL
     return {
         "corpus_validation": _CORPUS_SQL,
+        # preprocess_pointer: the spans2 construction projected as the
+        # /spans/*/kind pointer rows (value = kind per span index).
+        "preprocess_pointer": _CORPUS_SPANS_CTE + """
+            SELECT doc_id,
+                   '/spans/' || i::VARCHAR || '/kind' AS span_path,
+                   kind AS value
+            FROM spans2
+        """,
         "row_rules": _ROW_RULES_SQL,
         "doc_verdicts": (
             f"WITH v AS ({_VERDICT_BASE}) SELECT doc_id, n_errors, n_warnings, "
