@@ -825,6 +825,21 @@ def q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (``media.frame_sample``): one row
+    per sampled frame offset over the deterministic synthetic media
+    table. Oracle: the catalog (hex-uuid refs), the md5-derived
+    duration, the frame series and the frame hash are all reproducible
+    in DuckDB."""
+    from json_validator_spark.operators.media import frame_sample, synth_media_table
+    from json_validator_spark.sources.synth import synth_media_catalog
+
+    media = synth_media_table(spark, synth_media_catalog(spark, catalog_size=500))
+    return frame_sample(media, every_ms=5000).select(
+        "media_ref", "frame_idx", "frame_offset_ms", "frame_hash"
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads → Arrow-batched decode →
     per-mime feature aggregates. Deterministic synthetic media (no
@@ -1505,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest": q_tdigest,
         "corpus_doc_verdicts": q_corpus_doc_verdicts,
         "span_invariant": q_span_invariant,
+        "frame_sample": q_frame_sample,
         "media_features": q_media_features,
         "media_decode": q_media_decode,
     }
@@ -2343,6 +2359,34 @@ def oracle_sql() -> dict[str, str]:
                    (max(err) <= (SELECT max((hi - lo) / 510.0) FROM stats) + 1e-12)
                      AS within_bound
             FROM r GROUP BY vec_id
+        """,
+        # frame_sample: catalog refs (hex uuid of id), md5-derived
+        # duration, inclusive frame series, md5 frame hash — all
+        # engine-identical arithmetic.
+        "frame_sample": """
+            WITH ids AS (
+              SELECT unnest(generate_series(0, 494)) AS k
+            ), cat AS (
+              SELECT 'media://' ||
+                     substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-' ||
+                     substr(hx, 13, 4) || '-' || substr(hx, 17, 4) || '-' ||
+                     substr(hx, 21, 12) AS media_ref
+              FROM (SELECT lpad(lower(to_hex(k)), 32, '0') AS hx FROM ids)
+            ), med AS (
+              SELECT media_ref,
+                     ('0x' || substr(md5(media_ref || ':dur'), 1, 15))::BIGINT
+                       % 60000 AS duration_ms
+              FROM cat
+            ), frames AS (
+              SELECT media_ref, duration_ms,
+                     unnest(generate_series(0,
+                       greatest(floor(duration_ms / 5000.0)::INT - 1, 0))) AS frame_idx
+              FROM med
+            )
+            SELECT media_ref, frame_idx::INT AS frame_idx,
+                   (frame_idx * 5000)::INT AS frame_offset_ms,
+                   md5(media_ref || ':' || frame_idx::VARCHAR) AS frame_hash
+            FROM frames
         """,
         "embedding_violations": """
             WITH e AS (

@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from json_validator_spark.functions.text import hash_long
+
 MEDIA_SCHEMA = (
     "media_ref string, mime_type string, size_bytes long, "
     "width int, height int, duration_ms int, payload binary"
@@ -50,7 +52,12 @@ def synth_media_table(spark, catalog, payload_bytes: int = 256) -> DataFrame:
         {
             "width": (F.pmod(F.xxhash64("media_ref", F.lit(1)), F.lit(1920)) + 1).cast("int"),
             "height": (F.pmod(F.xxhash64("media_ref", F.lit(2)), F.lit(1080)) + 1).cast("int"),
-            "duration_ms": (F.pmod(F.xxhash64("media_ref", F.lit(3)), F.lit(60000))).cast("int"),
+            # md5-based (functions/text.hash_long), not xxhash64: the
+            # frame_sample oracle reproduces duration → frame counts in
+            # DuckDB; width/height stay xxhash64 (no oracle reads them)
+            "duration_ms": (hash_long(F.col("media_ref"), F.lit("dur")) % 60000).cast(
+                "int"
+            ),
         }
     )
 
