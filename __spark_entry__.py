@@ -226,6 +226,42 @@ def q_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uniqueness_violations(_load(spark, sf_dir, "orders"), key="o_custkey")
 
 
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier check over ``events.value`` — exact
+    median/MAD from the bounded value histogram (``exact_median_mad``),
+    then a narrow filter; z-scores reproduce bit-for-bit in the oracle
+    because both engines compute them from the same rounded-to-6
+    median/MAD contract values."""
+    from json_validator_spark.operators.set_checks import robust_outlier_violations
+
+    return robust_outlier_violations(
+        _load(spark, sf_dir, "events"), "value", id_col="event_id", k=6.0
+    )
+
+
+def q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery ``o_custkey → o_orderstatus`` —
+    cross-row consistency as a set-based check (the corpus-level
+    sibling of the per-row dependentRequired keyword)."""
+    from json_validator_spark.operators.set_checks import fd_violations
+
+    return fd_violations(_load(spark, sf_dir, "orders"), "o_custkey", "o_orderstatus")
+
+
+def q_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensional completeness over events: every observed event_type
+    is expected in every observed hour; silent (type, hour) cells are
+    violations. Universe = cross join of tiny per-dim distincts;
+    broadcast left_anti against observed cells."""
+    from json_validator_spark.operators.set_checks import completeness_gaps
+
+    ev = _load(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00")
+    return completeness_gaps(
+        ev, [F.col("event_type"), hour], ["event_type", "hour"]
+    )
+
+
 def q_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.set_checks import referential_violations
 
@@ -1456,6 +1492,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combination_oneof": q_combination_oneof,
         "column_stats": q_column_stats,
         "stats_violations": q_stats_violations,
+        "outlier_mad": q_outlier_mad,
+        "fd_check": q_fd_check,
+        "completeness": q_completeness,
         "uniqueness": q_uniqueness,
         "referential": q_referential,
         "histogram": q_histogram,
@@ -2058,6 +2097,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT '__corpus__', '/l_extendedprice', 'stats.min.l_extendedprice', 'error',
                    '[/l_extendedprice] minimum value below the allowed bound'
             FROM s WHERE min_price < 0.0
+        """,
+        # outlier_mad: DuckDB's median()/mad() are the interpolated order
+        # statistics the engine computes from the value histogram; both
+        # sides round the two constants to 6 BEFORE thresholding /
+        # z-scoring, so the arithmetic is identical doubles.
+        "outlier_mad": """
+            WITH m AS (
+              SELECT round(median(value), 6) AS med, round(mad(value), 6) AS mad
+              FROM events
+            )
+            SELECT event_id::VARCHAR AS doc_id, '/value' AS span_path,
+                   'outlier.mad.value' AS rule_id, 'warning' AS severity,
+                   value::DOUBLE AS value,
+                   round(abs(value::DOUBLE - med) / mad, 4) AS zscore
+            FROM events, m
+            WHERE value IS NOT NULL AND abs(value::DOUBLE - med) > 6.0 * mad
+        """,
+        "fd_check": """
+            SELECT o_custkey::VARCHAR AS doc_id, '/o_orderstatus' AS span_path,
+                   'fd.o_custkey->o_orderstatus' AS rule_id, 'warning' AS severity,
+                   'functional dependency o_custkey->o_orderstatus violated: '
+                     || count(DISTINCT o_orderstatus)::VARCHAR
+                     || ' distinct values in ' || count(o_orderstatus)::VARCHAR
+                     || ' rows' AS message
+            FROM orders GROUP BY o_custkey
+            HAVING count(DISTINCT o_orderstatus) > 1
+        """,
+        "completeness": """
+            WITH proj AS (
+              SELECT event_type,
+                     strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour
+              FROM events
+            ), universe AS (
+              SELECT t.event_type, h.hour
+              FROM (SELECT DISTINCT event_type FROM proj) t
+              CROSS JOIN (SELECT DISTINCT hour FROM proj) h
+            )
+            SELECT u.event_type, u.hour,
+                   'complete.event_typexhour' AS rule_id,
+                   'warning' AS severity,
+                   'expected cell missing from corpus' AS message
+            FROM universe u
+            ANTI JOIN (SELECT DISTINCT event_type, hour FROM proj) o
+              USING (event_type, hour)
         """,
         "uniqueness": """
             SELECT o_custkey::VARCHAR AS doc_id, '/o_custkey' AS span_path,

@@ -455,3 +455,195 @@ def snapshot_diff(
         joined.select("doc_id", status.alias("status"), "old_hash", "new_hash")
         .filter(F.col("status").isNotNull())
     )
+
+
+# ----------------------------------------------------------------------
+# Robust outliers — exact median/MAD over the value histogram
+# ----------------------------------------------------------------------
+
+def exact_median_mad(df: DataFrame, col: str) -> tuple[float, float, int]:
+    """Exact ``(median, MAD, n)`` of a BOUNDED-DOMAIN numeric column via
+    its value histogram: ``groupBy(value).count()`` (partial-agg, the
+    shuffle carries one row per DISTINCT value per partition), collect
+    the histogram, and take weighted order statistics on the driver.
+
+    Exact at any row count when the value domain is bounded (e.g. a
+    2-decimal metric capped at 10^4 has ≤10^6 distinct values no matter
+    whether the table has 10^4 or 10^12 rows) — the scalable exact
+    complement of ``tdigest_quantiles``, which is the right tool when
+    the domain is unbounded. Interpolation matches ANSI
+    ``percentile_cont``/DuckDB ``median``: at even n the two middle
+    order statistics interpolate; MAD = median(|x − median|) on the
+    same histogram (deviation multiset re-sorted driver-side). Both are
+    rounded to 6 decimals as part of the contract so last-ulp
+    interpolation-order differences between engines cannot leak into
+    downstream thresholds (the ``lm_scores`` quantization discipline).
+    """
+    rows = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("double").alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    if not rows:
+        return (float("nan"), float("nan"), 0)
+
+    def _wmedian(pairs: list[tuple[float, int]]) -> float:
+        pairs = sorted(pairs)
+        n = sum(c for _, c in pairs)
+        pos = (n - 1) * 0.5
+        lo_rank, frac = int(math.floor(pos)), pos - math.floor(pos)
+        lo = hi = None
+        cum = 0
+        for v, c in pairs:
+            if lo is None and cum + c > lo_rank:
+                lo = v
+            if cum + c > lo_rank + (1 if frac > 0 else 0):
+                hi = v
+                break
+            cum += c
+        hi = hi if hi is not None else lo
+        return lo + frac * (hi - lo)
+
+    pairs = [(r["__v"], r["__c"]) for r in rows]
+    n = sum(c for _, c in pairs)
+    med = round(_wmedian(pairs), 6)
+    dev: dict[float, int] = {}
+    for v, c in pairs:
+        d = abs(v - med)
+        dev[d] = dev.get(d, 0) + c
+    mad = round(_wmedian(list(dev.items())), 6)
+    return (med, mad, n)
+
+
+def robust_outlier_violations(
+    df: DataFrame,
+    col: str,
+    id_col: str = "event_id",
+    k: float = 6.0,
+    rule_id: str | None = None,
+) -> DataFrame:
+    """Robust (median/MAD) outlier detection as a set-based check:
+    values with ``|x − median| > k·MAD`` become violation rows carrying
+    the robust z-score ``|x − median| / MAD`` (rounded to 4 — identical
+    arithmetic on the rounded median/MAD contract values on both
+    engines, so the oracle reproduces it bit-for-bit). Median/MAD are
+    resistant to the very outliers being hunted, unlike mean/stddev
+    (``stats_violations``' μ±kσ complement).
+
+    Shape: ONE bounded histogram aggregate (see ``exact_median_mad``)
+    feeding two driver constants, then a NARROW filter+projection over
+    the corpus — no second shuffle, no window; the violation frame is
+    outlier-rate-sized. MAD = 0 (≥50% of mass on one value) disables
+    the check rather than dividing by zero."""
+    rid = rule_id or f"outlier.mad.{col}"
+    med, mad, _n = exact_median_mad(df, col)
+    out_cols = [
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.lit(f"/{col}").alias("span_path"),
+        F.lit(rid).alias("rule_id"),
+        F.lit("warning").alias("severity"),
+        F.col(col).cast("double").alias("value"),
+    ]
+    if _n == 0 or mad == 0.0 or math.isnan(mad):
+        return (
+            df.select(*out_cols, F.lit(0.0).alias("zscore")).filter(F.lit(False))
+        )
+    z = F.round(F.abs(F.col(col).cast("double") - F.lit(med)) / F.lit(mad), 4)
+    return (
+        df.filter(
+            F.col(col).isNotNull()
+            & (F.abs(F.col(col).cast("double") - F.lit(med)) > F.lit(k * mad))
+        )
+        .select(*out_cols, z.alias("zscore"))
+    )
+
+
+# ----------------------------------------------------------------------
+# Functional-dependency discovery
+# ----------------------------------------------------------------------
+
+def fd_violations(
+    df: DataFrame,
+    determinant: str,
+    dependent: str,
+    rule_id: str | None = None,
+    severity: str = "warning",
+) -> DataFrame:
+    """Functional-dependency check ``determinant → dependent``:
+    determinant values under which the dependent takes more than one
+    distinct value violate the FD (the set-based generalization of the
+    reference's per-row ``dependentRequired`` — cross-ROW consistency
+    instead of cross-FIELD presence). One violation row per offending
+    determinant value, message carrying the distinct/dependent row
+    counts (integers — exact across engines).
+
+    Shape: ``groupBy(determinant).agg(countDistinct(dependent))`` —
+    Catalyst plans the distinct-agg as two cascaded partial-agg
+    exchanges keyed on (det, dep) then (det), so each (det, dep) combo
+    ships once per input partition regardless of row count; AQE splits
+    a viral determinant. No join, no window."""
+    rid = rule_id or f"fd.{determinant}->{dependent}"
+    return (
+        df.groupBy(determinant)
+        .agg(
+            F.countDistinct(dependent).alias("n_distinct"),
+            F.count(dependent).alias("n_rows"),
+        )
+        .filter(F.col("n_distinct") > 1)
+        .select(
+            F.col(determinant).cast("string").alias("doc_id"),
+            F.lit(f"/{dependent}").alias("span_path"),
+            F.lit(rid).alias("rule_id"),
+            F.lit(severity).alias("severity"),
+            F.concat(
+                F.lit(f"functional dependency {determinant}->{dependent} violated: "),
+                F.col("n_distinct").cast("string"),
+                F.lit(" distinct values in "),
+                F.col("n_rows").cast("string"),
+                F.lit(" rows"),
+            ).alias("message"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# Dimensional completeness — missing cells in an expected grid
+# ----------------------------------------------------------------------
+
+def completeness_gaps(
+    df: DataFrame,
+    dims: Sequence[Column | str],
+    names: Sequence[str],
+    rule_id: str | None = None,
+) -> DataFrame:
+    """Missing-cell detection: the expected universe is the cross
+    product of each dimension's OBSERVED distinct values; cells absent
+    from the observed (dim₁, …, dimₙ) combinations are gaps — e.g. an
+    event type that went silent for an hour, a partition that never
+    arrived. One violation row per missing cell.
+
+    Shape: per-dim ``distinct()`` partial-aggregates to tiny frames;
+    the universe is a chain of broadcast-sized cross joins (|A|·|B|·…
+    rows — caller picks dims whose product is small, it IS the report
+    size); observed combinations partial-agg to ≤ that same size; ONE
+    broadcast left_anti ships the observed cells, never the corpus."""
+    if len(dims) < 2 or len(dims) != len(names):
+        raise ValueError("need ≥2 dims and one name per dim")
+    rid = rule_id or f"complete.{'x'.join(names)}"
+    cols = [
+        (F.col(d) if isinstance(d, str) else d).alias(nm)
+        for d, nm in zip(dims, names)
+    ]
+    proj = df.select(*cols)
+    universe = proj.select(names[0]).distinct()
+    for nm in names[1:]:
+        universe = universe.crossJoin(proj.select(nm).distinct())
+    observed = proj.distinct()
+    gaps = universe.join(F.broadcast(observed), list(names), "left_anti")
+    return gaps.select(
+        *[F.col(nm).cast("string").alias(nm) for nm in names],
+        F.lit(rid).alias("rule_id"),
+        F.lit("warning").alias("severity"),
+        F.lit("expected cell missing from corpus").alias("message"),
+    )

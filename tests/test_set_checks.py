@@ -215,3 +215,76 @@ def test_snapshot_diff_separator_injection(spark):
     )
     out = snapshot_diff(old, new).collect()
     assert len(out) == 1 and out[0]["status"] == "changed"
+
+
+def test_exact_median_mad_matches_statistics(spark):
+    """Weighted order statistics on the value histogram = the textbook
+    interpolated median/MAD over the raw multiset."""
+    import statistics
+
+    vals = [1.0, 2.0, 2.0, 3.0, 10.0, 50.0]  # even n -> interpolation
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    med, mad, n = sc.exact_median_mad(df, "v")
+    assert n == 6
+    assert med == round(statistics.median(vals), 6)
+    exp_mad = round(statistics.median(sorted(abs(v - med) for v in vals)), 6)
+    assert mad == exp_mad
+    # odd n, and NULLs excluded
+    df2 = spark.createDataFrame([(1.0,), (None,), (5.0,), (9.0,)], "v double")
+    med2, mad2, n2 = sc.exact_median_mad(df2, "v")
+    assert (med2, mad2, n2) == (5.0, 4.0, 3)
+    # empty
+    med3, mad3, n3 = sc.exact_median_mad(df2.filter("v > 100"), "v")
+    assert n3 == 0 and math.isnan(med3)
+
+
+def test_robust_outlier_violations(spark):
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([10, 11, 12, 13, 14, 1000])],
+        "event_id long, value double",
+    )
+    out = sc.robust_outlier_violations(df, "value", "event_id", k=6.0).collect()
+    assert [r["doc_id"] for r in out] == ["5"]
+    assert out[0]["rule_id"] == "outlier.mad.value"
+    assert out[0]["value"] == 1000.0 and out[0]["zscore"] > 100
+    # MAD=0 (majority mass on one value) disables the check, no div-by-zero
+    df0 = spark.createDataFrame(
+        [(i, 5.0) for i in range(5)] + [(9, 500.0)], "event_id long, value double"
+    )
+    assert sc.robust_outlier_violations(df0, "value", "event_id").count() == 0
+
+
+def test_fd_violations(spark):
+    df = spark.createDataFrame(
+        [("k1", "a"), ("k1", "a"), ("k2", "a"), ("k2", "b"), ("k3", None)],
+        "det string, dep string",
+    )
+    out = sc.fd_violations(df, "det", "dep").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["doc_id"] == "k2" and r["rule_id"] == "fd.det->dep"
+    assert "2 distinct values in 2 rows" in r["message"]
+
+
+def test_completeness_gaps(spark):
+    # 2x3 grid with one missing cell (a2,b3)
+    df = spark.createDataFrame(
+        [("a1", "b1"), ("a1", "b2"), ("a1", "b3"), ("a2", "b1"), ("a2", "b2")],
+        "x string, y string",
+    )
+    out = sc.completeness_gaps(df, ["x", "y"], ["x", "y"]).collect()
+    assert [(r["x"], r["y"]) for r in out] == [("a2", "b3")]
+    assert out[0]["rule_id"] == "complete.xxy"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sc.completeness_gaps(df, ["x"], ["x"])
+
+
+def test_completeness_gaps_plan_is_broadcast_anti(spark):
+    """The anti-join must ship the tiny observed-cells side broadcast,
+    never shuffle the universe."""
+    df = spark.createDataFrame(
+        [("a1", "b1"), ("a2", "b2")], "x string, y string"
+    )
+    plan = sc.completeness_gaps(df, ["x", "y"], ["x", "y"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
