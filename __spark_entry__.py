@@ -262,6 +262,57 @@ def q_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization rollup (``temporal.session_stats``):
+    per-(user, session) event counts and whole-second durations; the
+    session boundary is a strict 30-minute microsecond-exact gap."""
+    from json_validator_spark.operators.temporal import session_stats
+
+    ev = _load(spark, sf_dir, "events")
+    s = session_stats(ev, gap_minutes=30)
+    return s.select(
+        "user_id",
+        "session_idx",
+        "session_id",
+        "n_events",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+        "duration_s",
+    )
+
+
+def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rate check: users firing >2 events in any
+    (t−60m, t] window — RANGE frame over microsecond ticks, one
+    violation row per offending event."""
+    from json_validator_spark.operators.temporal import rate_limit_violations
+
+    return rate_limit_violations(
+        _load(spark, sf_dir, "events"), max_events=2, window_minutes=60
+    )
+
+
+def q_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union-window technique, single exchange on the join
+    key) of each event to the latest deterministic rate snapshot at or
+    before its timestamp; events before the first snapshot keep NULLs.
+    Oracle: DuckDB's native ASOF LEFT JOIN over the identically
+    md5-derived snapshot dimension."""
+    from json_validator_spark.operators.temporal import asof_join, synth_rate_snapshots
+
+    ev = _load(spark, sf_dir, "events")
+    joined = asof_join(
+        ev, synth_rate_snapshots(ev), on="event_type",
+        left_ts="ts", right_ts="snap_ts", value_cols=["rate"],
+    )
+    return joined.select(
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "rate",
+        F.date_format("snap_ts", "yyyy-MM-dd HH:mm:ss").alias("snap_ts"),
+    )
+
+
 def q_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.set_checks import referential_violations
 
@@ -1495,6 +1546,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlier_mad": q_outlier_mad,
         "fd_check": q_fd_check,
         "completeness": q_completeness,
+        "sessions": q_sessions,
+        "rate_limit": q_rate_limit,
+        "asof_rates": q_asof_rates,
         "uniqueness": q_uniqueness,
         "referential": q_referential,
         "histogram": q_histogram,
@@ -2141,6 +2195,66 @@ def oracle_sql() -> dict[str, str]:
             FROM universe u
             ANTI JOIN (SELECT DISTINCT event_type, hour FROM proj) o
               USING (event_type, hour)
+        """,
+        # sessions: lag/cumsum windows over microsecond ticks; ties are
+        # RANGE-frame peers on both engines so boundary flags agree.
+        "sessions": """
+            WITH b AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+                       ::BIGINT AS session_idx
+              FROM b
+            )
+            SELECT user_id, session_idx,
+                   user_id::VARCHAR || '#' || session_idx::VARCHAR AS session_id,
+                   count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+                   floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT
+                     AS duration_s
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "rate_limit": """
+            WITH c AS (
+              SELECT event_id,
+                     count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS n
+              FROM events
+            )
+            SELECT event_id::VARCHAR AS doc_id, '/ts' AS span_path,
+                   'rate.user_id.60m' AS rule_id, 'warning' AS severity,
+                   n::VARCHAR || ' events in 60m (max 2)' AS message
+            FROM c WHERE n > 2
+        """,
+        # asof_rates: the snapshot dimension is pure md5 arithmetic over
+        # observed (event_type, hour) cells; DuckDB's native ASOF LEFT
+        # JOIN is the reference semantics for the union-window engine op.
+        "asof_rates": """
+            WITH cell AS (
+              SELECT DISTINCT event_type, date_trunc('hour', ts) AS snap_ts
+              FROM events
+            ), keyed AS (
+              SELECT event_type, snap_ts,
+                     ('0x' || substr(md5(event_type || '@' ||
+                       strftime(snap_ts, '%Y-%m-%d %H:00')), 1, 15))::BIGINT AS h
+              FROM cell
+            ), snaps AS (
+              SELECT event_type, snap_ts, round((h % 10000) / 100.0, 2) AS rate
+              FROM keyed WHERE h % 3 = 0
+            )
+            SELECT e.event_id, e.event_type,
+                   strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   s.rate,
+                   strftime(s.snap_ts, '%Y-%m-%d %H:%M:%S') AS snap_ts
+            FROM events e
+            ASOF LEFT JOIN snaps s
+              ON e.event_type = s.event_type AND e.ts >= s.snap_ts
         """,
         "uniqueness": """
             SELECT o_custkey::VARCHAR AS doc_id, '/o_custkey' AS span_path,

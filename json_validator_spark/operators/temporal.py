@@ -1,0 +1,223 @@
+"""Temporal / event-sequence operators — sessionization, sliding-window
+rate checks, and as-of joins over the event stream.
+
+The reference validates each document in isolation; an event corpus adds
+CROSS-ROW temporal invariants no per-document keyword can express: "a
+session must not exceed N events", "no user may fire more than X events
+in any sliding hour", "every event must be joined to the dimension
+snapshot that was current at its timestamp". These are the batch
+complements of ``streaming/validate_stream`` (which handles the same
+semantics incrementally with watermarks).
+
+Scale notes (each operator's docstring has specifics):
+- every window is partitioned by a real key (user / join key) — never a
+  global ``Window.orderBy``, which would single-task the corpus;
+- the sliding rate check orders by microsecond ticks so the RANGE frame
+  is exact, not truncated-to-seconds;
+- the as-of join uses the union-window technique (one shuffle on the
+  join key, no per-row probe) rather than an exploded range join.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from json_validator_spark.functions.text import hash_long
+
+
+def _us(c: Column) -> Column:
+    """Microsecond ticks of a timestamp column. Parquet event times load
+    as TIMESTAMP_NTZ, which ``unix_micros`` rejects; the session pins
+    ``spark.sql.session.timeZone=UTC`` (session.py), so the cast
+    reinterprets the naive value as UTC and the ticks equal DuckDB's
+    ``epoch_us`` of the same naive timestamp."""
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign gap-based sessions: a new session starts when a user's
+    inter-event gap exceeds ``gap_minutes``. Adds ``session_idx``
+    (1-based per user) and ``session_id`` (``user#idx``).
+
+    Shape: ONE hash exchange keyed on the user, then two stacked window
+    functions over the same partitioning (lag → boundary flag →
+    running sum), both pipelined in a single sort per partition. At
+    10^12 events the only skew risk is a viral user; the boundary flag
+    is computed per row so AQE's skew handling or an upstream per-user
+    cap both compose. Microsecond ticks keep 29m59.999s < gap ≤ 30m
+    exact (a seconds cast would round both to 1799/1800)."""
+    w = Window.partitionBy(user_col).orderBy(_us(F.col(ts_col)))
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev = F.lag(_us(F.col(ts_col))).over(w)
+    new_session = (
+        prev.isNull() | (_us(F.col(ts_col)) - prev > F.lit(gap_us))
+    ).cast("long")
+    return (
+        events.withColumn("__new", new_session)
+        .withColumn("session_idx", F.sum("__new").over(w))
+        .drop("__new")
+        .withColumn(
+            "session_id",
+            F.concat(
+                F.col(user_col).cast("string"), F.lit("#"), F.col("session_idx")
+            ),
+        )
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-session rollup ``(user, session_idx, session_id, n_events,
+    start_ts, duration_s)``. The groupBy after ``sessionize`` re-keys on
+    (user, session) — partial aggregation means that exchange carries
+    one row per session per partition, i.e. it is session-count-sized,
+    not event-count-sized. ``duration_s`` is whole seconds
+    (unix-truncated per endpoint, the DuckDB ``floor(epoch(·))``
+    contract)."""
+    s = sessionize(events, user_col, ts_col, gap_minutes)
+    return s.groupBy(user_col, "session_idx", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("start_ts"),
+        (F.unix_timestamp(F.max(ts_col).cast("timestamp"))
+         - F.unix_timestamp(F.min(ts_col).cast("timestamp"))).alias(
+            "duration_s"
+        ),
+    )
+
+
+def rate_limit_violations(
+    events: DataFrame,
+    max_events: int,
+    window_minutes: int = 60,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    rule_id: str | None = None,
+) -> DataFrame:
+    """Sliding-window rate check: an event violates when its user fired
+    more than ``max_events`` events in the window ``(t − window, t]``
+    (inclusive of the event itself and of ts-ties, which a RANGE frame
+    keeps as peers on both engines). One violation row per offending
+    event, message carrying the exact in-window count.
+
+    Shape: one hash exchange on the user + a RANGE-framed count over
+    microsecond ticks — frame arithmetic on integers, no interval
+    truncation; no self-join (the naive events×events range join is
+    O(rate²) per user where this is O(log) sort + O(1) per row)."""
+    rid = rule_id or f"rate.{user_col}.{window_minutes}m"
+    us = _us(F.col(ts_col))
+    frame = window_minutes * 60 * 1_000_000 - 1  # (t − window, t]
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(us)
+        .rangeBetween(-frame, Window.currentRow)
+    )
+    return (
+        events.withColumn("__n", F.count(F.lit(1)).over(w))
+        .filter(F.col("__n") > max_events)
+        .select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.lit(f"/{ts_col}").alias("span_path"),
+            F.lit(rid).alias("rule_id"),
+            F.lit("warning").alias("severity"),
+            F.concat(
+                F.col("__n").cast("string"),
+                F.lit(f" events in {window_minutes}m (max {max_events})"),
+            ).alias("message"),
+        )
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "snap_ts",
+    value_cols: Sequence[str] = ("rate",),
+) -> DataFrame:
+    """As-of join: each left row picks up the value columns of the
+    LATEST right row with the same key and ``right_ts <= left_ts``
+    (DuckDB ``ASOF JOIN`` semantics; rows with no prior snapshot keep
+    NULL values).
+
+    Union-window technique: tag both sides, union, ONE hash exchange on
+    the join key, per-partition sort on (ts, side) with snapshots
+    ordered before events at equal timestamps, then
+    ``last(value, ignorenulls=True)`` carries each snapshot forward to
+    the events that follow it. No range join (which Catalyst would plan
+    as a broadcast-nested-loop or an exploded interval join), no per-row
+    probe; cost is one shuffle + one sort of |left| + |right|. The key
+    must be real (partitioning = the ``on`` column); a single global
+    key would single-task the sort — use the broadcast-array variant in
+    that case."""
+    lcols = left.columns
+    tagged_l = left.select(
+        *lcols,
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(dict(right.dtypes)[v]).alias(f"__v_{v}") for v in value_cols],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__snap_ts"),
+    )
+    tagged_r = right.select(
+        *[
+            F.col(on) if c == on
+            else F.col(right_ts).cast(dict(left.dtypes)[left_ts]).alias(left_ts)
+            if c == left_ts
+            else F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("__side"),
+        *[F.col(v).alias(f"__v_{v}") for v in value_cols],
+        F.col(right_ts).alias("__snap_ts"),
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(_us(F.col(left_ts)), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_l.unionByName(tagged_r).select(
+        *lcols,
+        "__side",
+        *[
+            F.last(f"__v_{v}", ignorenulls=True).over(w).alias(v)
+            for v in value_cols
+        ],
+        F.last("__snap_ts", ignorenulls=True).over(w).alias("snap_ts"),
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")
+
+
+def synth_rate_snapshots(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Deterministic snapshot dimension for the as-of join: for each
+    observed (event_type, hour) cell, keep the ~1/3 of hours whose
+    md5 selects them and derive a 2-decimal rate from the same digest —
+    pure md5 arithmetic, reproducible verbatim in the DuckDB oracle
+    (the ``frame_sample`` discipline). Snapshot times are irregular by
+    construction, which is what makes the join genuinely as-of."""
+    cell = events.select(
+        "event_type",
+        F.date_trunc("hour", F.col(ts_col)).alias("snap_ts"),
+    ).distinct()
+    key = F.concat(
+        F.col("event_type"),
+        F.lit("@"),
+        F.date_format("snap_ts", "yyyy-MM-dd HH:00"),
+    )
+    h = hash_long(key)
+    return cell.filter(h % 3 == 0).select(
+        "event_type",
+        "snap_ts",
+        (F.round((h % 10000) / F.lit(100.0), 2)).alias("rate"),
+    )

@@ -1,0 +1,105 @@
+"""Temporal operators: sessionization, sliding rate limits, as-of join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from json_validator_spark.operators import temporal as tp
+
+
+def _ts(minute: float) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minute)
+
+
+def test_sessionize_gap_boundary(spark):
+    # gaps: 29m59.999s stays in-session, exactly 30m stays (> means strict),
+    # 30m + 1us breaks
+    rows = [
+        (1, 10, _ts(0)),
+        (2, 10, _ts(29.999983333)),          # +29m59.999s  -> same session
+        (3, 10, _ts(59.999983333)),          # +30m exactly -> same (not >)
+        (4, 10, _ts(90.0000005)),            # +30m 1us     -> new session
+        (5, 20, _ts(0)),                     # other user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r["event_id"]: r for r in tp.sessionize(df, gap_minutes=30).collect()}
+    assert [out[i]["session_idx"] for i in (1, 2, 3, 4)] == [1, 1, 1, 2]
+    assert out[5]["session_idx"] == 1 and out[5]["session_id"] == "20#1"
+
+
+def test_session_stats_rollup(spark):
+    rows = [
+        (1, 10, _ts(0)), (2, 10, _ts(5)), (3, 10, _ts(100)), (4, 20, _ts(0)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        (r["user_id"], r["session_idx"]): r
+        for r in tp.session_stats(df, gap_minutes=30).collect()
+    }
+    assert got[(10, 1)]["n_events"] == 2 and got[(10, 1)]["duration_s"] == 300
+    assert got[(10, 2)]["n_events"] == 1 and got[(10, 2)]["duration_s"] == 0
+    assert got[(20, 1)]["n_events"] == 1
+
+
+def test_rate_limit_sliding_window(spark):
+    # 4 events inside one hour, the 4th also within an hour of all three;
+    # a later lone event is fine
+    rows = [
+        (1, 10, _ts(0)), (2, 10, _ts(10)), (3, 10, _ts(20)), (4, 10, _ts(59)),
+        (5, 10, _ts(300)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r["doc_id"]: r for r in
+           tp.rate_limit_violations(df, max_events=3, window_minutes=60).collect()}
+    assert set(out) == {"4"}
+    assert out["4"]["message"].startswith("4 events in 60m")
+    # exactly at the window edge: event at +60m from event 1 no longer
+    # counts event 1 ((t-window, t] is half-open)
+    rows2 = rows[:4] + [(5, 10, _ts(60))]
+    df2 = spark.createDataFrame(rows2, "event_id long, user_id long, ts timestamp")
+    out2 = {r["doc_id"] for r in
+            tp.rate_limit_violations(df2, max_events=3, window_minutes=60).collect()}
+    assert out2 == {"4", "5"}  # 5 sees {2,3,4,5}=4 > 3, not event 1
+
+
+def test_asof_join_semantics(spark):
+    ev = spark.createDataFrame(
+        [(1, "a", _ts(10)), (2, "a", _ts(30)), (3, "a", _ts(5)), (4, "b", _ts(10))],
+        "event_id long, event_type string, ts timestamp",
+    )
+    snaps = spark.createDataFrame(
+        [("a", _ts(0), 1.0), ("a", _ts(10), 2.0), ("a", _ts(40), 3.0)],
+        "event_type string, snap_ts timestamp, rate double",
+    )
+    out = {r["event_id"]: r for r in
+           tp.asof_join(ev, snaps, on="event_type").collect()}
+    assert out[1]["rate"] == 2.0          # boundary: snapshot AT ts applies
+    assert out[2]["rate"] == 2.0          # latest <= 30 is the 10m snapshot
+    assert out[3]["rate"] == 1.0
+    assert out[4]["rate"] is None and out[4]["snap_ts"] is None  # no key match
+    assert out[1]["snap_ts"] == _ts(10)
+
+
+def test_asof_join_plan_single_exchange(spark):
+    """Union-window shape: exactly one Exchange (on the join key), no
+    BroadcastNestedLoopJoin / CartesianProduct."""
+    ev = spark.createDataFrame(
+        [(1, "a", _ts(10))], "event_id long, event_type string, ts timestamp"
+    )
+    snaps = spark.createDataFrame(
+        [("a", _ts(0), 1.0)], "event_type string, snap_ts timestamp, rate double"
+    )
+    plan = tp.asof_join(ev, snaps, on="event_type")._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_synth_rate_snapshots_deterministic(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = sorted(map(tuple, tp.synth_rate_snapshots(ev).collect()))
+    b = sorted(map(tuple, tp.synth_rate_snapshots(ev.repartition(7)).collect()))
+    assert a == b and len(a) > 0
+    # rates are 2-decimal in [0, 100)
+    assert all(0.0 <= r[2] < 100.0 for r in a)
