@@ -80,12 +80,13 @@ def session_stats(
     gap_minutes: int = 30,
 ) -> DataFrame:
     """Per-session rollup ``(user, session_idx, session_id, n_events,
-    start_ts, duration_s)``. The groupBy after ``sessionize`` re-keys on
-    (user, session) — partial aggregation means that exchange carries
-    one row per session per partition, i.e. it is session-count-sized,
-    not event-count-sized. ``duration_s`` is whole seconds
-    (unix-truncated per endpoint, the DuckDB ``floor(epoch(·))``
-    contract)."""
+    start_ts, duration_s)``. The groupBy on (user, session_idx) needs
+    ClusteredDistribution on those keys, and the window's existing
+    ``hashpartitioning(user)`` already satisfies it (a subset-keyed
+    partitioning co-locates every (user, session) group) — the whole
+    rollup runs in ONE exchange total, asserted in tests. ``duration_s``
+    is whole seconds (unix-truncated per endpoint, the DuckDB
+    ``floor(epoch(·))`` contract)."""
     s = sessionize(events, user_col, ts_col, gap_minutes)
     return s.groupBy(user_col, "session_idx", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -103,3 +103,15 @@ def test_synth_rate_snapshots_deterministic(spark):
     assert a == b and len(a) > 0
     # rates are 2-decimal in [0, 100)
     assert all(0.0 <= r[2] < 100.0 for r in a)
+
+
+def test_session_and_rate_plans_single_exchange(spark):
+    """session_stats: the (user, session) groupBy piggybacks on the
+    window's hashpartitioning(user) — ONE exchange end-to-end.
+    rate_limit: one exchange + one Window."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p1 = tp.session_stats(ev)._jdf.queryExecution().executedPlan().toString()
+    assert p1.count("Exchange hashpartitioning") == 1
+    p2 = tp.rate_limit_violations(ev, 2)._jdf.queryExecution().executedPlan().toString()
+    assert p2.count("Exchange hashpartitioning") == 1
+    assert p2.count("Window") == 1
