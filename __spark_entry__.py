@@ -313,6 +313,24 @@ def q_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion view→click→purchase per user — greedy
+    earliest matching with strictly-after semantics via a single
+    per-user array fold (one exchange). Oracle: the classic cascaded
+    min-after-min SQL formulation, provably equivalent to the greedy
+    fold."""
+    from json_validator_spark.operators.temporal import funnel
+
+    f = funnel(_load(spark, sf_dir, "events"), ["view", "click", "purchase"])
+    return f.select(
+        "user_id",
+        "steps_completed",
+        F.get("step_ts", 0).alias("t1"),
+        F.get("step_ts", 1).alias("t2"),
+        F.get("step_ts", 2).alias("t3"),
+    )
+
+
 def q_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.set_checks import referential_violations
 
@@ -1549,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": q_sessions,
         "rate_limit": q_rate_limit,
         "asof_rates": q_asof_rates,
+        "funnel": q_funnel,
         "uniqueness": q_uniqueness,
         "referential": q_referential,
         "histogram": q_histogram,
@@ -2219,6 +2238,35 @@ def oracle_sql() -> dict[str, str]:
                    floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT
                      AS duration_s
             FROM s GROUP BY user_id, session_idx
+        """,
+        # funnel: cascaded min-after-min — equivalent to the engine's
+        # greedy per-user fold (earliest match per step is optimal).
+        "funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+              GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+              GROUP BY e.user_id
+            ), u AS (
+              SELECT DISTINCT user_id FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+            )
+            SELECT u.user_id,
+                   (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)::INT
+                     AS steps_completed,
+                   t1, t2, t3
+            FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+                   LEFT JOIN s3 USING (user_id)
         """,
         "rate_limit": """
             WITH c AS (

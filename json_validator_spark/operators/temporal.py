@@ -222,3 +222,61 @@ def synth_rate_snapshots(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         "snap_ts",
         (F.round((h % 10000) / F.lit(100.0), 2)).alias("rate"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion: for each user, greedily match the
+    ``steps`` sequence against their chronologically-ordered events —
+    step *i+1* counts only strictly AFTER the matched step *i* (the
+    greedy earliest match is optimal for funnels: taking the earliest
+    possible event for each step can never complete fewer steps).
+    Returns ``(user, steps_completed, step_ts)`` where ``step_ts[i]``
+    is the microsecond tick of the matched step *i* (NULL-free array,
+    length = steps_completed); users with no step-typed events at all
+    are not emitted.
+
+    Shape: filter to step types (narrow, pushed to the scan) → ONE
+    hash exchange on the user → per-user sorted event array → a single
+    ``aggregate`` fold whose state is the matched-tick array. The fold
+    compares ticks, not array positions, so same-tick ties resolve
+    identically to the SQL ``min(ts) > prev`` formulation regardless of
+    sort tie order. Per-user array size = that user's step-typed event
+    count — the same viral-user skew budget as ``sessionize`` (cap
+    upstream if a key can exceed memory)."""
+    k = len(steps)
+    if k < 2:
+        raise ValueError("a funnel needs at least two steps")
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    seq = (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(_us(F.col(ts_col)).alias("us"),
+                                        F.col(type_col).alias("t")))
+            ).alias("__seq")
+        )
+    )
+    # fold state: array of matched ticks; F.get returns NULL (not an
+    # ANSI error) past the end, so the strict-after check coalesces to
+    # true for the first step
+    def _merge(acc, x):
+        matches = (F.size(acc) < k) & (
+            x["t"] == F.element_at(steps_lit, F.size(acc) + 1)
+        ) & F.coalesce(x["us"] > F.get(acc, F.size(acc) - 1), F.lit(True))
+        return F.when(matches, F.concat(acc, F.array(x["us"]))).otherwise(acc)
+
+    state = F.aggregate(
+        F.col("__seq"), F.array().cast("array<bigint>"), _merge
+    )
+    return seq.select(
+        "user_id",
+        F.size(state).alias("steps_completed"),
+        state.alias("step_ts"),
+    )

@@ -115,3 +115,40 @@ def test_session_and_rate_plans_single_exchange(spark):
     p2 = tp.rate_limit_violations(ev, 2)._jdf.queryExecution().executedPlan().toString()
     assert p2.count("Exchange hashpartitioning") == 1
     assert p2.count("Window") == 1
+
+
+def test_funnel_greedy_order(spark):
+    rows = [
+        # user 1: view -> click -> purchase in order, with decoys
+        (1, 1, "click", _ts(0)),      # click BEFORE the first view: no match
+        (2, 1, "view", _ts(1)),
+        (3, 1, "purchase", _ts(2)),   # purchase before click: no match
+        (4, 1, "click", _ts(3)),
+        (5, 1, "purchase", _ts(4)),
+        # user 2: completes only view
+        (6, 2, "view", _ts(0)),
+        (7, 2, "purchase", _ts(1)),   # skips click: purchase can't match
+        # user 3: no step events at all -> not emitted
+        (8, 3, "error", _ts(0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {r["user_id"]: r for r in
+           tp.funnel(df, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["steps_completed"] == 3
+    # matched ticks are the view@1m, click@3m, purchase@4m events
+    t = out[1]["step_ts"]
+    assert len(t) == 3 and t[0] < t[1] < t[2]
+    assert out[2]["steps_completed"] == 1 and len(out[2]["step_ts"]) == 1
+    # same-tick step-2 event does NOT count (strictly-after semantics)
+    df2 = spark.createDataFrame(
+        [(1, 1, "view", _ts(0)), (2, 1, "click", _ts(0))],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    out2 = tp.funnel(df2, ["view", "click"]).collect()[0]
+    assert out2["steps_completed"] == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        tp.funnel(df, ["view"])
