@@ -313,6 +313,27 @@ def q_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group robust outliers (each event_type's own median/MAD) —
+    the fully distributed grouped weighted-median path: no driver
+    constants, window cumsums over per-group value histograms."""
+    from json_validator_spark.operators.set_checks import grouped_outlier_violations
+
+    return grouped_outlier_violations(
+        _load(spark, sf_dir, "events"), "event_type", "value",
+        id_col="event_id", k=6.0,
+    )
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit distribution over order totals: one row per
+    observed digit with observed vs expected frequency; string-derived
+    first significant digit (sci-notation-safe on both engines)."""
+    from json_validator_spark.operators.set_checks import benford_check
+
+    return benford_check(_load(spark, sf_dir, "orders"), "o_totalprice", tol=0.02)
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-funnel conversion view→click→purchase per user — greedy
     earliest matching with strictly-after semantics via a single
@@ -1568,6 +1589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_limit": q_rate_limit,
         "asof_rates": q_asof_rates,
         "funnel": q_funnel,
+        "grouped_outliers": q_grouped_outliers,
+        "benford": q_benford,
         "uniqueness": q_uniqueness,
         "referential": q_referential,
         "histogram": q_histogram,
@@ -2238,6 +2261,44 @@ def oracle_sql() -> dict[str, str]:
                    floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT
                      AS duration_s
             FROM s GROUP BY user_id, session_idx
+        """,
+        "grouped_outliers": """
+            WITH m AS (
+              SELECT event_type, round(median(value), 6) AS med,
+                     round(mad(value), 6) AS mad
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_id::VARCHAR AS doc_id, '/value' AS span_path,
+                   'outlier.mad.event_type.value' AS rule_id,
+                   'warning' AS severity,
+                   e.event_type AS group_key, e.value::DOUBLE AS value,
+                   round(abs(e.value::DOUBLE - med) / mad, 4) AS zscore
+            FROM events e JOIN m USING (event_type)
+            WHERE e.value IS NOT NULL AND mad > 0
+              AND abs(e.value::DOUBLE - med) > 6.0 * mad
+        """,
+        # benford: first significant digit from the STRING form — the
+        # sci-notation mantissa leads with it on both engines.
+        "benford": """
+            WITH d AS (
+              SELECT CAST(regexp_extract(o_totalprice::VARCHAR, '[1-9]') AS INT)
+                       AS digit
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND regexp_extract(o_totalprice::VARCHAR, '[1-9]') <> ''
+            ), g AS (
+              SELECT digit, count(*) AS n FROM d GROUP BY digit
+            ), t AS (
+              SELECT digit, n,
+                     round(n / (sum(n) OVER ()), 6) AS freq,
+                     round(log10(1.0 + 1.0 / digit), 6) AS expected
+              FROM g
+            )
+            SELECT digit, n, freq, expected,
+                   round(abs(freq - expected), 6) AS deviation,
+                   round(abs(freq - expected), 6) > 0.02 AS flagged,
+                   'benford.o_totalprice' AS rule_id
+            FROM t
         """,
         # funnel: cascaded min-after-min — equivalent to the engine's
         # greedy per-user fold (earliest match per step is optimal).

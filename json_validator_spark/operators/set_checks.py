@@ -647,3 +647,173 @@ def completeness_gaps(
         F.lit("warning").alias("severity"),
         F.lit("expected cell missing from corpus").alias("message"),
     )
+
+
+# ----------------------------------------------------------------------
+# Grouped robust outliers — distributed exact median/MAD per group
+# ----------------------------------------------------------------------
+
+def _grouped_wmedian(vc: DataFrame, out_name: str) -> DataFrame:
+    """Weighted interpolated median per group over a value histogram
+    ``(g, __v, __c)`` — the fully distributed form of
+    ``exact_median_mad``'s driver-side order statistics, for when the
+    GROUP count is unbounded and collecting is off the table.
+
+    Per group: window cumsums give each distinct value its start rank
+    and the group total; the rows covering ranks floor/ceil((n−1)/2)
+    are flagged and a conditional agg picks them out; interpolation
+    matches ANSI percentile_cont. Shape: one exchange to key the
+    histogram, one window over it (group-partitioned — never global),
+    and a final agg that reuses the window's partitioning (subset-keyed
+    ClusteredDistribution, zero extra exchange). Everything after the
+    first groupBy is histogram-sized."""
+    from pyspark.sql import Window as W
+
+    part = W.partitionBy("g").orderBy("__v")
+    cum = F.sum("__c").over(part.rowsBetween(W.unboundedPreceding, W.currentRow))
+    total = F.sum("__c").over(
+        W.partitionBy("g").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    ranked = vc.select(
+        "g", "__v", "__c",
+        (cum - F.col("__c")).alias("__start"),
+        total.alias("__n"),
+    )
+    pos = (F.col("__n") - 1) / 2.0
+    lo_rank = F.floor(pos)
+    hi_rank = F.ceil(pos)
+    covers = lambda r: (F.col("__start") <= r) & (r < F.col("__start") + F.col("__c"))
+    return (
+        ranked.withColumn("__frac", pos - lo_rank)
+        .groupBy("g")
+        .agg(
+            F.max(F.when(covers(lo_rank), F.col("__v"))).alias("__vlo"),
+            F.max(F.when(covers(hi_rank), F.col("__v"))).alias("__vhi"),
+            F.max("__frac").alias("__frac"),
+            F.max("__n").alias("__n"),
+        )
+        .select(
+            "g",
+            F.round(
+                F.col("__vlo") + F.col("__frac") * (F.col("__vhi") - F.col("__vlo")),
+                6,
+            ).alias(out_name),
+            F.col("__n").alias(f"{out_name}_n"),
+        )
+    )
+
+
+def grouped_median_mad(df: DataFrame, group_col: str, col: str) -> DataFrame:
+    """Exact ``(group, med, mad, n)`` per group — two cascaded
+    ``_grouped_wmedian`` passes (values, then |v − med| deviations),
+    joined on the group key. All exchanges carry histogram-sized rows;
+    the med↔histogram join keys both sides on the group so AQE plans a
+    co-partitioned (or broadcast, when groups are few) join. Median and
+    MAD are rounded to 6 as the cross-engine contract
+    (``exact_median_mad`` discipline)."""
+    vc = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("g"),
+            F.col(col).cast("double").alias("__v"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    med = _grouped_wmedian(vc, "med")
+    dev = (
+        vc.join(med, "g")
+        .groupBy("g", F.abs(F.col("__v") - F.col("med")).alias("__v"))
+        .agg(F.sum("__c").alias("__c"))
+    )
+    mad = _grouped_wmedian(dev, "mad")
+    return (
+        med.join(mad.select("g", "mad"), "g")
+        .select(
+            F.col("g").alias(group_col),
+            "med",
+            "mad",
+            F.col("med_n").alias("n"),
+        )
+    )
+
+
+def grouped_outlier_violations(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    id_col: str = "event_id",
+    k: float = 6.0,
+    rule_id: str | None = None,
+) -> DataFrame:
+    """Per-GROUP robust outliers: ``|x − med_g| > k·MAD_g`` using each
+    group's own median/MAD — a global threshold would drown a quiet
+    group's anomalies in a loud group's spread. Fully distributed (no
+    driver constants, unlike ``robust_outlier_violations``): the
+    per-group stats join back on the group key (broadcast when the
+    group count is small, co-partitioned otherwise). Groups with
+    MAD = 0 are skipped, same contract as the ungrouped form."""
+    rid = rule_id or f"outlier.mad.{group_col}.{col}"
+    stats = grouped_median_mad(df, group_col, col).filter(F.col("mad") > 0.0)
+    x = F.col(col).cast("double")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .join(stats, group_col)
+        .filter(F.abs(x - F.col("med")) > k * F.col("mad"))
+        .select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.lit(f"/{col}").alias("span_path"),
+            F.lit(rid).alias("rule_id"),
+            F.lit("warning").alias("severity"),
+            F.col(group_col).cast("string").alias("group_key"),
+            x.alias("value"),
+            F.round(F.abs(x - F.col("med")) / F.col("mad"), 4).alias("zscore"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# Benford first-digit distribution check
+# ----------------------------------------------------------------------
+
+def benford_check(
+    df: DataFrame,
+    col: str,
+    tol: float = 0.02,
+    rule_id: str | None = None,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law: one row
+    per digit 1-9 with the observed frequency, the expected
+    ``log10(1 + 1/d)``, and a ``flagged`` bit when the absolute
+    deviation exceeds ``tol`` — the classic fabricated-/synthetic-data
+    smell test for naturally occurring magnitudes.
+
+    The digit comes from the value's STRING form (first [1-9] char) —
+    robust to scientific notation (the mantissa leads with the first
+    significant digit) where ``floor(x / 10^floor(log10 x))`` corrupts
+    exact powers of ten through libm rounding. Shape: narrow projection
+    → 9-row partial-agg groupBy; frequencies and expectations rounded
+    to 6 before comparison (cross-engine contract)."""
+    rid = rule_id or f"benford.{col}"
+    from pyspark.sql import Window as W
+
+    digit = F.regexp_extract(F.col(col).cast("string"), "[1-9]", 0)
+    per_digit = (
+        df.filter(F.col(col).isNotNull() & (digit != ""))
+        .groupBy(digit.cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # the windowed grand total runs on the 9-row aggregate, not the corpus
+    withtot = per_digit.withColumn(
+        "__total", F.sum("n").over(W.partitionBy())
+    )
+    freq = F.round(F.col("n") / F.col("__total"), 6)
+    expected = F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6)
+    return withtot.select(
+        "digit",
+        "n",
+        freq.alias("freq"),
+        expected.alias("expected"),
+        F.round(F.abs(freq - expected), 6).alias("deviation"),
+        (F.round(F.abs(freq - expected), 6) > F.lit(tol)).alias("flagged"),
+        F.lit(rid).alias("rule_id"),
+    )

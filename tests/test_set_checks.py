@@ -288,3 +288,49 @@ def test_completeness_gaps_plan_is_broadcast_anti(spark):
     )
     plan = sc.completeness_gaps(df, ["x", "y"], ["x", "y"])._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_grouped_median_mad_matches_statistics(spark):
+    import statistics
+
+    a = [1.0, 2.0, 2.0, 3.0, 10.0, 50.0]     # even n
+    b = [5.0, 7.0, 100.0]                     # odd n
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in sc.grouped_median_mad(df, "g", "v").collect()}
+    for key, vals in (("a", a), ("b", b)):
+        med = round(statistics.median(vals), 6)
+        mad = round(statistics.median(sorted(abs(x - med) for x in vals)), 6)
+        assert got[key]["med"] == med and got[key]["mad"] == mad
+        assert got[key]["n"] == len(vals)
+    # agrees with the driver-side implementation on a single group
+    med1, mad1, n1 = sc.exact_median_mad(df.filter("g = 'a'"), "v")
+    assert (got["a"]["med"], got["a"]["mad"], got["a"]["n"]) == (med1, mad1, n1)
+
+
+def test_grouped_outliers_use_per_group_scale(spark):
+    # group 'quiet' has tiny spread: 20 is a huge outlier there, but
+    # would be invisible under the loud group's scale
+    rows = ([("quiet", i, 10.0 + 0.001 * i) for i in range(5)]
+            + [("quiet", 9, 20.0)]
+            + [("loud", 10 + i, float(100 * i)) for i in range(6)])
+    df = spark.createDataFrame(rows, "g string, event_id long, value double")
+    out = sc.grouped_outlier_violations(df, "g", "value", k=6.0).collect()
+    assert {r["doc_id"] for r in out} == {"9"}
+    assert out[0]["group_key"] == "quiet" and out[0]["zscore"] > 1000
+
+
+def test_benford_check_digits_and_flags(spark):
+    # values engineered so string forms vary: plain, <1, large
+    rows = [(1.0,), (0.05,), (123.0,), (1999.0,), (None,), (0.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r for r in sc.benford_check(df, "v", tol=0.02).collect()}
+    # digits: 1 (x2: 1.0 and 123->1? no: 123 leads with 1... 1999 leads 1)
+    # 1.0 -> 1, 0.05 -> 5, 123.0 -> 1, 1999.0 -> 1; 0.0 has no [1-9]
+    assert out[1]["n"] == 3 and out[5]["n"] == 1
+    assert abs(out[1]["freq"] - 0.75) < 1e-9
+    assert abs(out[1]["expected"] - 0.30103) < 1e-6
+    assert out[1]["flagged"] and bool(out[1]["flagged"]) is True
+    # only the observed digits are emitted, with per-digit expectations
+    assert set(out) == {1, 5}
+    assert abs(out[5]["expected"] - 0.079181) < 1e-6
