@@ -313,6 +313,30 @@ def q_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix at day granularity — first-seen cohorts
+    joined against the distinct user×day activity set; co-partitioned
+    user-keyed join, tiny (cohort, offset) rollup."""
+    from json_validator_spark.operators.temporal import cohort_retention
+
+    return cohort_retention(_load(spark, sf_dir, "events"))
+
+
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (value, user_id) — plan-constant
+    fixed-range quantization + bit interleave, pure codegen integer
+    arithmetic; the key that makes min/max file skipping work on BOTH
+    columns at once. Oracle reproduces the interleave bit-for-bit."""
+    from json_validator_spark.operators.layout import zorder_key
+
+    ev = _load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        zorder_key(["value", "user_id"], [0.0, 0.0], [500.0, 2048.0], bits=16)
+        .alias("zkey"),
+    )
+
+
 def q_grouped_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group robust outliers (each event_type's own median/MAD) —
     the fully distributed grouped weighted-median path: no driver
@@ -1591,6 +1615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "grouped_outliers": q_grouped_outliers,
         "benford": q_benford,
+        "cohorts": q_cohorts,
+        "zorder": q_zorder,
         "uniqueness": q_uniqueness,
         "referential": q_referential,
         "histogram": q_histogram,
@@ -2261,6 +2287,36 @@ def oracle_sql() -> dict[str, str]:
                    floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT
                      AS duration_s
             FROM s GROUP BY user_id, session_idx
+        """,
+        "cohorts": """
+            WITH firstd AS (
+              SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+              FROM events GROUP BY user_id
+            ), active AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+            )
+            SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+                   date_diff('day', f.cohort_day, a.day)::INT AS day_offset,
+                   count(*) AS n_users
+            FROM active a JOIN firstd f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        # zorder: identical clamp/scale/floor arithmetic, interleave via
+        # a scalar generate_series sum instead of 32 unrolled terms.
+        "zorder": """
+            WITH q AS (
+              SELECT event_id,
+                     floor((least(greatest(value::DOUBLE, 0.0), 500.0) - 0.0)
+                           / (500.0 - 0.0) * 65535)::BIGINT AS qx,
+                     floor((least(greatest(user_id::DOUBLE, 0.0), 2048.0) - 0.0)
+                           / (2048.0 - 0.0) * 65535)::BIGINT AS qy
+              FROM events
+            )
+            SELECT event_id,
+                   (SELECT sum(((qx >> b) & 1) * (1::BIGINT << (2 * b))
+                             + ((qy >> b) & 1) * (1::BIGINT << (2 * b + 1)))
+                    FROM generate_series(0, 15) t(b))::BIGINT AS zkey
+            FROM q
         """,
         "grouped_outliers": """
             WITH m AS (

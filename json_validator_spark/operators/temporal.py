@@ -280,3 +280,38 @@ def funnel(
         F.size(state).alias("steps_completed"),
         state.alias("step_ts"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix at day granularity: users are cohorted
+    by their FIRST active day; each (cohort_day, day_offset) cell
+    counts the cohort's users active that many days later (offset 0 =
+    the cohort's size). ``(cohort_day, day_offset, n_users)``.
+
+    Shape: first-seen groupBy on the user (one exchange) feeds a
+    user-keyed join against the distinct (user, day) activity set —
+    both sides hash on the user, co-partitioned; the final rollup keys
+    on the tiny (cohort, offset) grid. No window, no self-join over
+    events. At 10^12 events the activity distinct is the dominant
+    shuffle and it is exactly the user×day footprint, already
+    partial-aggregated map-side."""
+    day = F.date_trunc("day", F.col(ts_col))
+    first = (
+        events.groupBy(F.col(user_col).alias("user_id"))
+        .agg(F.min(day).alias("cohort_day"))
+    )
+    active = events.select(
+        F.col(user_col).alias("user_id"), day.alias("day")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

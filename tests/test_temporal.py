@@ -152,3 +152,20 @@ def test_funnel_greedy_order(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         tp.funnel(df, ["view"])
+
+
+def test_cohort_retention_matrix(spark):
+    rows = [
+        (1, 10, _ts(0)),                  # user 10: day 0 cohort
+        (2, 10, _ts(60 * 24)),            # active day 1
+        (3, 10, _ts(60 * 24)),            # same day, counted once
+        (4, 20, _ts(60 * 24)),            # user 20: day-1 cohort
+        (5, 20, _ts(60 * 24 * 3)),        # active at offset 2
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {(r["cohort_day"], r["day_offset"]): r["n_users"]
+           for r in tp.cohort_retention(df).collect()}
+    assert got == {
+        ("2024-01-01", 0): 1, ("2024-01-01", 1): 1,
+        ("2024-01-02", 0): 1, ("2024-01-02", 2): 1,
+    }
