@@ -313,6 +313,31 @@ def q_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column Shannon entropy (degenerate-feature check) over
+    events — NULL is its own category; histogram-sized aggregation."""
+    from json_validator_spark.operators.info import column_entropy
+
+    return column_entropy(
+        _load(spark, sf_dir, "events"), ["event_type", "user_id", "value"]
+    )
+
+
+def q_mi_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (target-leakage detector) between event_type
+    and the bucketed value — single corpus scan, window sums over the
+    joint histogram, row_number-gated marginal terms."""
+    from json_validator_spark.operators.info import mutual_information
+
+    return mutual_information(
+        _load(spark, sf_dir, "events"),
+        "event_type",
+        F.floor(F.col("value") / 50.0),
+        name_a="event_type",
+        name_b="value_bucket",
+    )
+
+
 def q_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix at day granularity — first-seen cohorts
     joined against the distinct user×day activity set; co-partitioned
@@ -1617,6 +1642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         "cohorts": q_cohorts,
         "zorder": q_zorder,
+        "entropy": q_entropy,
+        "mi_leakage": q_mi_leakage,
         "uniqueness": q_uniqueness,
         "referential": q_referential,
         "histogram": q_histogram,
@@ -2287,6 +2314,69 @@ def oracle_sql() -> dict[str, str]:
                    floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT
                      AS duration_s
             FROM s GROUP BY user_id, session_idx
+        """,
+        "entropy": """
+            WITH h1 AS (
+              SELECT coalesce(event_type::VARCHAR, chr(0)||'null') AS v,
+                     count(*) AS cnt FROM events GROUP BY 1
+            ), h2 AS (
+              SELECT coalesce(user_id::VARCHAR, chr(0)||'null') AS v,
+                     count(*) AS cnt FROM events GROUP BY 1
+            ), h3 AS (
+              SELECT coalesce(value::VARCHAR, chr(0)||'null') AS v,
+                     count(*) AS cnt FROM events GROUP BY 1
+            )
+            SELECT 'event_type' AS "column", count(*) AS n_distinct,
+                   t::BIGINT AS n,
+                   round(-sum(round(cnt::DOUBLE / t::DOUBLE
+                     * log2(cnt::DOUBLE / t::DOUBLE), 6)), 4) AS entropy
+            FROM (SELECT cnt, sum(cnt) OVER () AS t FROM h1) GROUP BY t
+            UNION ALL
+            SELECT 'user_id', count(*), t::BIGINT,
+                   round(-sum(round(cnt::DOUBLE / t::DOUBLE
+                     * log2(cnt::DOUBLE / t::DOUBLE), 6)), 4)
+            FROM (SELECT cnt, sum(cnt) OVER () AS t FROM h2) GROUP BY t
+            UNION ALL
+            SELECT 'value', count(*), t::BIGINT,
+                   round(-sum(round(cnt::DOUBLE / t::DOUBLE
+                     * log2(cnt::DOUBLE / t::DOUBLE), 6)), 4)
+            FROM (SELECT cnt, sum(cnt) OVER () AS t FROM h3) GROUP BY t
+        """,
+        # mi_leakage: identical window formulation — marginal terms
+        # gated to one cell per category via row_number.
+        "mi_leakage": """
+            WITH joint AS (
+              SELECT coalesce(event_type::VARCHAR, chr(0)||'null') AS a,
+                     coalesce((floor(value / 50.0))::VARCHAR, chr(0)||'null') AS b,
+                     count(*) AS cnt
+              FROM events GROUP BY 1, 2
+            ), cells AS (
+              SELECT cnt,
+                     sum(cnt) OVER () AS t,
+                     sum(cnt) OVER (PARTITION BY a) AS ca,
+                     sum(cnt) OVER (PARTITION BY b) AS cb,
+                     row_number() OVER (PARTITION BY a ORDER BY b) AS rna,
+                     row_number() OVER (PARTITION BY b ORDER BY a) AS rnb
+              FROM joint
+            ), agg AS (
+              SELECT max(t)::BIGINT AS n,
+                     round(-sum(CASE WHEN rna = 1 THEN
+                       round(ca::DOUBLE / t::DOUBLE
+                         * log2(ca::DOUBLE / t::DOUBLE), 6) END), 4) AS h_a,
+                     round(-sum(CASE WHEN rnb = 1 THEN
+                       round(cb::DOUBLE / t::DOUBLE
+                         * log2(cb::DOUBLE / t::DOUBLE), 6) END), 4) AS h_b,
+                     round(-sum(round(cnt::DOUBLE / t::DOUBLE
+                       * log2(cnt::DOUBLE / t::DOUBLE), 6)), 4) AS h_ab
+              FROM cells
+            )
+            SELECT 'event_type' AS col_a, 'value_bucket' AS col_b,
+                   n, h_a, h_b, h_ab,
+                   round(h_a + h_b - h_ab, 4) AS mi,
+                   CASE WHEN least(h_a, h_b) > 0
+                        THEN round((h_a + h_b - h_ab) / least(h_a, h_b), 4)
+                        ELSE 0.0 END AS nmi
+            FROM agg
         """,
         "cohorts": """
             WITH firstd AS (
