@@ -313,6 +313,15 @@ def q_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-duplicate key detection over supplier names — FastSS
+    deletion-neighborhood join + exact levenshtein verify; the
+    record-linkage complement of exact uniqueness."""
+    from json_validator_spark.operators.dedup import fuzzy_key_pairs
+
+    return fuzzy_key_pairs(_load(spark, sf_dir, "supplier"), "s_name")
+
+
 def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column Shannon entropy (degenerate-feature check) over
     events — NULL is its own category; histogram-sized aggregation."""
@@ -1644,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder": q_zorder,
         "entropy": q_entropy,
         "mi_leakage": q_mi_leakage,
+        "fuzzy_keys": q_fuzzy_keys,
         "uniqueness": q_uniqueness,
         "referential": q_referential,
         "histogram": q_histogram,
@@ -2314,6 +2324,27 @@ def oracle_sql() -> dict[str, str]:
                    floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT
                      AS duration_s
             FROM s GROUP BY user_id, session_idx
+        """,
+        # fuzzy_keys: same k=1 deletion neighborhood (list comprehension
+        # lateral) + levenshtein verify.
+        "fuzzy_keys": """
+            WITH vocab AS (
+              SELECT s_name AS key, count(*) AS n FROM supplier
+              WHERE s_name IS NOT NULL AND len(s_name) >= 3
+              GROUP BY 1
+            ), vars AS (
+              SELECT key, n, unnest(list_distinct(list_append(
+                [substr(key, 1, i - 1) || substr(key, i + 1, len(key))
+                 for i in range(1, len(key) + 1)], key))) AS var
+              FROM vocab
+            ), cand AS (
+              SELECT DISTINCT a.key AS key_a, b.key AS key_b,
+                     a.n AS n_a, b.n AS n_b
+              FROM vars a JOIN vars b USING (var)
+              WHERE a.key < b.key
+            )
+            SELECT key_a, key_b, n_a, n_b FROM cand
+            WHERE levenshtein(key_a, key_b) <= 1
         """,
         "entropy": """
             WITH h1 AS (

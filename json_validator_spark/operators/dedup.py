@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from json_validator_spark.functions.text import hash_hex, hash_long, shingles, tokens
+from json_validator_spark.functions.text import hash_hex, hash_long, seq1, shingles, tokens
 
 
 # ----------------------------------------------------------------------
@@ -743,3 +743,58 @@ def drop_cluster_duplicates(
         F.col("node").alias("__drop")
     )
     return df.join(drops, df[id_col] == drops["__drop"], "left_anti")
+
+
+def fuzzy_key_pairs(
+    df: DataFrame,
+    col: str,
+    min_len: int = 3,
+) -> DataFrame:
+    """Fuzzy-duplicate KEY detection (FastSS deletion-neighborhood join,
+    Bocek et al. 2007): distinct values of ``col`` within Levenshtein
+    distance 1 of each other — the record-linkage complement of
+    ``set_checks.uniqueness_violations``, catching near-duplicate
+    identifiers/names (one-char typos, OCR slips) that exact-match
+    uniqueness can never see. ``(key_a, key_b, n_a, n_b)`` with
+    ``key_a < key_b``, one row per confirmed pair.
+
+    Shape: value-histogram groupBy (the only corpus-sized exchange) →
+    per-key deletion variants (k=1 neighborhood ∪ the key itself,
+    deduped per key) → hash join on the variant → exact ``levenshtein``
+    verify on candidates only. Distance-≤1 completeness is the FastSS
+    invariant: two strings within one edit ALWAYS share a k=1 variant.
+    No hot-bucket guard needed — unlike MinHash bands, a variant's
+    bucket is alphabet-bounded (≤ |Σ|·(len+1)+1 keys can produce the
+    same variant), so no bucket can go quadratic by data skew alone."""
+    key = F.col(col).cast("string")
+    vocab = (
+        df.filter(key.isNotNull() & (F.length(key) >= min_len))
+        .groupBy(key.alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    deletions = F.transform(
+        seq1(F.length("key")),
+        lambda i: F.concat(
+            F.substring(F.col("key"), F.lit(1), i - 1),
+            F.substring(F.col("key"), i + 1, F.length("key")),
+        ),
+    )
+    vars_df = vocab.select(
+        "key", "n",
+        F.explode(
+            F.array_distinct(F.concat(deletions, F.array(F.col("key"))))
+        ).alias("var"),
+    )
+    a = vars_df.select(
+        F.col("key").alias("key_a"), F.col("n").alias("n_a"), "var"
+    )
+    b = vars_df.select(
+        F.col("key").alias("key_b"), F.col("n").alias("n_b"), "var"
+    )
+    cand = (
+        a.join(b, "var")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "n_a", "n_b")
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("key_a", "key_b") <= 1)

@@ -817,3 +817,22 @@ def test_plan_shapes_new_ops(spark, docs):
     # the only single-partition exchange allowed is the tiny <=4096-row
     # shard-offset cumsum; the data-path window must be hash-partitioned
     assert "hashpartitioning(__shard" in gplan
+
+
+def test_fuzzy_key_pairs(spark):
+    from json_validator_spark.operators.dedup import fuzzy_key_pairs
+
+    rows = [
+        ("alice",), ("alice",), ("alise",),   # substitution, tf 2 vs 1
+        ("bob",), ("bobb",),                  # insertion
+        ("carol",), ("darrel",),              # distance > 1: no pair
+        ("ab",),                              # below min_len: ignored
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "k string")
+    out = {(r["key_a"], r["key_b"]): (r["n_a"], r["n_b"])
+           for r in fuzzy_key_pairs(df, "k", min_len=3).collect()}
+    assert set(out) == {("alice", "alise"), ("bob", "bobb")}
+    assert out[("alice", "alise")] == (2, 1)
+    # identical keys are ONE histogram row — never paired with themselves
+    assert ("alice", "alice") not in out
