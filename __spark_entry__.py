@@ -313,6 +313,21 @@ def q_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment drift: PSI per event_type between the deterministic
+    even/odd event_id halves — one scan, shared (segment, bucket)
+    groupBy, per-segment window totals."""
+    from json_validator_spark.operators.set_checks import grouped_drift_psi
+
+    ev = _load(spark, sf_dir, "events")
+    return grouped_drift_psi(
+        ev,
+        "event_type",
+        bucket=F.least(F.floor(F.col("value") / 25.0), F.lit(19)),
+        is_baseline=F.col("event_id") % 2 == 0,
+    )
+
+
 def q_fuzzy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-duplicate key detection over supplier names — FastSS
     deletion-neighborhood join + exact levenshtein verify; the
@@ -1654,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy": q_entropy,
         "mi_leakage": q_mi_leakage,
         "fuzzy_keys": q_fuzzy_keys,
+        "grouped_psi": q_grouped_psi,
         "uniqueness": q_uniqueness,
         "referential": q_referential,
         "histogram": q_histogram,
@@ -2324,6 +2340,31 @@ def oracle_sql() -> dict[str, str]:
                    floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT
                      AS duration_s
             FROM s GROUP BY user_id, session_idx
+        """,
+        "grouped_psi": """
+            WITH b AS (
+              SELECT event_type AS segment,
+                     least(floor(value / 25.0), 19) AS bucket,
+                     (event_id % 2 = 0)::INT AS base
+              FROM events
+            ), counts AS (
+              SELECT segment, bucket, sum(base) AS nb, sum(1 - base) AS nc
+              FROM b GROUP BY 1, 2
+            ), withtot AS (
+              SELECT segment, nb, nc,
+                     sum(nb) OVER (PARTITION BY segment) AS tb,
+                     sum(nc) OVER (PARTITION BY segment) AS tc
+              FROM counts
+            ), agg AS (
+              SELECT segment, max(tb)::BIGINT AS n_base, max(tc)::BIGINT AS n_cur,
+                     round(sum(round(
+                       (nb::DOUBLE / tb::DOUBLE - nc::DOUBLE / tc::DOUBLE)
+                       * ln((nb::DOUBLE / tb::DOUBLE + 1e-6)
+                            / (nc::DOUBLE / tc::DOUBLE + 1e-6)), 6)), 6) AS psi
+              FROM withtot WHERE tb > 0 AND tc > 0
+              GROUP BY segment
+            )
+            SELECT segment, n_base, n_cur, psi, psi > 0.25 AS drifted FROM agg
         """,
         # fuzzy_keys: same k=1 deletion neighborhood (list comprehension
         # lateral) + levenshtein verify.

@@ -817,3 +817,64 @@ def benford_check(
         (F.round(F.abs(freq - expected), 6) > F.lit(tol)).alias("flagged"),
         F.lit(rid).alias("rule_id"),
     )
+
+
+def grouped_drift_psi(
+    df: DataFrame,
+    segment_col: str,
+    bucket: Column,
+    is_baseline: Column,
+    eps: float = 1e-6,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Per-SEGMENT Population Stability Index — global ``psi`` says THAT
+    the corpus drifted, this says WHERE: each segment's baseline/current
+    histograms are compared independently, so a drift confined to one
+    event type / source / shard cannot hide inside a stable aggregate.
+    ``(segment, n_base, n_cur, psi, drifted)``, one row per segment.
+
+    Fully distributed (unlike the driver-side ``psi``, which collects
+    two tiny global histograms): ONE scan splits rows by the
+    ``is_baseline`` flag into both histograms of a shared
+    (segment, bucket) groupBy — the only corpus-sized exchange; segment
+    totals ride windows over the histogram frame; (segment, bucket)
+    cells absent from BOTH sides contribute exactly 0 to PSI, so the
+    sparse outer-join grid never needs generating. Terms are rounded to
+    6 before the per-segment sum (cross-engine ``ln`` contract)."""
+    from pyspark.sql import Window as W
+
+    flag = is_baseline.cast("int")
+    counts = (
+        df.select(
+            F.col(segment_col).alias("segment"),
+            bucket.alias("bucket"),
+            flag.alias("base"),
+        )
+        .groupBy("segment", "bucket")
+        .agg(
+            F.sum("base").alias("nb"),
+            F.sum(1 - F.col("base")).alias("nc"),
+        )
+    )
+    seg = W.partitionBy("segment")
+    withtot = counts.select(
+        "segment", "nb", "nc",
+        F.sum("nb").over(seg).alias("tb"),
+        F.sum("nc").over(seg).alias("tc"),
+    )
+    p = F.col("nb") / F.col("tb")
+    q = F.col("nc") / F.col("tc")
+    term = F.round((p - q) * F.log((p + eps) / (q + eps)), 6)
+    # segments present on only one side are a NEW/VANISHED-segment
+    # condition (completeness_gaps territory), not a distribution shift
+    # — excluded rather than emitting a division artifact
+    return (
+        withtot.filter((F.col("tb") > 0) & (F.col("tc") > 0))
+        .groupBy("segment")
+        .agg(
+            F.max("tb").alias("n_base"),
+            F.max("tc").alias("n_cur"),
+            F.round(F.sum(term), 6).alias("psi"),
+        )
+        .withColumn("drifted", F.col("psi") > threshold)
+    )

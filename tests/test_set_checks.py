@@ -334,3 +334,29 @@ def test_benford_check_digits_and_flags(spark):
     # only the observed digits are emitted, with per-digit expectations
     assert set(out) == {1, 5}
     assert abs(out[5]["expected"] - 0.079181) < 1e-6
+
+
+def test_grouped_drift_psi_localizes_drift(spark):
+    # segment 'shift' moves all mass between halves; 'stable' is identical
+    rows = []
+    for i in range(400):
+        base = i % 2 == 0
+        rows.append(("stable", i, 5.0))
+        rows.append(("shift", i, 1.0 if base else 9.0))
+    df = spark.createDataFrame(rows, "seg string, i long, v double")
+    out = {r["segment"]: r for r in sc.grouped_drift_psi(
+        df, "seg",
+        bucket=F.least(F.floor(F.col("v") / 2.0), F.lit(4)),
+        is_baseline=F.col("i") % 2 == 0,
+    ).collect()}
+    assert out["stable"]["psi"] == 0.0 and not out["stable"]["drifted"]
+    assert out["shift"]["psi"] > 1.0 and out["shift"]["drifted"]
+    assert out["shift"]["n_base"] == 200 and out["shift"]["n_cur"] == 200
+    # one-sided segment excluded
+    df2 = df.union(spark.createDataFrame([("newseg", 1, 5.0)], df.schema))
+    segs = {r["segment"] for r in sc.grouped_drift_psi(
+        df2, "seg",
+        bucket=F.least(F.floor(F.col("v") / 2.0), F.lit(4)),
+        is_baseline=F.col("i") % 2 == 0,
+    ).collect()}
+    assert segs == {"stable", "shift"}
