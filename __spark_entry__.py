@@ -313,6 +313,60 @@ def q_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group centroid-digest quantiles (fully distributed final
+    merge via applyInPandas — no driver). Contract: the RANK SANDWICH —
+    the sketch estimate must land between the exact quantiles at
+    p ∓ 0.01 rank (computed in-Spark; DuckDB emits the same sandwich
+    bounds with literal true), so a drifting sketch flips within_tol
+    and reds the hash check regardless of value scale."""
+    from json_validator_spark.operators.set_checks import grouped_tdigest_quantiles
+
+    probs = (0.5, 0.9)
+    ev = _load_spread(spark, sf_dir, "events")
+    approx = grouped_tdigest_quantiles(ev, "event_type", "value", probs=probs)
+    exact = (
+        _load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.round(
+                    F.percentile(F.col("value").cast("double"), F.lit(p - 0.01)), 6
+                ).alias(f"lo_{i}")
+                for i, p in enumerate(probs)
+            ],
+            *[
+                F.round(
+                    F.percentile(F.col("value").cast("double"), F.lit(p + 0.01)), 6
+                ).alias(f"hi_{i}")
+                for i, p in enumerate(probs)
+            ],
+        )
+    )
+    bounds = exact.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(p)).alias("p"),
+                        F.col(f"lo_{i}").alias("exact_lo"),
+                        F.col(f"hi_{i}").alias("exact_hi"),
+                    )
+                    for i, p in enumerate(probs)
+                ]
+            )
+        ).alias("s"),
+    ).select("event_type", "s.p", "s.exact_lo", "s.exact_hi")
+    joined = approx.join(bounds, ["event_type", "p"])
+    within = (
+        F.col("q") >= F.col("exact_lo") - 0.001 * F.abs(F.col("exact_lo"))
+    ) & (F.col("q") <= F.col("exact_hi") + 0.001 * F.abs(F.col("exact_hi")))
+    return joined.select(
+        "event_type", "p", "exact_lo", "exact_hi", within.alias("within_tol")
+    )
+
+
 def q_grouped_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment drift: PSI per event_type between the deterministic
     even/odd event_id halves — one scan, shared (segment, bucket)
@@ -1670,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mi_leakage": q_mi_leakage,
         "fuzzy_keys": q_fuzzy_keys,
         "grouped_psi": q_grouped_psi,
+        "grouped_tdigest": q_grouped_tdigest,
         "uniqueness": q_uniqueness,
         "referential": q_referential,
         "histogram": q_histogram,
@@ -2340,6 +2395,18 @@ def oracle_sql() -> dict[str, str]:
                    floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT
                      AS duration_s
             FROM s GROUP BY user_id, session_idx
+        """,
+        "grouped_tdigest": """
+            SELECT event_type, 0.5::DOUBLE AS p,
+                   round(quantile_cont(value::DOUBLE, 0.49), 6) AS exact_lo,
+                   round(quantile_cont(value::DOUBLE, 0.51), 6) AS exact_hi,
+                   true AS within_tol
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.9::DOUBLE,
+                   round(quantile_cont(value::DOUBLE, 0.89), 6),
+                   round(quantile_cont(value::DOUBLE, 0.91), 6), true
+            FROM events GROUP BY event_type
         """,
         "grouped_psi": """
             WITH b AS (

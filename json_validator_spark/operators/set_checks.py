@@ -878,3 +878,74 @@ def grouped_drift_psi(
         )
         .withColumn("drifted", F.col("psi") > threshold)
     )
+
+
+def grouped_tdigest_quantiles(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    probs: Sequence[float] = (0.5, 0.9, 0.99),
+    compression: int = 200,
+) -> DataFrame:
+    """Per-GROUP approximate quantiles via mergeable centroid digests —
+    the grouped form of ``tdigest_quantiles`` with the driver taken out
+    of the loop entirely: partials collapse each Arrow batch's
+    per-group values to ≤``compression`` weighted centroids inside
+    ``mapInPandas``; the final merge is ``applyInPandas`` keyed on the
+    group (ONE centroid-sized shuffle), so the group count is unbounded
+    — 10^6 groups never touch the driver. Returns ``(group, p, q)``,
+    one row per group × prob.
+
+    Accuracy contract is the ``tdigest`` one: merge-order-invariant
+    (centroids re-sorted before interpolation), sketch lands within the
+    stated tolerance of the exact quantile regardless of partitioning."""
+    import numpy as np
+
+    gname, vname = "__g", "__v"
+    prob_list = [float(p) for p in probs]
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            frames = []
+            for g, sub in b.groupby(gname, dropna=False):
+                v = sub[vname].dropna().to_numpy(dtype="float64")
+                if not len(v):
+                    continue
+                v = np.sort(v)
+                k = min(compression, len(v))
+                splits = np.array_split(v, k)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            gname: g,
+                            "mean": [float(s.mean()) for s in splits],
+                            "weight": [float(len(s)) for s in splits],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        means = pdf["mean"].to_numpy(dtype="float64")
+        weights = pdf["weight"].to_numpy(dtype="float64")
+        order = np.argsort(means)
+        means, weights = means[order], weights[order]
+        cum = np.cumsum(weights) - weights / 2.0
+        total = weights.sum()
+        return pd.DataFrame(
+            {
+                gname: pdf[gname].iloc[0],
+                "p": prob_list,
+                "q": [float(np.interp(p * total, cum, means)) for p in prob_list],
+            }
+        )
+
+    cent = df.select(
+        F.col(group_col).cast("string").alias(gname),
+        F.col(col).cast("double").alias(vname),
+    ).mapInPandas(partial, schema=f"{gname} string, mean double, weight double")
+    out = cent.groupBy(gname).applyInPandas(
+        merge, schema=f"{gname} string, p double, q double"
+    )
+    return out.select(F.col(gname).alias(group_col), "p", "q")

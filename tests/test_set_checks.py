@@ -360,3 +360,28 @@ def test_grouped_drift_psi_localizes_drift(spark):
         is_baseline=F.col("i") % 2 == 0,
     ).collect()}
     assert segs == {"stable", "shift"}
+
+
+def test_grouped_tdigest_close_to_exact_and_merge_invariant(spark):
+    df = (
+        spark.range(0, 20_000)
+        .select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            (F.col("id") / 2).cast("double").alias("v"),
+        )
+    )
+    got = {(r["g"], r["p"]): r["q"] for r in
+           sc.grouped_tdigest_quantiles(df, "g", "v", probs=(0.5, 0.9)).collect()}
+    exact = {r["g"]: r["qs"] for r in df.groupBy("g").agg(
+        F.percentile(F.col("v"), F.array(F.lit(0.5), F.lit(0.9))).alias("qs")
+    ).collect()}
+    for g in ("0", "1"):
+        assert abs(got[(g, 0.5)] - exact[g][0]) <= 0.01 * abs(exact[g][0])
+        assert abs(got[(g, 0.9)] - exact[g][1]) <= 0.01 * abs(exact[g][1])
+    # partitioning must not move the estimate outside tolerance
+    got7 = {(r["g"], r["p"]): r["q"] for r in sc.grouped_tdigest_quantiles(
+        df.repartition(7), "g", "v", probs=(0.5, 0.9)).collect()}
+    for k, v in got7.items():
+        g = k[0]
+        e = exact[g][0 if k[1] == 0.5 else 1]
+        assert abs(v - e) <= 0.01 * abs(e)
