@@ -65,3 +65,14 @@ def test_zorder_layout_enables_pruning_on_both_dimensions(spark):
     assert scanned(by_z, "x", 0, 3) <= 8
     # layout must not change the data
     assert by_z.count() == 64 * 64
+
+
+def test_zorder_layout_plan_is_range_exchange_plus_sort(spark):
+    grid = spark.createDataFrame([(x, x) for x in range(64)], "x int, y int")
+    out = zorder_layout(grid, ["x", "y"], [0, 0], [63, 63], bits=6,
+                        num_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in plan
+    assert "Sort " in plan
+    # the layout key must not leak into the returned schema
+    assert out.columns == ["x", "y"]
