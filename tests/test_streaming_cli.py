@@ -431,3 +431,51 @@ def test_neardup_ingest_stream(tmp_path, spark):
     q2.awaitTermination(120)
     got = {r["doc_id"] for r in spark.read.parquet(f"{out}/accepted").collect()}
     assert got == {102, 202}
+
+
+def test_session_stream_across_restarts(tmp_path, spark):
+    """applyInPandasWithState sessionization: per-user (session_idx,
+    last tick) state survives a restart, so an event within the gap of
+    the previous RUN's last event continues that session, and one beyond
+    the gap opens a new one — matching the batch operator's decisions."""
+    import datetime as dt
+
+    from json_validator_spark.streaming.session_stream import session_stream
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, user_id long, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minute):
+        return t0 + dt.timedelta(minutes=minute)
+
+    b1 = spark.createDataFrame(
+        [(1, 10, ts(0)), (2, 10, ts(5)), (3, 20, ts(0))], schema
+    )
+    b1.write.parquet(landing)
+    q = session_stream(spark, landing, schema, out, ckpt, gap_minutes=30)
+    q.awaitTermination(120)
+    got1 = {r["event_id"]: (r["session_idx"], r["session_id"])
+            for r in spark.read.parquet(f"{out}/sessions").collect()}
+    assert got1 == {"1": (1, "10#1"), "2": (1, "10#1"), "3": (1, "20#1")}
+
+    # restart: +20m is within the gap of event 2 (state!), +90m is not
+    spark.createDataFrame(
+        [(4, 10, ts(25)), (5, 20, ts(90))], schema
+    ).write.mode("append").parquet(landing)
+    q2 = session_stream(spark, landing, schema, out, ckpt, gap_minutes=30)
+    q2.awaitTermination(120)
+    got2 = {r["event_id"]: (r["session_idx"], r["session_id"])
+            for r in spark.read.parquet(f"{out}/sessions").collect()}
+    assert got2["4"] == (1, "10#1")   # continues run-1's session
+    assert got2["5"] == (2, "20#2")   # beyond gap: new session
+    assert len(got2) == 5
+
+    # parity with the batch operator over the union of all events
+    from json_validator_spark.operators.temporal import sessionize
+
+    batch = {str(r["event_id"]): r["session_idx"] for r in sessionize(
+        spark.read.parquet(landing), gap_minutes=30).collect()}
+    assert batch == {k: v[0] for k, v in got2.items()}
