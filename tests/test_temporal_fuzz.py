@@ -1,0 +1,120 @@
+"""Differential fuzz: temporal operators vs brute-force pure-Python
+references on seeded random event frames (the keyword-layer fuzz
+discipline applied to the newest code). Edge cases are salted in
+deliberately: exact-gap ties, same-tick events, window-boundary hits.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from json_validator_spark.operators import temporal as tp
+
+GAP_MIN = 30
+GAP_US = GAP_MIN * 60 * 1_000_000
+WIN_MIN = 60
+WIN_US = WIN_MIN * 60 * 1_000_000
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _gen_events(seed: int, n_users: int = 6, n_events: int = 120):
+    rng = random.Random(seed)
+    rows = []
+    eid = 0
+    for u in range(1, n_users + 1):
+        t_us = rng.randrange(0, 10**9)
+        for _ in range(rng.randrange(5, n_events // n_users + 5)):
+            # jumps chosen to hit exact-gap and window boundaries often
+            jump = rng.choice(
+                [0, 1, rng.randrange(1, 10**7), GAP_US, GAP_US + 1,
+                 WIN_US - 1, WIN_US, rng.randrange(1, 3 * GAP_US)]
+            )
+            t_us += jump
+            rows.append((eid, u, T0 + dt.timedelta(microseconds=t_us)))
+            eid += 1
+    rng.shuffle(rows)
+    return rows
+
+
+def _ticks(t: dt.datetime) -> int:
+    return (t - dt.datetime(1970, 1, 1)) // dt.timedelta(microseconds=1)
+
+
+def _py_sessionize(rows):
+    out = {}
+    by_user: dict[int, list] = {}
+    for eid, u, t in rows:
+        by_user.setdefault(u, []).append((_ticks(t), eid))
+    for u, evs in by_user.items():
+        evs.sort()
+        idx, last = 0, None
+        for t_us, eid in evs:
+            if last is None or t_us - last > GAP_US:
+                idx += 1
+            out[eid] = idx
+            last = t_us
+    return out
+
+
+def _py_rate_violations(rows, max_events):
+    by_user: dict[int, list] = {}
+    for eid, u, t in rows:
+        by_user.setdefault(u, []).append((_ticks(t), eid))
+    bad = set()
+    for evs in by_user.values():
+        for t, eid in evs:
+            n = sum(1 for s, _ in evs if t - WIN_US < s <= t)
+            if n > max_events:
+                bad.add(str(eid))
+    return bad
+
+
+def _py_funnel(rows, steps, types):
+    by_user: dict[int, list] = {}
+    for eid, u, t in rows:
+        by_user.setdefault(u, []).append((_ticks(t), types[eid]))
+    out = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        matched = []
+        for t, ty in evs:
+            want = steps[len(matched)] if len(matched) < len(steps) else None
+            if ty == want and (not matched or t > matched[-1]):
+                matched.append(t)
+        if any(ty in steps for _, ty in evs):
+            out[u] = len(matched)
+    return out
+
+
+def test_fuzz_sessionize_matches_python(spark):
+    for seed in (11, 22, 33):
+        rows = _gen_events(seed)
+        df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+        got = {r["event_id"]: r["session_idx"]
+               for r in tp.sessionize(df, gap_minutes=GAP_MIN).collect()}
+        assert got == _py_sessionize(rows), f"seed {seed}"
+
+
+def test_fuzz_rate_limit_matches_bruteforce(spark):
+    for seed in (7, 42):
+        rows = _gen_events(seed)
+        df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+        got = {r["doc_id"] for r in
+               tp.rate_limit_violations(df, max_events=3, window_minutes=WIN_MIN).collect()}
+        assert got == _py_rate_violations(rows, 3), f"seed {seed}"
+
+
+def test_fuzz_funnel_matches_greedy_python(spark):
+    steps = ["a", "b", "c"]
+    for seed in (5, 17):
+        rows = _gen_events(seed)
+        rng = random.Random(seed * 1000)
+        types = {eid: rng.choice(["a", "b", "c", "x"]) for eid, _, _ in rows}
+        data = [(eid, u, types[eid], t) for eid, u, t in rows]
+        df = spark.createDataFrame(
+            data, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        got = {r["user_id"]: r["steps_completed"]
+               for r in tp.funnel(df, steps).collect()}
+        assert got == _py_funnel(rows, steps, types), f"seed {seed}"
