@@ -118,3 +118,47 @@ def test_fuzz_funnel_matches_greedy_python(spark):
         got = {r["user_id"]: r["steps_completed"]
                for r in tp.funnel(df, steps).collect()}
         assert got == _py_funnel(rows, steps, types), f"seed {seed}"
+
+
+def test_fuzz_asof_join_matches_bruteforce(spark):
+    rng = random.Random(99)
+    ev = [(i, rng.choice(["a", "b", "c"]),
+           T0 + dt.timedelta(microseconds=rng.randrange(0, 10**8)))
+          for i in range(200)]
+    # snapshots share some exact event timestamps (boundary inclusion)
+    snaps = [(rng.choice(["a", "b"]),
+              ev[rng.randrange(len(ev))][2] if rng.random() < 0.3
+              else T0 + dt.timedelta(microseconds=rng.randrange(0, 10**8)),
+              round(rng.uniform(0, 100), 2))
+             for _ in range(40)]
+    snaps = list({(k, t): (k, t, r) for k, t, r in snaps}.values())  # unique (key, ts)
+    edf = spark.createDataFrame(ev, "event_id long, event_type string, ts timestamp")
+    sdf = spark.createDataFrame(snaps, "event_type string, snap_ts timestamp, rate double")
+    got = {r["event_id"]: (r["rate"], r["snap_ts"])
+           for r in tp.asof_join(edf, sdf, on="event_type").collect()}
+    for eid, k, t in ev:
+        cands = [(st, rt) for sk, st, rt in snaps if sk == k and st <= t]
+        exp = max(cands) if cands else None
+        if exp is None:
+            assert got[eid] == (None, None), eid
+        else:
+            assert got[eid] == (exp[1], exp[0]), eid
+
+
+def test_fuzz_grouped_median_mad_matches_statistics(spark):
+    import statistics
+
+    from json_validator_spark.operators.set_checks import grouped_median_mad
+
+    rng = random.Random(123)
+    rows = [(rng.choice(["g1", "g2", "g3"]),
+             round(rng.uniform(0, 50), 1))  # 1-dec grid -> heavy duplicates
+            for _ in range(500)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: (r["med"], r["mad"], r["n"])
+           for r in grouped_median_mad(df, "g", "v").collect()}
+    for g in ("g1", "g2", "g3"):
+        vals = [v for gg, v in rows if gg == g]
+        med = round(statistics.median(vals), 6)
+        mad = round(statistics.median(sorted(abs(v - med) for v in vals)), 6)
+        assert got[g] == (med, mad, len(vals)), g
