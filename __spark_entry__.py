@@ -313,6 +313,18 @@ def q_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency cap (domain balancing): keep at most 10
+    docs per source, deterministic md5-of-id order — partition- and
+    arrival-order-invariant kept set."""
+    from json_validator_spark.operators.sampling import frequency_cap
+
+    docs = _load(spark, sf_dir, "documents")
+    return frequency_cap(docs, "source", cap=10, id_col="doc_id").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def q_grouped_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group centroid-digest quantiles (fully distributed final
     merge via applyInPandas — no driver). Contract: the RANK SANDWICH —
@@ -1725,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_keys": q_fuzzy_keys,
         "grouped_psi": q_grouped_psi,
         "grouped_tdigest": q_grouped_tdigest,
+        "frequency_cap": q_frequency_cap,
         "uniqueness": q_uniqueness,
         "referential": q_referential,
         "histogram": q_histogram,
@@ -2395,6 +2408,14 @@ def oracle_sql() -> dict[str, str]:
                    floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT
                      AS duration_s
             FROM s GROUP BY user_id, session_idx
+        """,
+        "frequency_cap": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY md5(doc_id::VARCHAR), doc_id::VARCHAR) AS rn
+              FROM documents
+            ) WHERE rn <= 10
         """,
         "grouped_tdigest": """
             SELECT event_type, 0.5::DOUBLE AS p,

@@ -235,3 +235,37 @@ def resample_to_mixture(
     return joined.filter(u < F.coalesce(F.col("__mix_keep"), F.lit(0.0))).select(
         *df.columns
     )
+
+
+def frequency_cap(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group frequency capping — keep at most ``cap`` rows per
+    group, chosen DETERMINISTICALLY (md5-of-id order, id tiebreak): the
+    domain-balancing step of a pretraining pipeline (no single source /
+    domain may dominate the mixture), and the "at most N examples per
+    cluster" rule of cluster-balanced sampling. Schema passthrough.
+
+    Shape: one window keyed on the group (rank ≤ cap). The md5 sort key
+    makes the kept set independent of partitioning and arrival order.
+    Skew note: a window sorts each group on one task, so a viral group
+    (10^9 rows under one domain) serializes there; the at-scale
+    refinement is a two-phase cap — per-group counts → keep rows with
+    md5-uniform < slack·cap/n (survivors ≈ slack·cap per group) → this
+    exact window over the survivors — same result whenever the slack
+    retains ≥ cap candidates; apply it when group sizes are unbounded."""
+    from pyspark.sql import Window as W
+
+    from json_validator_spark.functions.text import hash_hex
+
+    w = W.partitionBy(group_col).orderBy(
+        hash_hex(F.col(id_col)), F.col(id_col).cast("string")
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

@@ -313,3 +313,22 @@ def test_review_fixes_shuffle_materialize(spark):
     assert len(seqs) == 1
     assert seqs[0]["text"] == "a b c d e f"  # no double separator
     assert seqs[0]["n_docs"] == 3            # the NULL doc still counts
+
+
+def test_frequency_cap_deterministic_and_partition_invariant(spark):
+    from json_validator_spark.operators.sampling import frequency_cap
+
+    rows = [(f"doc-{i:03d}", "big" if i < 46 else "small") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    out = frequency_cap(df, "source", cap=5, id_col="doc_id")
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # big capped at 5; small (4 rows, under the cap) fully kept
+    per = {s: sum(1 for r in out.collect() if r["source"] == s)
+           for s in ("big", "small")}
+    assert per == {"big": 5, "small": 4}
+    # deterministic under repartitioning
+    kept7 = sorted(r["doc_id"] for r in
+                   frequency_cap(df.repartition(7), "source", 5).collect())
+    assert kept7 == kept
+    # schema passthrough
+    assert out.columns == ["doc_id", "source"]
