@@ -313,6 +313,16 @@ def q_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global rank / percent_rank of every event by value — score
+    normalization without a global row sort (cumulative counts over the
+    bounded value histogram; the corpus never passes through a
+    single-partition window)."""
+    from json_validator_spark.operators.set_checks import value_ranks
+
+    return value_ranks(_load(spark, sf_dir, "events"), "value", id_col="event_id")
+
+
 def q_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source frequency cap (domain balancing): keep at most 10
     docs per source, deterministic md5-of-id order — partition- and
@@ -1738,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_psi": q_grouped_psi,
         "grouped_tdigest": q_grouped_tdigest,
         "frequency_cap": q_frequency_cap,
+        "value_ranks": q_value_ranks,
         "uniqueness": q_uniqueness,
         "referential": q_referential,
         "histogram": q_histogram,
@@ -2408,6 +2419,14 @@ def oracle_sql() -> dict[str, str]:
                    floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT
                      AS duration_s
             FROM s GROUP BY user_id, session_idx
+        """,
+        "value_ranks": """
+            SELECT event_id, value::DOUBLE AS value,
+                   rank() OVER (ORDER BY value::DOUBLE) AS rank,
+                   round(percent_rank() OVER (ORDER BY value::DOUBLE), 6) AS pct
+            FROM events WHERE value IS NOT NULL
+            UNION ALL
+            SELECT event_id, NULL, NULL, NULL FROM events WHERE value IS NULL
         """,
         "frequency_cap": """
             SELECT doc_id, source, n_chars FROM (

@@ -949,3 +949,53 @@ def grouped_tdigest_quantiles(
         merge, schema=f"{gname} string, p double, q double"
     )
     return out.select(F.col(gname).alias(group_col), "p", "q")
+
+
+def value_ranks(
+    df: DataFrame,
+    col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact global rank and percent_rank of every row by ``col`` —
+    score normalization (quality score → corpus percentile) WITHOUT a
+    global row sort: ``Window.orderBy(col)`` over the corpus would
+    single-task 10^12 rows; instead the cumulative count over the
+    VALUE HISTOGRAM (bounded by the value domain, the
+    ``exact_median_mad`` precondition) gives every distinct value its
+    min-rank, joined back to the rows. Tie semantics = SQL ``rank()``:
+    equal values share the rank ``(# strictly smaller) + 1``;
+    ``pct = (rank − 1) / (n − 1)`` (``percent_rank``), rounded to 6.
+
+    Shape: one corpus-sized histogram groupBy; the single-partition
+    window runs over the HISTOGRAM (distinct-value-sized, never the
+    corpus); the rank join keys on the value — broadcast when the
+    domain is small. NULL values pass through with NULL rank."""
+    from pyspark.sql import Window as W
+
+    v = F.col(col).cast("double")
+    hist = (
+        df.filter(v.isNotNull())
+        .groupBy(v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = W.orderBy("__v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = hist.select(
+        "__v",
+        (F.sum("__c").over(w) - F.col("__c") + 1).alias("rank"),
+        F.sum("__c").over(
+            W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("__n"),
+    )
+    out = df.select(F.col(id_col), v.alias("__v")).join(
+        ranked, "__v", "left"
+    )
+    pct = F.when(F.col("rank").isNull(), F.lit(None).cast("double")).when(
+        F.col("__n") > 1,
+        F.round((F.col("rank") - 1) / (F.col("__n") - 1).cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        id_col,
+        F.col("__v").alias(col),
+        "rank",
+        pct.alias("pct"),
+    )

@@ -385,3 +385,21 @@ def test_grouped_tdigest_close_to_exact_and_merge_invariant(spark):
         g = k[0]
         e = exact[g][0 if k[1] == 0.5 else 1]
         assert abs(v - e) <= 0.01 * abs(e)
+
+
+def test_value_ranks_ties_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 1.0), (3, 5.0), (4, 9.0), (5, None)],
+        "doc_id long, v double",
+    )
+    got = {r["doc_id"]: (r["rank"], r["pct"]) for r in
+           sc.value_ranks(df, "v").collect()}
+    # rank() semantics: ties share min-rank; pct = (rank-1)/(n-1), n=4
+    assert got[2] == (1, 0.0)
+    assert got[1] == (2, round(1 / 3, 6)) and got[3] == (2, round(1 / 3, 6))
+    assert got[4] == (4, 1.0)
+    assert got[5] == (None, None)
+    # the corpus-sized window must NOT appear: single-partition window
+    # runs over the histogram only
+    plan = sc.value_ranks(df, "v")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") <= 2
