@@ -313,6 +313,17 @@ def q_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over lineitem numerics in one
+    aggregation pass — collinearity / redundant-feature check."""
+    from json_validator_spark.operators.set_checks import correlation_matrix
+
+    return correlation_matrix(
+        _load(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
 def q_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact global rank / percent_rank of every event by value — score
     normalization without a global row sort (cumulative counts over the
@@ -1749,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_tdigest": q_grouped_tdigest,
         "frequency_cap": q_frequency_cap,
         "value_ranks": q_value_ranks,
+        "correlations": q_correlations,
         "uniqueness": q_uniqueness,
         "referential": q_referential,
         "histogram": q_histogram,
@@ -2419,6 +2431,21 @@ def oracle_sql() -> dict[str, str]:
                    floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT
                      AS duration_s
             FROM s GROUP BY user_id, session_idx
+        """,
+        "correlations": """
+            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                   count(*) AS n,
+                   round(corr(l_quantity::DOUBLE, l_extendedprice::DOUBLE), 4)
+                     AS corr
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', 'l_discount', count(*),
+                   round(corr(l_quantity::DOUBLE, l_discount::DOUBLE), 4)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_discount', count(*),
+                   round(corr(l_extendedprice::DOUBLE, l_discount::DOUBLE), 4)
+            FROM lineitem
         """,
         "value_ranks": """
             SELECT event_id, value::DOUBLE AS value,

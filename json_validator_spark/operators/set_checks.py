@@ -999,3 +999,41 @@ def value_ranks(
         "rank",
         pct.alias("pct"),
     )
+
+
+def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns in ONE
+    aggregation pass — redundant-feature / collinearity detection
+    (|r| ≈ 1 means one column is a linear alias of another; the
+    numeric sibling of ``fd_violations``' categorical dependency and
+    ``info.mutual_information``'s nonlinear one). One row per unordered
+    pair: ``(col_a, col_b, n, corr)``; corr is rounded to 4 as the
+    cross-engine contract (both engines use one-pass co-moments that
+    agree to ~1e-15).
+
+    Shape: a single ``agg`` with k·(k−1)/2 ``corr`` expressions —
+    partial (map-side) co-moments, one 1-row result; the corpus is
+    scanned once regardless of the pair count."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for a, b in pairs:
+        aggs.append(
+            F.round(
+                F.corr(F.col(a).cast("double"), F.col(b).cast("double")), 4
+            ).alias(f"__c_{a}__{b}")
+        )
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col("__n").alias("n"),
+                F.col(f"__c_{a}__{b}").alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select(
+        "r.col_a", "r.col_b", "r.n", "r.corr"
+    )

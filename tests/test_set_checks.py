@@ -403,3 +403,17 @@ def test_value_ranks_ties_and_nulls(spark):
     # runs over the histogram only
     plan = sc.value_ranks(df, "v")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") <= 2
+
+
+def test_correlation_matrix_pairs_and_plan(spark):
+    rows = [(float(i), 2.0 * i + 1, float((i * 7) % 5)) for i in range(100)]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    got = {(r["col_a"], r["col_b"]): r for r in
+           sc.correlation_matrix(df, ["a", "b", "c"]).collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert got[("a", "b")]["corr"] == 1.0       # exact linear alias
+    assert abs(got[("a", "c")]["corr"]) < 0.3   # near-independent
+    assert all(r["n"] == 100 for r in got.values())
+    # one scan, no shuffle beyond the single partial-agg exchange
+    plan = sc.correlation_matrix(df, ["a", "b", "c"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") <= 1
