@@ -313,6 +313,14 @@ def q_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics for the lineitem join key — the
+    measurable pre-flight check behind the salting/AQE discipline."""
+    from json_validator_spark.operators.set_checks import key_skew_stats
+
+    return key_skew_stats(_load(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
 def q_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlations over lineitem numerics in one
     aggregation pass — collinearity / redundant-feature check."""
@@ -1761,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequency_cap": q_frequency_cap,
         "value_ranks": q_value_ranks,
         "correlations": q_correlations,
+        "key_skew": q_key_skew,
         "uniqueness": q_uniqueness,
         "referential": q_referential,
         "histogram": q_histogram,
@@ -2431,6 +2440,17 @@ def oracle_sql() -> dict[str, str]:
                    floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT
                      AS duration_s
             FROM s GROUP BY user_id, session_idx
+        """,
+        "key_skew": """
+            WITH c AS (
+              SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1
+            )
+            SELECT 'l_orderkey' AS key_col, sum(n)::BIGINT AS n_rows,
+                   count(*) AS n_keys, max(n) AS max_n,
+                   round(avg(n), 4) AS mean_n,
+                   round(quantile_cont(n::DOUBLE, 0.99), 4) AS p99_n,
+                   round(max(n)::DOUBLE / avg(n), 4) AS skew_factor
+            FROM c
         """,
         "correlations": """
             SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,

@@ -1037,3 +1037,30 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return one.select(F.explode(rows).alias("r")).select(
         "r.col_a", "r.col_b", "r.n", "r.corr"
     )
+
+
+def key_skew_stats(df: DataFrame, key: str) -> DataFrame:
+    """Shuffle-key skew diagnostics, one row: ``(key_col, n_rows,
+    n_keys, max_n, mean_n, p99_n, skew_factor)`` where ``skew_factor =
+    max_n / mean_n`` — the number that decides whether a join/groupBy
+    on this key needs salting or AQE skew handling BEFORE the job runs
+    (north-rule skew discipline as a measurable check, not folklore).
+    skew_factor ≈ 1 means uniform; ≫ 10 means a hot key will serialize
+    its reducer.
+
+    Shape: one partial-agg groupBy builds the per-key histogram (the
+    only corpus-sized exchange); the summary aggregates the key-count
+    frame. p99 is the exact percentile of the per-key counts —
+    key-count-sized input, so exactness is affordable here."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+    return counts.agg(
+        F.lit(key).alias("key_col"),
+        F.sum("__n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__n").alias("max_n"),
+        F.round(F.avg("__n"), 4).alias("mean_n"),
+        F.round(F.percentile(F.col("__n").cast("double"), F.lit(0.99)), 4).alias(
+            "p99_n"
+        ),
+        F.round(F.max("__n") / F.avg("__n"), 4).alias("skew_factor"),
+    )

@@ -417,3 +417,16 @@ def test_correlation_matrix_pairs_and_plan(spark):
     # one scan, no shuffle beyond the single partial-agg exchange
     plan = sc.correlation_matrix(df, ["a", "b", "c"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") <= 1
+
+
+def test_key_skew_stats(spark):
+    # 1 hot key with 90 rows + 10 keys with 1 row each
+    rows = [("hot",)] * 90 + [(f"k{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string")
+    r = sc.key_skew_stats(df, "k").first()
+    assert (r["n_rows"], r["n_keys"], r["max_n"]) == (100, 11, 90)
+    assert abs(r["mean_n"] - round(100 / 11, 4)) < 1e-9
+    assert r["skew_factor"] == round(90 / (100 / 11), 4)
+    # uniform key: factor 1
+    u = spark.createDataFrame([(i % 5,) for i in range(100)], "k long")
+    assert sc.key_skew_stats(u, "k").first()["skew_factor"] == 1.0
