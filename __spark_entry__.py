@@ -423,6 +423,20 @@ def q_grouped_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment KS (max CDF gap at bucket resolution) between the
+    even/odd event_id halves — the rank-based companion of grouped_psi."""
+    from json_validator_spark.operators.set_checks import grouped_drift_ks
+
+    ev = _load(spark, sf_dir, "events")
+    return grouped_drift_ks(
+        ev,
+        "event_type",
+        bucket=F.least(F.floor(F.col("value") / 25.0), F.lit(19)),
+        is_baseline=F.col("event_id") % 2 == 0,
+    )
+
+
 def q_fuzzy_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-duplicate key detection over supplier names — FastSS
     deletion-neighborhood join + exact levenshtein verify; the
@@ -1765,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mi_leakage": q_mi_leakage,
         "fuzzy_keys": q_fuzzy_keys,
         "grouped_psi": q_grouped_psi,
+        "grouped_ks": q_grouped_ks,
         "grouped_tdigest": q_grouped_tdigest,
         "frequency_cap": q_frequency_cap,
         "value_ranks": q_value_ranks,
@@ -2494,6 +2509,33 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value::DOUBLE, 0.89), 6),
                    round(quantile_cont(value::DOUBLE, 0.91), 6), true
             FROM events GROUP BY event_type
+        """,
+        "grouped_ks": """
+            WITH b AS (
+              SELECT event_type AS segment,
+                     least(floor(value / 25.0), 19) AS bucket,
+                     (event_id % 2 = 0)::INT AS base
+              FROM events
+            ), counts AS (
+              SELECT segment, bucket, sum(base) AS nb, sum(1 - base) AS nc
+              FROM b GROUP BY 1, 2
+            ), cdf AS (
+              SELECT segment,
+                     sum(nb) OVER (PARTITION BY segment) AS tb,
+                     sum(nc) OVER (PARTITION BY segment) AS tc,
+                     sum(nb) OVER (PARTITION BY segment ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+                     sum(nc) OVER (PARTITION BY segment ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+              FROM counts
+            ), agg AS (
+              SELECT segment, max(tb)::BIGINT AS n_base, max(tc)::BIGINT AS n_cur,
+                     max(round(abs(cb::DOUBLE / tb::DOUBLE
+                                 - cc::DOUBLE / tc::DOUBLE), 6)) AS ks
+              FROM cdf WHERE tb > 0 AND tc > 0
+              GROUP BY segment
+            )
+            SELECT segment, n_base, n_cur, ks, ks > 0.1 AS drifted FROM agg
         """,
         "grouped_psi": """
             WITH b AS (

@@ -1064,3 +1064,67 @@ def key_skew_stats(df: DataFrame, key: str) -> DataFrame:
         ),
         F.round(F.max("__n") / F.avg("__n"), 4).alias("skew_factor"),
     )
+
+
+def grouped_drift_ks(
+    df: DataFrame,
+    segment_col: str,
+    bucket: Column,
+    is_baseline: Column,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Per-segment Kolmogorov–Smirnov statistic (max CDF gap at bucket
+    resolution) between the baseline/current halves — the rank-based
+    companion of ``grouped_drift_psi`` (PSI weighs mass ratios, KS
+    catches location shifts PSI's log-ratio can understate at coarse
+    bins). ``(segment, n_base, n_cur, ks, drifted)``, one row per
+    two-sided segment.
+
+    Shape: the same single-scan shared (segment, bucket) groupBy;
+    per-segment CDFs are cumulative-sum windows ORDERED BY BUCKET over
+    the histogram frame; the max-gap agg reuses the window's segment
+    partitioning (zero extra exchange). The cumulative gap is exact at
+    every observed bucket even though absent-on-both-sides buckets are
+    never generated (the CDF gap is constant across them)."""
+    from pyspark.sql import Window as W
+
+    flag = is_baseline.cast("int")
+    counts = (
+        df.select(
+            F.col(segment_col).alias("segment"),
+            bucket.alias("bucket"),
+            flag.alias("base"),
+        )
+        .groupBy("segment", "bucket")
+        .agg(
+            F.sum("base").alias("nb"),
+            F.sum(1 - F.col("base")).alias("nc"),
+        )
+    )
+    seg = W.partitionBy("segment")
+    cum = W.partitionBy("segment").orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    withcdf = counts.select(
+        "segment",
+        F.sum("nb").over(seg).alias("tb"),
+        F.sum("nc").over(seg).alias("tc"),
+        F.sum("nb").over(cum).alias("cb"),
+        F.sum("nc").over(cum).alias("cc"),
+    )
+    gap = F.round(
+        F.abs(
+            F.col("cb") / F.col("tb") - F.col("cc") / F.col("tc")
+        ),
+        6,
+    )
+    return (
+        withcdf.filter((F.col("tb") > 0) & (F.col("tc") > 0))
+        .groupBy("segment")
+        .agg(
+            F.max("tb").alias("n_base"),
+            F.max("tc").alias("n_cur"),
+            F.max(gap).alias("ks"),
+        )
+        .withColumn("drifted", F.col("ks") > threshold)
+    )

@@ -430,3 +430,19 @@ def test_key_skew_stats(spark):
     # uniform key: factor 1
     u = spark.createDataFrame([(i % 5,) for i in range(100)], "k long")
     assert sc.key_skew_stats(u, "k").first()["skew_factor"] == 1.0
+
+
+def test_grouped_drift_ks_localizes_shift(spark):
+    rows = []
+    for i in range(400):
+        base = i % 2 == 0
+        rows.append(("stable", i, 5.0))
+        # pure location shift within the same bin edges
+        rows.append(("shift", i, 2.0 if base else 8.0))
+    df = spark.createDataFrame(rows, "seg string, i long, v double")
+    bucket = F.least(F.floor(F.col("v") / 2.0), F.lit(4))
+    out = {r["segment"]: r for r in sc.grouped_drift_ks(
+        df, "seg", bucket=bucket, is_baseline=F.col("i") % 2 == 0,
+    ).collect()}
+    assert out["stable"]["ks"] == 0.0 and not out["stable"]["drifted"]
+    assert out["shift"]["ks"] == 1.0 and out["shift"]["drifted"]
