@@ -423,6 +423,17 @@ def q_grouped_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly ingest-volume anomaly detection vs the trailing-24h
+    mean/std (warm-up hours emit NULL stats; zero-variance history
+    flags any deviation)."""
+    from json_validator_spark.operators.temporal import volume_anomalies
+
+    return volume_anomalies(
+        _load(spark, sf_dir, "events"), trailing=24, k=4.0
+    )
+
+
 def q_grouped_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment KS (max CDF gap at bucket resolution) between the
     even/odd event_id halves — the rank-based companion of grouped_psi."""
@@ -1780,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_keys": q_fuzzy_keys,
         "grouped_psi": q_grouped_psi,
         "grouped_ks": q_grouped_ks,
+        "volume_anomaly": q_volume_anomaly,
         "grouped_tdigest": q_grouped_tdigest,
         "frequency_cap": q_frequency_cap,
         "value_ranks": q_value_ranks,
@@ -2509,6 +2521,35 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value::DOUBLE, 0.89), 6),
                    round(quantile_cont(value::DOUBLE, 0.91), 6), true
             FROM events GROUP BY event_type
+        """,
+        "volume_anomaly": """
+            WITH counts AS (
+              SELECT date_trunc('hour', ts) AS b, count(*) AS n
+              FROM events GROUP BY 1
+            ), w AS (
+              SELECT b, n,
+                     round(avg(n) OVER tw, 6) AS m,
+                     round(stddev_samp(n) OVER tw, 6) AS s,
+                     count(n) OVER tw AS c
+              FROM counts
+              WINDOW tw AS (ORDER BY b
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+            ), g AS (
+              SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start, n,
+                     CASE WHEN c >= 24 THEN m END AS trail_mean,
+                     CASE WHEN c >= 24 THEN s END AS trail_std
+              FROM w
+            ), z AS (
+              SELECT bucket_start, n, trail_mean, trail_std,
+                     CASE WHEN trail_std > 0
+                          THEN round((n - trail_mean) / trail_std, 4) END AS z
+              FROM g
+            )
+            SELECT bucket_start, n, trail_mean, trail_std, z,
+                   (coalesce(abs(z) > 4.0, false)
+                    OR coalesce(trail_std = 0 AND n <> trail_mean, false))
+                     AS anomaly
+            FROM z
         """,
         "grouped_ks": """
             WITH b AS (

@@ -315,3 +315,55 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def volume_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    trailing: int = 24,
+    k: float = 4.0,
+) -> DataFrame:
+    """Ingest-volume anomaly detection: per time bucket, compare the
+    event count against the TRAILING ``trailing``-bucket mean/stddev
+    and flag buckets whose |z| exceeds ``k`` — the "did a producer die
+    / double-fire" check that per-row validation cannot see. One row
+    per bucket: ``(bucket_start, n, trail_mean, trail_std, z, anomaly)``;
+    the first ``trailing`` buckets (incomplete history) emit NULL
+    z / false anomaly rather than unstable early flags.
+
+    Shape: the corpus collapses to bucket counts in one partial-agg
+    groupBy; the trailing window runs over the BUCKET frame (hours →
+    8,760 rows/year — driver-scale), so the unpartitioned window is on
+    a tiny frame, never the corpus. z is rounded to 4 on the rounded-6
+    mean/std contract values (cross-engine stddev parity discipline)."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        events.groupBy(F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy("bucket_start").rowsBetween(-trailing, -1)
+    mean = F.round(F.avg("n").over(w), 6)
+    std = F.round(F.stddev_samp("n").over(w), 6)
+    cnt = F.count("n").over(w)
+    withstats = counts.select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "n",
+        F.when(cnt >= trailing, mean).alias("trail_mean"),
+        F.when(cnt >= trailing, std).alias("trail_std"),
+    )
+    z = F.when(
+        F.col("trail_std") > 0.0,
+        F.round((F.col("n") - F.col("trail_mean")) / F.col("trail_std"), 4),
+    )
+    # zero-variance history (perfectly steady producer): ANY deviation
+    # is anomalous, but z is undefined — flag via the equality path
+    flat_break = (
+        (F.col("trail_std") == 0.0) & (F.col("n") != F.col("trail_mean"))
+    )
+    return withstats.select(
+        "bucket_start", "n", "trail_mean", "trail_std",
+        z.alias("z"),
+        (F.coalesce(F.abs(z) > k, F.lit(False)) | F.coalesce(flat_break, F.lit(False))).alias("anomaly"),
+    )

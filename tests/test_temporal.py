@@ -169,3 +169,27 @@ def test_cohort_retention_matrix(spark):
         ("2024-01-01", 0): 1, ("2024-01-01", 1): 1,
         ("2024-01-02", 0): 1, ("2024-01-02", 2): 1,
     }
+
+
+def test_volume_anomalies_flags_spike(spark):
+    import datetime as dt
+
+    # 30 steady hours of 10 events, then an hour with 100
+    rows = []
+    eid = 0
+    for h in range(30):
+        n = 100 if h == 29 else 10
+        for j in range(n):
+            rows.append((eid, 1, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h, seconds=j)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r["bucket_start"]: r for r in
+           tp.volume_anomalies(df, trailing=24, k=4.0).collect()}
+    assert len(out) == 30
+    spike = out["2024-01-02 05:00:00"]
+    # constant history -> std 0 -> z undefined, flagged via the
+    # zero-variance equality path
+    assert spike["n"] == 100 and spike["anomaly"] and spike["z"] is None
+    # steady hours after warm-up: no anomaly; warm-up hours: NULL stats
+    assert not out["2024-01-02 04:00:00"]["anomaly"]
+    assert out["2024-01-01 05:00:00"]["trail_mean"] is None
