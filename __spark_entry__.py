@@ -622,6 +622,22 @@ def q_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_exact_duplicates(docs).select("doc_id")
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle containment n_common/min(n_a,n_b) —
+    catches short-doc-quoted-in-long-doc pairs Jaccard misses."""
+    from json_validator_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _load_spread(spark, sf_dir, "documents"), k=3, threshold=0.5, max_df=None
+    ).select(
+        "doc_id_a", "doc_id_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "containment",
+    )
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1804,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_filter": q_dedup_filter,
         "dedup_jaccard": q_dedup_jaccard,
+        "containment": q_containment,
         "dedup_minhash": q_dedup_minhash,
         "snapshot_diff": q_snapshot_diff,
         "dedup_incremental": q_dedup_incremental,
@@ -2866,6 +2883,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_jaccard": _JACCARD_SQL_TMPL.replace("__DOCSRC__", "documents").replace(
             "__THRESH__", "0.1"
+        ),
+        "containment": _JACCARD_SQL_TMPL.replace("__DOCSRC__", "documents")
+        .replace(
+            "round(n_common / (sa.n + sb.n - n_common)::DOUBLE, 6) AS jaccard",
+            "round(n_common / least(sa.n, sb.n)::DOUBLE, 6) AS containment",
+        )
+        .replace(
+            "WHERE n_common / (sa.n + sb.n - n_common)::DOUBLE >= __THRESH__",
+            "WHERE n_common / least(sa.n, sb.n)::DOUBLE >= 0.5",
         ),
         "dedup_minhash": (
             "SELECT doc_id_a, doc_id_b, jaccard FROM ("

@@ -798,3 +798,55 @@ def fuzzy_key_pairs(
         .distinct()
     )
     return cand.filter(F.levenshtein("key_a", "key_b") <= 1)
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Doc pairs by shingle-set CONTAINMENT (Broder): ``n_common /
+    min(n_a, n_b)`` — the asymmetric near-dup measure Jaccard misses:
+    a short document quoted verbatim inside a long one scores
+    containment ≈ 1 while Jaccard stays near |short| / |long| ≈ 0.
+    ``(doc_id_a, doc_id_b, n_common, n_a, n_b, containment)`` with
+    a < b, containment ≥ threshold, rounded to 6.
+
+    Same plan shape (and skew discipline) as ``ngram_jaccard_pairs``:
+    one explode, optional ``max_df`` boilerplate cap, one shuffle join
+    on the shingle, one pair groupBy — all partial-aggregated."""
+    sh = doc_shingles(df, text_col, id_col, k)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnsRenamed({"doc_id": "doc_id_a", "n_sh": "n_a"}), "doc_id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_id_b", "n_sh": "n_b"}), "doc_id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_common") / F.least("n_a", "n_b").cast("double"), 6
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return out.select("doc_id_a", "doc_id_b", "n_common", "n_a", "n_b", "containment")

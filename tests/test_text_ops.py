@@ -836,3 +836,26 @@ def test_fuzzy_key_pairs(spark):
     assert out[("alice", "alise")] == (2, 1)
     # identical keys are ONE histogram row — never paired with themselves
     assert ("alice", "alice") not in out
+
+
+def test_containment_vs_jaccard_asymmetry(spark):
+    """A short doc quoted inside a long one: containment ~= 1 while
+    Jaccard stays low — the case the symmetric measure misses."""
+    from json_validator_spark.operators.dedup import (
+        containment_pairs, ngram_jaccard_pairs)
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"word{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "totally different content here")],
+        "doc_id long, text string",
+    )
+    cont = containment_pairs(df, k=3, threshold=0.8, max_df=None).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["doc_id_a"], r["doc_id_b"]) == (1, 2)
+    assert r["containment"] == 1.0
+    # the same pair under Jaccard scores low
+    jac = ngram_jaccard_pairs(df, k=3, threshold=0.0001, max_df=None).collect()
+    j12 = [x for x in jac if (x["doc_id_a"], x["doc_id_b"]) == (1, 2)][0]
+    assert j12["jaccard"] < 0.15
