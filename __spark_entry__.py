@@ -423,6 +423,18 @@ def q_grouped_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cat_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample chi-square homogeneity on event_type between the
+    even/odd halves — categorical drift where binned PSI/KS don't
+    apply."""
+    from json_validator_spark.operators.set_checks import categorical_drift_chi2
+
+    ev = _load(spark, sf_dir, "events")
+    return categorical_drift_chi2(
+        ev, "event_type", F.col("event_id") % 2 == 0, threshold=30.0
+    )
+
+
 def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly ingest-volume anomaly detection vs the trailing-24h
     mean/std (warm-up hours emit NULL stats; zero-variance history
@@ -1808,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_psi": q_grouped_psi,
         "grouped_ks": q_grouped_ks,
         "volume_anomaly": q_volume_anomaly,
+        "cat_drift": q_cat_drift,
         "grouped_tdigest": q_grouped_tdigest,
         "frequency_cap": q_frequency_cap,
         "value_ranks": q_value_ranks,
@@ -2538,6 +2551,38 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value::DOUBLE, 0.89), 6),
                    round(quantile_cont(value::DOUBLE, 0.91), 6), true
             FROM events GROUP BY event_type
+        """,
+        "cat_drift": """
+            WITH counts AS (
+              SELECT coalesce(event_type::VARCHAR, chr(0)||'null') AS cat,
+                     sum((event_id % 2 = 0)::INT) AS nb,
+                     sum(1 - (event_id % 2 = 0)::INT) AS nc
+              FROM events GROUP BY 1
+            ), cells AS (
+              SELECT nb, nc,
+                     sum(nb) OVER () AS tb, sum(nc) OVER () AS tc,
+                     sum(nb) OVER () + sum(nc) OVER () AS grand
+              FROM counts
+            ), terms AS (
+              SELECT tb, tc,
+                     round(
+                       (nb - (nb + nc)::DOUBLE * tb::DOUBLE / grand::DOUBLE)
+                         * (nb - (nb + nc)::DOUBLE * tb::DOUBLE / grand::DOUBLE)
+                         / ((nb + nc)::DOUBLE * tb::DOUBLE / grand::DOUBLE)
+                       + (nc - (nb + nc)::DOUBLE * tc::DOUBLE / grand::DOUBLE)
+                         * (nc - (nb + nc)::DOUBLE * tc::DOUBLE / grand::DOUBLE)
+                         / ((nb + nc)::DOUBLE * tc::DOUBLE / grand::DOUBLE), 6) AS term
+              FROM cells
+            ), agg AS (
+              SELECT 'event_type' AS col, max(tb)::BIGINT AS n_base,
+                     max(tc)::BIGINT AS n_cur,
+                     count(*) AS n_categories,
+                     round(sum(term), 4) AS chi2
+              FROM terms
+            )
+            SELECT col, n_base, n_cur, n_categories, chi2,
+                   n_categories - 1 AS dof, chi2 > 30.0 AS drifted
+            FROM agg
         """,
         "volume_anomaly": """
             WITH counts AS (

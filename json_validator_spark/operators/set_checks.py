@@ -1128,3 +1128,65 @@ def grouped_drift_ks(
         )
         .withColumn("drifted", F.col("ks") > threshold)
     )
+
+
+def categorical_drift_chi2(
+    df: DataFrame,
+    cat_col: str,
+    is_baseline: Column,
+    threshold: float = 30.0,
+) -> DataFrame:
+    """Two-sample chi-square homogeneity test on a CATEGORICAL column —
+    the drift family's member for unordered domains where binned
+    PSI/KS don't apply (event types, sources, languages): did the
+    category mix shift between the baseline and current halves? One
+    row: ``(col, n_base, n_cur, n_categories, chi2, dof, drifted)``
+    with the textbook expected counts ``e = row_total · col_total /
+    grand`` and ``chi2 = Σ (o − e)²/e`` over both samples (rounded
+    terms, the cross-engine float contract); ``dof = n_categories − 1``.
+
+    Shape: one partial-agg groupBy on the category (the only
+    corpus-sized exchange) splits counts by the flag; grand/sample
+    totals ride windows over the category frame; NULL is its own
+    category."""
+    from pyspark.sql import Window as W
+
+    flag = is_baseline.cast("int")
+    counts = (
+        df.select(
+            F.coalesce(F.col(cat_col).cast("string"), F.lit("\x00null")).alias("cat"),
+            flag.alias("base"),
+        )
+        .groupBy("cat")
+        .agg(
+            F.sum("base").alias("nb"),
+            F.sum(1 - F.col("base")).alias("nc"),
+        )
+    )
+    all_w = W.partitionBy()
+    cells = counts.select(
+        "nb", "nc",
+        F.sum("nb").over(all_w).alias("tb"),
+        F.sum("nc").over(all_w).alias("tc"),
+    ).withColumn("grand", F.col("tb") + F.col("tc"))
+    # double-first arithmetic: long*long row_tot*tb overflows once
+    # category and sample totals both approach 2^31-scale counts
+    row_tot = (F.col("nb") + F.col("nc")).cast("double")
+    eb = row_tot * F.col("tb").cast("double") / F.col("grand").cast("double")
+    ec = row_tot * F.col("tc").cast("double") / F.col("grand").cast("double")
+    term = F.round(
+        (F.col("nb") - eb) * (F.col("nb") - eb) / eb
+        + (F.col("nc") - ec) * (F.col("nc") - ec) / ec,
+        6,
+    )
+    return (
+        cells.agg(
+            F.lit(cat_col).alias("col"),
+            F.max("tb").alias("n_base"),
+            F.max("tc").alias("n_cur"),
+            F.count(F.lit(1)).alias("n_categories"),
+            F.round(F.sum(term), 4).alias("chi2"),
+        )
+        .withColumn("dof", F.col("n_categories") - 1)
+        .withColumn("drifted", F.col("chi2") > threshold)
+    )

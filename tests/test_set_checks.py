@@ -446,3 +446,17 @@ def test_grouped_drift_ks_localizes_shift(spark):
     ).collect()}
     assert out["stable"]["ks"] == 0.0 and not out["stable"]["drifted"]
     assert out["shift"]["ks"] == 1.0 and out["shift"]["drifted"]
+
+
+def test_categorical_drift_chi2(spark):
+    # identical halves -> chi2 = 0; shifted mix -> large chi2
+    same = [(i, "a" if i % 4 < 2 else "b") for i in range(400)]
+    df = spark.createDataFrame(same, "i long, cat string")
+    r = sc.categorical_drift_chi2(df, "cat", F.col("i") % 2 == 0).first()
+    assert r["chi2"] == 0.0 and not r["drifted"]
+    assert (r["n_base"], r["n_cur"], r["dof"]) == (200, 200, 1)
+    shifted = [(i, "a" if (i % 2 == 0) == (i % 3 == 0) else "b")
+               for i in range(600)]
+    df2 = spark.createDataFrame(shifted, "i long, cat string")
+    r2 = sc.categorical_drift_chi2(df2, "cat", F.col("i") % 2 == 0).first()
+    assert r2["chi2"] > 30 and r2["drifted"]
