@@ -230,6 +230,7 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_step_gap_minutes: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel conversion: for each user, greedily match the
     ``steps`` sequence against their chronologically-ordered events —
@@ -239,7 +240,11 @@ def funnel(
     Returns ``(user, steps_completed, step_ts)`` where ``step_ts[i]``
     is the microsecond tick of the matched step *i* (NULL-free array,
     length = steps_completed); users with no step-typed events at all
-    are not emitted.
+    are not emitted. With ``max_step_gap_minutes`` set, step *i+1*
+    additionally must occur within that window of the matched step *i*
+    (the conversion-window form real funnels are specified in); the
+    greedy earliest match stays optimal because taking an earlier
+    event for step *i* can only widen the window for step *i+1*.
 
     Shape: filter to step types (narrow, pushed to the scan) → ONE
     hash exchange on the user → per-user sorted event array → a single
@@ -266,10 +271,22 @@ def funnel(
     # fold state: array of matched ticks; F.get returns NULL (not an
     # ANSI error) past the end, so the strict-after check coalesces to
     # true for the first step
+    gap_us = (
+        max_step_gap_minutes * 60 * 1_000_000
+        if max_step_gap_minutes is not None
+        else None
+    )
+
     def _merge(acc, x):
+        prev = F.get(acc, F.size(acc) - 1)
+        after_prev = F.coalesce(x["us"] > prev, F.lit(True))
+        if gap_us is not None:
+            after_prev = after_prev & F.coalesce(
+                x["us"] - prev <= F.lit(gap_us), F.lit(True)
+            )
         matches = (F.size(acc) < k) & (
             x["t"] == F.element_at(steps_lit, F.size(acc) + 1)
-        ) & F.coalesce(x["us"] > F.get(acc, F.size(acc) - 1), F.lit(True))
+        ) & after_prev
         return F.when(matches, F.concat(acc, F.array(x["us"]))).otherwise(acc)
 
     state = F.aggregate(

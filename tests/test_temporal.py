@@ -193,3 +193,26 @@ def test_volume_anomalies_flags_spike(spark):
     # steady hours after warm-up: no anomaly; warm-up hours: NULL stats
     assert not out["2024-01-02 04:00:00"]["anomaly"]
     assert out["2024-01-01 05:00:00"]["trail_mean"] is None
+
+
+def test_funnel_conversion_window(spark):
+    rows = [
+        (1, 1, "view", _ts(0)),
+        (2, 1, "click", _ts(90)),     # 90m after view: outside a 60m window
+        (3, 1, "click", _ts(30)),     # within 60m -> this one matches
+        (4, 2, "view", _ts(0)),
+        (5, 2, "click", _ts(120)),    # only click is outside the window
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {r["user_id"]: r for r in
+           tp.funnel(df, ["view", "click"], max_step_gap_minutes=60).collect()}
+    assert out[1]["steps_completed"] == 2
+    # the matched click is the 30m one (greedy within the window)
+    assert out[1]["step_ts"][1] - out[1]["step_ts"][0] == 30 * 60 * 1_000_000
+    assert out[2]["steps_completed"] == 1
+    # without the window, user 2 completes both
+    unbounded = {r["user_id"]: r["steps_completed"] for r in
+                 tp.funnel(df, ["view", "click"]).collect()}
+    assert unbounded[2] == 2
