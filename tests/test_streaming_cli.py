@@ -479,3 +479,39 @@ def test_session_stream_across_restarts(tmp_path, spark):
     batch = {str(r["event_id"]): r["session_idx"] for r in sessionize(
         spark.read.parquet(landing), gap_minutes=30).collect()}
     assert batch == {k: v[0] for k, v in got2.items()}
+
+
+def test_running_stats_stream_across_restarts(tmp_path, spark):
+    """Welford-state running stats: after a restart the merged lifetime
+    moments equal a batch computation over ALL events ever seen, to
+    float precision — state carries (n, mean, M2, min, max)."""
+    import statistics
+
+    from json_validator_spark.streaming.stats_stream import running_stats_stream
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_type string, value double"
+
+    b1 = [("a", v) for v in (1.0, 2.0, 3.0)] + [("b", 10.0)]
+    spark.createDataFrame(b1, schema).write.parquet(landing)
+    q = running_stats_stream(spark, landing, schema, out, ckpt)
+    q.awaitTermination(120)
+    got1 = {r["key"]: r for r in spark.read.parquet(f"{out}/stats").collect()}
+    assert got1["a"]["n"] == 3 and got1["a"]["mean"] == 2.0
+    assert got1["b"]["n"] == 1 and got1["b"]["std"] == 0.0
+
+    # restart with more data for 'a' only
+    b2 = [("a", v) for v in (4.0, 100.0)]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(landing)
+    q2 = running_stats_stream(spark, landing, schema, out, ckpt)
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(f"{out}/stats").collect()
+    a = max((r for r in rows if r["key"] == "a"), key=lambda r: r["n"])
+    all_a = [1.0, 2.0, 3.0, 4.0, 100.0]
+    assert a["n"] == 5
+    assert a["mean"] == round(statistics.mean(all_a), 6)
+    assert a["std"] == round(statistics.stdev(all_a), 6)
+    assert (a["min"], a["max"]) == (1.0, 100.0)
+    assert a["batch_n"] == 2 and a["batch_mean"] == 52.0
