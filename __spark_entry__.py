@@ -248,6 +248,19 @@ def q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fd_violations(_load(spark, sf_dir, "orders"), "o_custkey", "o_orderstatus")
 
 
+def q_fd_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-determinant FD: (l_orderkey, l_returnflag) →
+    l_linestatus — multi-column functional dependency with the
+    '|'-joined key tuple as the violation subject."""
+    from json_validator_spark.operators.set_checks import fd_violations
+
+    return fd_violations(
+        _load(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_returnflag"],
+        "l_linestatus",
+    )
+
+
 def q_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimensional completeness over events: every observed event_type
     is expected in every observed hour; silent (type, hour) cells are
@@ -1805,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_violations": q_stats_violations,
         "outlier_mad": q_outlier_mad,
         "fd_check": q_fd_check,
+        "fd_composite": q_fd_composite,
         "completeness": q_completeness,
         "sessions": q_sessions,
         "rate_limit": q_rate_limit,
@@ -2445,6 +2459,18 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(value::DOUBLE - med) / mad, 4) AS zscore
             FROM events, m
             WHERE value IS NOT NULL AND abs(value::DOUBLE - med) > 6.0 * mad
+        """,
+        "fd_composite": """
+            SELECT l_orderkey::VARCHAR || '|' || l_returnflag AS doc_id,
+                   '/l_linestatus' AS span_path,
+                   'fd.l_orderkey,l_returnflag->l_linestatus' AS rule_id,
+                   'warning' AS severity,
+                   'functional dependency l_orderkey,l_returnflag->l_linestatus violated: '
+                     || count(DISTINCT l_linestatus)::VARCHAR
+                     || ' distinct values in ' || count(l_linestatus)::VARCHAR
+                     || ' rows' AS message
+            FROM lineitem GROUP BY l_orderkey, l_returnflag
+            HAVING count(DISTINCT l_linestatus) > 1
         """,
         "fd_check": """
             SELECT o_custkey::VARCHAR AS doc_id, '/o_orderstatus' AS span_path,

@@ -565,7 +565,7 @@ def robust_outlier_violations(
 
 def fd_violations(
     df: DataFrame,
-    determinant: str,
+    determinant: str | Sequence[str],
     dependent: str,
     rule_id: str | None = None,
     severity: str = "warning",
@@ -582,22 +582,32 @@ def fd_violations(
     Catalyst plans the distinct-agg as two cascaded partial-agg
     exchanges keyed on (det, dep) then (det), so each (det, dep) combo
     ships once per input partition regardless of row count; AQE splits
-    a viral determinant. No join, no window."""
-    rid = rule_id or f"fd.{determinant}->{dependent}"
+    a viral determinant. No join, no window. ``determinant`` may be a
+    list of columns — a COMPOSITE determinant (the multi-column FDs
+    real schemas have); the violation subject is then the
+    '|'-joined key tuple."""
+    det = [determinant] if isinstance(determinant, str) else list(determinant)
+    det_name = ",".join(det)
+    rid = rule_id or f"fd.{det_name}->{dependent}"
+    subject = (
+        F.col(det[0]).cast("string")
+        if len(det) == 1
+        else F.concat_ws("|", *[F.col(c).cast("string") for c in det])
+    )
     return (
-        df.groupBy(determinant)
+        df.groupBy(*det)
         .agg(
             F.countDistinct(dependent).alias("n_distinct"),
             F.count(dependent).alias("n_rows"),
         )
         .filter(F.col("n_distinct") > 1)
         .select(
-            F.col(determinant).cast("string").alias("doc_id"),
+            subject.alias("doc_id"),
             F.lit(f"/{dependent}").alias("span_path"),
             F.lit(rid).alias("rule_id"),
             F.lit(severity).alias("severity"),
             F.concat(
-                F.lit(f"functional dependency {determinant}->{dependent} violated: "),
+                F.lit(f"functional dependency {det_name}->{dependent} violated: "),
                 F.col("n_distinct").cast("string"),
                 F.lit(" distinct values in "),
                 F.col("n_rows").cast("string"),

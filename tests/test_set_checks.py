@@ -460,3 +460,18 @@ def test_categorical_drift_chi2(spark):
     df2 = spark.createDataFrame(shifted, "i long, cat string")
     r2 = sc.categorical_drift_chi2(df2, "cat", F.col("i") % 2 == 0).first()
     assert r2["chi2"] > 30 and r2["drifted"]
+
+
+def test_fd_violations_composite_determinant(spark):
+    df = spark.createDataFrame(
+        [("k1", "x", "a"), ("k1", "x", "a"), ("k1", "y", "a"),
+         ("k1", "y", "b"), ("k2", "x", "c")],
+        "d1 string, d2 string, dep string",
+    )
+    out = sc.fd_violations(df, ["d1", "d2"], "dep").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["doc_id"] == "k1|y" and r["rule_id"] == "fd.d1,d2->dep"
+    # single-column call path unchanged
+    single = sc.fd_violations(df, "d1", "dep").collect()
+    assert {x["doc_id"] for x in single} == {"k1"}
