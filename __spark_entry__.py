@@ -531,6 +531,31 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion report: users per completed-step count plus
+    the median end-to-end conversion time among full completers —
+    composition of the funnel fold and an exact median over the
+    user-count-sized result (exactness affordable there; the corpus
+    never re-aggregates)."""
+    from json_validator_spark.operators.temporal import funnel
+
+    f = funnel(_load(spark, sf_dir, "events"), ["view", "click", "purchase"])
+    dur = F.when(
+        F.col("steps_completed") == 3,
+        (F.get("step_ts", 2) - F.get("step_ts", 0)) / F.lit(1_000_000.0),
+    )
+    return (
+        f.select("steps_completed", dur.alias("dur_s"))
+        .groupBy("steps_completed")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.percentile(F.col("dur_s"), F.lit(0.5)), 6).alias(
+                "median_conversion_s"
+            ),
+        )
+    )
+
+
 def q_grouped_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group robust outliers (each event_type's own median/MAD) —
     the fully distributed grouped weighted-median path: no driver
@@ -1824,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_limit": q_rate_limit,
         "asof_rates": q_asof_rates,
         "funnel": q_funnel,
+        "funnel_rollup": q_funnel_rollup,
         "grouped_outliers": q_grouped_outliers,
         "benford": q_benford,
         "cohorts": q_cohorts,
@@ -2871,6 +2897,37 @@ def oracle_sql() -> dict[str, str]:
                    t1, t2, t3
             FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
                    LEFT JOIN s3 USING (user_id)
+        """,
+        "funnel_rollup": """
+            WITH s1 AS (
+              SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+              GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+              GROUP BY e.user_id
+            ), u AS (
+              SELECT DISTINCT user_id FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+            ), per_user AS (
+              SELECT (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)::INT
+                       AS steps_completed,
+                     CASE WHEN t3 IS NOT NULL
+                          THEN (t3 - t1) / 1000000.0 END AS dur_s
+              FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+                     LEFT JOIN s3 USING (user_id)
+            )
+            SELECT steps_completed, count(*) AS n_users,
+                   round(median(dur_s), 6) AS median_conversion_s
+            FROM per_user GROUP BY steps_completed
         """,
         "rate_limit": """
             WITH c AS (
