@@ -595,6 +595,32 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (view→click→purchase, each step within
+    45 minutes of the previous) — the exact-DP form with re-anchoring:
+    a later step-1 event may convert where the earliest one cannot
+    (greedy undercounts; ADVICE r03 #1). ``steps_completed`` is the
+    true maximum over all event subsequences; ``last_step_us`` is the
+    latest tick at which a maximal chain can end, which the DP's
+    latest-end representative reports by construction. Oracle: a
+    recursive CTE enumerating every viable (user, prefix-length,
+    end-tick) state — the brute-force ground truth."""
+    from json_validator_spark.operators.temporal import funnel
+
+    f = funnel(
+        _load(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        max_step_gap_minutes=45,
+    )
+    return f.select(
+        "user_id",
+        "steps_completed",
+        F.when(
+            F.col("steps_completed") > 0, F.element_at("step_ts", -1)
+        ).alias("last_step_us"),
+    )
+
+
 def q_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.set_checks import referential_violations
 
@@ -1849,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_limit": q_rate_limit,
         "asof_rates": q_asof_rates,
         "funnel": q_funnel,
+        "funnel_windowed": q_funnel_windowed,
         "funnel_rollup": q_funnel_rollup,
         "grouped_outliers": q_grouped_outliers,
         "benford": q_benford,
@@ -2898,6 +2925,41 @@ def oracle_sql() -> dict[str, str]:
             FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
                    LEFT JOIN s3 USING (user_id)
         """,
+        # funnel_windowed: brute-force ground truth — a recursive CTE
+        # enumerates EVERY viable (user, prefix-length, end-tick) state
+        # under the strictly-after + 45m-gap constraints; max(j) is the
+        # true optimum the engine's DP must reach, and max(last_us) at
+        # that depth is the DP's latest-end representative.
+        "funnel_windowed": """
+            WITH RECURSIVE chains AS (
+              SELECT user_id, 1 AS j, epoch_us(ts) AS last_us
+              FROM events WHERE event_type = 'view'
+              UNION
+              SELECT e.user_id, c.j + 1, epoch_us(e.ts)
+              FROM chains c JOIN events e ON e.user_id = c.user_id
+              WHERE c.j < 3
+                AND e.event_type = CASE c.j WHEN 1 THEN 'click'
+                                            WHEN 2 THEN 'purchase' END
+                AND epoch_us(e.ts) > c.last_us
+                AND epoch_us(e.ts) - c.last_us <= 2700000000
+            ), u AS (
+              SELECT DISTINCT user_id FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+            ), best AS (
+              SELECT user_id, max(j) AS steps_completed
+              FROM chains GROUP BY user_id
+            ), last_t AS (
+              SELECT c.user_id, max(c.last_us) AS last_step_us
+              FROM chains c
+              JOIN best b ON b.user_id = c.user_id AND c.j = b.steps_completed
+              GROUP BY c.user_id
+            )
+            SELECT u.user_id,
+                   coalesce(b.steps_completed, 0)::INT AS steps_completed,
+                   l.last_step_us
+            FROM u LEFT JOIN best b USING (user_id)
+                   LEFT JOIN last_t l USING (user_id)
+        """,
         "funnel_rollup": """
             WITH s1 AS (
               SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
@@ -3265,14 +3327,14 @@ def oracle_sql() -> dict[str, str]:
             ), r AS (
               SELECT vec_id, i, code,
                      round(abs(x - (CASE WHEN hi = lo THEN lo
-                                         ELSE lo + code * ((hi - lo) / 255.0) END)), 9) AS err
+                                         ELSE lo + code * ((hi - lo) / 255.0) END)), 9) AS err,
+                     (hi - lo) / 510.0 AS half_step
               FROM q
             )
             SELECT vec_id,
                    list(code ORDER BY i) AS codes,
                    round(max(err), 6) AS max_abs_err,
-                   (max(err) <= (SELECT max((hi - lo) / 510.0) FROM stats) + 1e-12)
-                     AS within_bound
+                   bool_and(err <= half_step + 1e-9) AS within_bound
             FROM r GROUP BY vec_id
         """,
         # frame_sample: catalog refs (hex uuid of id), md5-derived

@@ -151,7 +151,7 @@ def quantize_embeddings(
     column — the storage/index-build step an ANN system runs before
     sharding vectors: ``(vec_id, codes array<int>, max_abs_err,
     within_bound)`` where ``within_bound`` asserts the reconstruction
-    error never exceeds half a quantization step (+1 ulp slack) — the
+    error never exceeds half a quantization step (+1e-9 rounding slack), per dimension — the
     correctness invariant of round-to-nearest scalar quantization.
 
     Shape: per-dimension min/max in ONE agg pass of ``2*dim`` aggregate
@@ -188,15 +188,23 @@ def quantize_embeddings(
         # half-step bound: |err| <= scale/2 (+ tiny fp slack); constant dims exact
         errs[-1] = F.round(errs[-1], 9)
     max_err = F.greatest(*errs) if dim > 1 else errs[0]
-    half_step = F.greatest(
-        *[
-            (F.col(f"__hi{i}") - F.col(f"__lo{i}")) / F.lit(2.0 * levels)
-            for i in range(dim)
-        ]
-    )
+    # per-dimension bound: each dimension's error against ITS OWN
+    # half-step (a wide dimension's slack must not mask a narrow
+    # dimension's violation), ANDed across dimensions
+    # 1e-9 slack: errs are reported rounded to 9 decimals, which can
+    # round an exactly-half-step error up by as much as 5e-10
+    bounds = [
+        errs[i]
+        <= (F.col(f"__hi{i}") - F.col(f"__lo{i}")) / F.lit(2.0 * levels)
+        + F.lit(1e-9)
+        for i in range(dim)
+    ]
+    within = bounds[0]
+    for b in bounds[1:]:
+        within = within & b
     return joined.select(
         "vec_id",
         F.array(*codes).alias("codes"),
         F.round(max_err, 6).alias("max_abs_err"),
-        (max_err <= half_step + F.lit(1e-12)).alias("within_bound"),
+        within.alias("within_bound"),
     )

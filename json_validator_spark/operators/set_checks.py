@@ -1199,4 +1199,8 @@ def categorical_drift_chi2(
         )
         .withColumn("dof", F.col("n_categories") - 1)
         .withColumn("drifted", F.col("chi2") > threshold)
+        # two-sided guard (grouped_drift_psi/ks discipline): a one-sided
+        # sample (all baseline or all current) has zero expected counts
+        # → chi2 undefined; emit no row instead of NULL/NaN
+        .filter((F.col("n_base") > 0) & (F.col("n_cur") > 0))
     )

@@ -156,20 +156,29 @@ def asof_join(
 
     Union-window technique: tag both sides, union, ONE hash exchange on
     the join key, per-partition sort on (ts, side) with snapshots
-    ordered before events at equal timestamps, then
-    ``last(value, ignorenulls=True)`` carries each snapshot forward to
-    the events that follow it. No range join (which Catalyst would plan
-    as a broadcast-nested-loop or an exploded interval join), no per-row
-    probe; cost is one shuffle + one sort of |left| + |right|. The key
-    must be real (partitioning = the ``on`` column); a single global
-    key would single-task the sort — use the broadcast-array variant in
-    that case."""
+    ordered before events at equal timestamps, then a SINGLE
+    ``last(struct, ignorenulls=True)`` carries each snapshot row — its
+    timestamp and every value column together — forward to the events
+    that follow it. Carrying one struct (not one ``last`` per column)
+    guarantees all carried fields come from the SAME snapshot row even
+    when a value column is NULL in the latest qualifying snapshot: the
+    event then reports that snapshot's NULL, never an older snapshot's
+    stale value (the DuckDB ``ASOF JOIN`` row-level contract). No range
+    join (which Catalyst would plan as a broadcast-nested-loop or an
+    exploded interval join), no per-row probe; cost is one shuffle +
+    one sort of |left| + |right|. The key must be real (partitioning =
+    the ``on`` column); a single global key would single-task the
+    sort — use the broadcast-array variant in that case."""
     lcols = left.columns
+    rdt = dict(right.dtypes)
+    pack_type = (
+        "struct<__snap:" + rdt[right_ts] + ","
+        + ",".join(f"`{v}`:{rdt[v]}" for v in value_cols) + ">"
+    )
     tagged_l = left.select(
         *lcols,
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(dict(right.dtypes)[v]).alias(f"__v_{v}") for v in value_cols],
-        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__snap_ts"),
+        F.lit(None).cast(pack_type).alias("__pack"),
     )
     tagged_r = right.select(
         *[
@@ -180,22 +189,22 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias("__side"),
-        *[F.col(v).alias(f"__v_{v}") for v in value_cols],
-        F.col(right_ts).alias("__snap_ts"),
+        F.struct(
+            F.col(right_ts).alias("__snap"),
+            *[F.col(v).alias(v) for v in value_cols],
+        ).cast(pack_type).alias("__pack"),
     )
     w = (
         Window.partitionBy(on)
         .orderBy(_us(F.col(left_ts)), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    snap = F.last("__pack", ignorenulls=True).over(w)
     carried = tagged_l.unionByName(tagged_r).select(
         *lcols,
         "__side",
-        *[
-            F.last(f"__v_{v}", ignorenulls=True).over(w).alias(v)
-            for v in value_cols
-        ],
-        F.last("__snap_ts", ignorenulls=True).over(w).alias("snap_ts"),
+        *[snap.getField(v).alias(v) for v in value_cols],
+        snap.getField("__snap").alias("snap_ts"),
     )
     return carried.filter(F.col("__side") == 1).drop("__side")
 
@@ -232,28 +241,40 @@ def funnel(
     type_col: str = "event_type",
     max_step_gap_minutes: int | None = None,
 ) -> DataFrame:
-    """Ordered-funnel conversion: for each user, greedily match the
-    ``steps`` sequence against their chronologically-ordered events —
-    step *i+1* counts only strictly AFTER the matched step *i* (the
-    greedy earliest match is optimal for funnels: taking the earliest
-    possible event for each step can never complete fewer steps).
-    Returns ``(user, steps_completed, step_ts)`` where ``step_ts[i]``
-    is the microsecond tick of the matched step *i* (NULL-free array,
-    length = steps_completed); users with no step-typed events at all
-    are not emitted. With ``max_step_gap_minutes`` set, step *i+1*
-    additionally must occur within that window of the matched step *i*
-    (the conversion-window form real funnels are specified in); the
-    greedy earliest match stays optimal because taking an earlier
-    event for step *i* can only widen the window for step *i+1*.
+    """Ordered-funnel conversion: for each user, match the ``steps``
+    sequence against their chronologically-ordered events — step *i+1*
+    counts only strictly AFTER the matched step *i*. Returns ``(user,
+    steps_completed, step_ts)`` where ``step_ts[i]`` is the microsecond
+    tick of the matched step *i* (NULL-free array, length =
+    steps_completed); users with no step-typed events at all are not
+    emitted.
+
+    Unwindowed form: greedy-earliest per step, which is optimal (taking
+    the earliest possible event for each step can never complete fewer
+    steps). With ``max_step_gap_minutes`` set, step *i+1* additionally
+    must occur within that window of the matched step *i* — and greedy
+    is NOT optimal there (matching step *i* earlier NARROWS the
+    ``(t_i, t_i+gap]`` window for step *i+1*: view@0, view@100m,
+    click@130m with a 60m window converts only via the LATER view), so
+    the windowed form runs an exact DP instead: for every prefix length
+    *j* it keeps the two latest-distinct-ending viable chains. Two
+    suffice — a future event at tick *v* extends the chain whose end is
+    the largest tick < *v* within the gap; that is either the latest
+    chain (if it ends before *v*) or, when it ties *v* exactly, the
+    second-latest (strictly earlier by construction). ``step_ts`` is
+    the maximal-length chain with the LATEST end tick (deterministic:
+    ties keep the first-recorded chain). ``steps_completed`` is the
+    true maximum over all event subsequences in both forms.
 
     Shape: filter to step types (narrow, pushed to the scan) → ONE
     hash exchange on the user → per-user sorted event array → a single
-    ``aggregate`` fold whose state is the matched-tick array. The fold
-    compares ticks, not array positions, so same-tick ties resolve
-    identically to the SQL ``min(ts) > prev`` formulation regardless of
-    sort tie order. Per-user array size = that user's step-typed event
-    count — the same viral-user skew budget as ``sessionize`` (cap
-    upstream if a key can exceed memory)."""
+    ``aggregate`` fold (state: matched-tick array, or the k×2 chain
+    table for the windowed DP — O(k²) per event, k = funnel depth).
+    The fold compares ticks, not array positions, so same-tick ties
+    resolve identically to the SQL ``min(ts) > prev`` formulation
+    regardless of sort tie order. Per-user array size = that user's
+    step-typed event count — the same viral-user skew budget as
+    ``sessionize`` (cap upstream if a key can exceed memory)."""
     k = len(steps)
     if k < 2:
         raise ValueError("a funnel needs at least two steps")
@@ -268,34 +289,99 @@ def funnel(
             ).alias("__seq")
         )
     )
-    # fold state: array of matched ticks; F.get returns NULL (not an
-    # ANSI error) past the end, so the strict-after check coalesces to
-    # true for the first step
     gap_us = (
         max_step_gap_minutes * 60 * 1_000_000
         if max_step_gap_minutes is not None
         else None
     )
+    if gap_us is None:
+        # greedy-earliest fold (optimal without a window); state: array
+        # of matched ticks. F.get returns NULL (not an ANSI error) past
+        # the end, so the strict-after check coalesces to true for the
+        # first step.
+        def _merge(acc, x):
+            prev = F.get(acc, F.size(acc) - 1)
+            after_prev = F.coalesce(x["us"] > prev, F.lit(True))
+            matches = (F.size(acc) < k) & (
+                x["t"] == F.element_at(steps_lit, F.size(acc) + 1)
+            ) & after_prev
+            return F.when(matches, F.concat(acc, F.array(x["us"]))).otherwise(acc)
+
+        state = F.aggregate(
+            F.col("__seq"), F.array().cast("array<bigint>"), _merge
+        )
+        return seq.select(
+            "user_id",
+            F.size(state).alias("steps_completed"),
+            state.alias("step_ts"),
+        )
+
+    # windowed form — exact DP with re-anchoring. State: for each
+    # prefix length j (1..k) the chain of matched ticks whose END tick
+    # is the latest achievable (c1) plus the latest chain ending
+    # STRICTLY earlier (c2). Each event updates every j from the
+    # PRE-event state (one transform over the state array), so a step
+    # never matches itself as its own predecessor.
+    empty = F.array().cast("array<bigint>")
+    init = F.transform(
+        F.sequence(F.lit(1), F.lit(k)),
+        lambda j: F.struct(
+            F.lit(None).cast("array<bigint>").alias("c1"),
+            F.lit(None).cast("array<bigint>").alias("c2"),
+        ),
+    )
 
     def _merge(acc, x):
-        prev = F.get(acc, F.size(acc) - 1)
-        after_prev = F.coalesce(x["us"] > prev, F.lit(True))
-        if gap_us is not None:
-            after_prev = after_prev & F.coalesce(
-                x["us"] - prev <= F.lit(gap_us), F.lit(True)
-            )
-        matches = (F.size(acc) < k) & (
-            x["t"] == F.element_at(steps_lit, F.size(acc) + 1)
-        ) & after_prev
-        return F.when(matches, F.concat(acc, F.array(x["us"]))).otherwise(acc)
+        u, t = x["us"], x["t"]
 
-    state = F.aggregate(
-        F.col("__seq"), F.array().cast("array<bigint>"), _merge
-    )
+        def upd(st, i0):
+            j = i0 + F.lit(1)  # 1-based step index
+            type_ok = t == F.element_at(steps_lit, j.cast("int"))
+
+            def viable(chain):
+                lastu = F.element_at(chain, -1)
+                return (
+                    chain.isNotNull()
+                    & (lastu < u)
+                    & (u - lastu <= F.lit(gap_us))
+                )
+
+            # lazy CASE keeps element_at(acc, 0) from ever evaluating
+            prev = F.when(
+                j > 1, F.element_at(acc, (j - 1).cast("int"))
+            )
+            pred = F.when(j == 1, empty).otherwise(
+                F.when(viable(prev["c1"]), prev["c1"]).otherwise(
+                    F.when(viable(prev["c2"]), prev["c2"])
+                )
+            )
+            cand = F.concat(pred, F.array(u))  # NULL pred → NULL cand
+            old1 = st["c1"]
+            last1 = F.element_at(old1, -1)
+            take = type_ok & cand.isNotNull()
+            # equal end ticks are interchangeable for the future — on a
+            # tie keep the incumbent (deterministic representative)
+            promote = take & (old1.isNull() | (u > last1))
+            return F.struct(
+                F.when(promote, cand).otherwise(old1).alias("c1"),
+                F.when(promote & old1.isNotNull(), old1)
+                .otherwise(st["c2"])
+                .alias("c2"),
+            )
+
+        return F.transform(acc, upd)
+
+    state = F.aggregate(F.col("__seq"), init, _merge)
+    # achievable prefixes are contiguous (any length-j chain contains a
+    # length-(j-1) prefix chain), so the non-null c1 entries form a
+    # prefix of the state array
+    done = F.filter(state, lambda st: st["c1"].isNotNull())
     return seq.select(
         "user_id",
-        F.size(state).alias("steps_completed"),
-        state.alias("step_ts"),
+        F.size(done).alias("steps_completed"),
+        F.coalesce(
+            F.when(F.size(done) > 0, F.element_at(done, -1)["c1"]), empty
+        ).alias("step_ts"),
     )
 
 

@@ -166,8 +166,16 @@ def jsonl_corrupt_violations(df: DataFrame) -> DataFrame:
     """Violation rows for non-blank lines that failed JSON parsing. A
     corrupt line has no usable id, so the doc_id is a content-derived
     surrogate (``corrupt:`` + md5 of the raw line) — deterministic,
-    partition-invariant, collision-safe for reporting purposes."""
-    corrupt = F.col("_doc").isNotNull() & F.col("_doc._cr").isNotNull()
+    partition-invariant, collision-safe for reporting purposes.
+
+    Three buckets make valid ∪ corrupt exhaustive over non-blank lines:
+    (1) parse failures (``_cr`` captured), (2) the literal ``null``
+    document and (3) any other non-blank line ``from_json`` maps to a
+    NULL struct — (2)/(3) would otherwise vanish from BOTH
+    ``jsonl_valid`` and this report, silently losing input rows."""
+    corrupt = (F.col("_doc").isNotNull() & F.col("_doc._cr").isNotNull()) | (
+        F.col("_doc").isNull() & (F.trim(F.col("_raw")) != "")
+    )
     return df.filter(corrupt).select(
         F.concat(F.lit("corrupt:"), F.md5("_raw")).alias("doc_id"),
         F.lit("/").alias("span_path"),

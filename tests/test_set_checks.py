@@ -475,3 +475,18 @@ def test_fd_violations_composite_determinant(spark):
     # single-column call path unchanged
     single = sc.fd_violations(df, "d1", "dep").collect()
     assert {x["doc_id"] for x in single} == {"k1"}
+
+
+def test_categorical_drift_chi2_one_sided_guard(spark):
+    """ADVICE r03 #2: an all-baseline (or all-current) sample has zero
+    expected counts — emit NO row (sibling grouped_drift_psi/ks
+    discipline) instead of a silent NULL/NaN chi2."""
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(10)], "i long, cat string"
+    )
+    assert sc.categorical_drift_chi2(df, "cat", F.lit(True)).count() == 0
+    assert sc.categorical_drift_chi2(df, "cat", F.lit(False)).count() == 0
+    # empty input likewise emits nothing
+    assert sc.categorical_drift_chi2(
+        df.filter(F.lit(False)), "cat", F.col("i") % 2 == 0
+    ).count() == 0

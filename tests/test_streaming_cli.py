@@ -515,3 +515,34 @@ def test_running_stats_stream_across_restarts(tmp_path, spark):
     assert a["std"] == round(statistics.stdev(all_a), 6)
     assert (a["min"], a["max"]) == (1.0, 100.0)
     assert a["batch_n"] == 2 and a["batch_mean"] == 52.0
+
+
+def test_jsonl_null_struct_lines_reported_not_dropped(tmp_path, spark):
+    """ADVICE r03 #5: a non-blank line that from_json maps to a NULL
+    struct (the literal ``null``, a bare scalar) must land in the
+    corrupt bucket — previously it vanished from BOTH jsonl_valid and
+    jsonl_corrupt_violations. Blank lines stay silently skipped."""
+    from json_validator_spark.sources.ingest import (
+        jsonl_corrupt_violations,
+        jsonl_valid,
+        load_jsonl,
+    )
+
+    src = tmp_path / "docs.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "lang": "en"}\n'
+        "null\n"
+        "\n"
+        "   \n"
+        "{broken\n"
+    )
+    df = load_jsonl(spark, str(src), "doc_id long, lang string")
+    valid = jsonl_valid(df).collect()
+    corrupt = jsonl_corrupt_violations(df).collect()
+    assert [r["doc_id"] for r in valid] == [1]
+    # 'null' and '{broken' each get a violation; blank lines do not
+    assert len(corrupt) == 2
+    assert all(r["rule_id"] == "corrupt.document" for r in corrupt)
+    assert all(r["doc_id"].startswith("corrupt:") for r in corrupt)
+    # exhaustive: every non-blank input line is either valid or reported
+    assert len(valid) + len(corrupt) == 3

@@ -13,6 +13,10 @@ def _ts(minute: float) -> dt.datetime:
     return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minute)
 
 
+# microsecond tick of _ts(0): 2024-01-01T00:00 UTC (session tz is UTC)
+_E = 1_704_067_200 * 1_000_000
+
+
 def test_sessionize_gap_boundary(spark):
     # gaps: 29m59.999s stays in-session, exactly 30m stays (> means strict),
     # 30m + 1us breaks
@@ -216,3 +220,82 @@ def test_funnel_conversion_window(spark):
     unbounded = {r["user_id"]: r["steps_completed"] for r in
                  tp.funnel(df, ["view", "click"]).collect()}
     assert unbounded[2] == 2
+
+
+def test_funnel_window_reanchors_on_later_step1(spark):
+    """ADVICE r03 #1 counterexample: view@0, view@100m, click@130m with a
+    60m window — greedy anchored at view@0 finds nothing; the exact DP
+    re-anchors on view@100m and completes both steps."""
+    rows = [
+        (1, 1, "view", _ts(0)),
+        (2, 1, "view", _ts(100)),
+        (3, 1, "click", _ts(130)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = tp.funnel(df, ["view", "click"], max_step_gap_minutes=60).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["steps_completed"] == 2
+    assert r["step_ts"] == [_E + 100 * 60 * 1_000_000, _E + 130 * 60 * 1_000_000]
+
+
+def test_funnel_window_three_step_reanchor_and_ties(spark):
+    """Deeper DP coverage: the optimal 3-step chain must drop BOTH the
+    earliest view and the earliest in-window click; a same-tick
+    view/click pair must not chain off each other (strictly-after)."""
+    rows = [
+        (1, 1, "view", _ts(0)),        # dead end: its clicks can't reach purchase
+        (2, 1, "click", _ts(10)),      # in window of view@0, but purchase@200 too far
+        (3, 1, "view", _ts(120)),
+        (4, 1, "click", _ts(170)),     # within 60m of view@120
+        (5, 1, "purchase", _ts(200)),  # within 60m of click@170 only
+        # user 2: view and click at the SAME tick — click can't follow
+        (6, 2, "view", _ts(0)),
+        (7, 2, "click", _ts(0)),
+        (8, 2, "click", _ts(5)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {r["user_id"]: r for r in
+           tp.funnel(df, ["view", "click", "purchase"],
+                     max_step_gap_minutes=60).collect()}
+    assert out[1]["steps_completed"] == 3
+    assert out[1]["step_ts"] == [_E + m * 60 * 1_000_000 for m in (120, 170, 200)]
+    assert out[2]["steps_completed"] == 2
+    assert out[2]["step_ts"] == [_E, _E + 5 * 60 * 1_000_000]
+
+
+def test_funnel_window_second_latest_tick_rescues_tie(spark):
+    """The c2 (second-latest end tick) slot matters exactly when a later
+    step ties the latest step-1 tick: view@0, view@10, click@10 — the
+    click ties view@10 (strictly-after fails) but follows view@0."""
+    rows = [
+        (1, 1, "view", _ts(0)),
+        (2, 1, "view", _ts(10)),
+        (3, 1, "click", _ts(10)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = tp.funnel(df, ["view", "click"], max_step_gap_minutes=60).collect()
+    assert out[0]["steps_completed"] == 2
+    assert out[0]["step_ts"] == [_E, _E + 10 * 60 * 1_000_000]
+
+
+def test_asof_join_null_value_comes_from_latest_snapshot(spark):
+    """ADVICE r03 #4: when the latest qualifying snapshot has a NULL
+    value column, the event must report THAT snapshot's NULL (and its
+    snap_ts) — not an older snapshot's stale value."""
+    ev = spark.createDataFrame(
+        [(1, "a", _ts(20))], "event_id long, event_type string, ts timestamp"
+    )
+    snaps = spark.createDataFrame(
+        [("a", _ts(0), 1.0), ("a", _ts(10), None)],
+        "event_type string, snap_ts timestamp, rate double",
+    )
+    out = tp.asof_join(ev, snaps, on="event_type").collect()[0]
+    assert out["snap_ts"] == _ts(10)
+    assert out["rate"] is None

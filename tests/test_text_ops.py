@@ -859,3 +859,24 @@ def test_containment_vs_jaccard_asymmetry(spark):
     jac = ngram_jaccard_pairs(df, k=3, threshold=0.0001, max_df=None).collect()
     j12 = [x for x in jac if (x["doc_id_a"], x["doc_id_b"]) == (1, 2)][0]
     assert j12["jaccard"] < 0.15
+
+
+def test_quantize_embeddings_per_dim_bound(spark):
+    """ADVICE r03 #3: within_bound must compare each dimension's error
+    against its OWN half-step — a wide dimension's slack cannot mask a
+    narrow dimension's violation. With correct round-to-nearest codes
+    every per-dim bound holds even when ranges differ by 1000x."""
+    from json_validator_spark.operators.embedding_checks import quantize_embeddings
+
+    rows = [
+        (1, [0.0, 0.000]),
+        (2, [1000.0, 0.001]),
+        (3, [333.3, 0.0007]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df, dim=2).collect()}
+    # per-dim half-steps: 1000/510 ≈ 1.96 and 0.001/510 ≈ 1.96e-6; the
+    # narrow dim's error must be judged against the SMALL bound
+    assert all(o["within_bound"] for o in out.values())
+    for o in out.values():
+        assert o["max_abs_err"] <= 1000.0 / 510 + 1e-9
