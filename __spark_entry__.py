@@ -1413,6 +1413,131 @@ def q_schema_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     return violations_df(_load(spark, sf_dir, "documents"), rs, definitions=defs)
 
 
+def q_schema_import_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-document schema set — the ``LocalSchemaCache`` semantics
+    (``LocalSchemaCache.java:62-73,99-132`` preloaded ``$id → document``
+    map; ``LocalSchemaResolver.java:71-85`` local-first resolution): the
+    root schema references a shared vocabulary document (relative
+    ``$ref`` against its ``$id``) and a whole limits DOCUMENT, which
+    itself chains back into the shared document. All three compile into
+    one flat rule table and run as a single scan."""
+    from json_validator_spark.operators.row_checks import violations_df
+    from json_validator_spark.rules.schema_import import ruleset_from_json_schema
+    from json_validator_spark.rules.schema_registry import SchemaRegistry
+
+    common = {
+        "$id": "https://example.test/common.schema.json",
+        "$defs": {
+            "shortText": {"type": "string", "maxLength": 300,
+                          "allOf": [{"$ref": "#/$defs/nonEmpty"}]},
+            "nonEmpty": {"minLength": 1},
+            "langCode": {"enum": ["en", "es", "fr", "de"]},
+            "srcTag": {"pattern": "^src[0-3]$"},
+            "capped": {"maximum": 380},
+        },
+    }
+    limits = {
+        "$id": "https://example.test/limits.schema.json",
+        "minimum": 50,
+        "allOf": [{"$ref": "common.schema.json#/$defs/capped"}],
+    }
+    root = {
+        "$id": "https://example.test/docs.schema.json",
+        "type": "object",
+        "required": ["text"],
+        "properties": {
+            "text": {"$ref": "common.schema.json#/$defs/shortText"},
+            "lang": {"$ref": "https://example.test/common.schema.json#/$defs/langCode"},
+            "source": {"$ref": "common.schema.json#/$defs/srcTag"},
+            "n_chars": {"$ref": "limits.schema.json"},
+        },
+    }
+    reg = SchemaRegistry()
+    reg.register(common)
+    reg.register(limits)
+    rs, defs = ruleset_from_json_schema(root, name="multi", registry=reg)
+    return violations_df(_load(spark, sf_dir, "documents"), rs, definitions=defs)
+
+
+def q_sample_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SHIPPED sample schema end-to-end
+    (``etc/dev/sample/sample-v1.0/sample.json`` — recursive
+    ``person.children``, required firstName/lastName, integer age):
+    a deterministic person corpus is synthesized from ``documents``
+    (chain depth = doc_id % 4), flattened to node rows at depth ≤ 2
+    (``sources/derive.flatten_recursive``) and validated with the
+    per-node rules imported from the sample's person definition. Nodes
+    nesting DEEPER than the unrolled depth surface as explicit
+    ``person.refDepthExceeded`` violations — error, never silence."""
+    from json_validator_spark.operators.row_checks import with_violations
+    from json_validator_spark.rules.schema_import import ruleset_from_json_schema
+    from json_validator_spark.sources.derive import flatten_recursive
+
+    d = F.col("doc_id")
+    nul = F.lit(None).cast("string")
+
+    def child(depth: int, children):
+        fields = [
+            F.concat(F.lit(f"c{depth}_"), d.cast("string")).alias("firstName"),
+            F.when((d + depth) % 6 == 0, nul)
+            .otherwise(F.lit(f"x{depth}")).alias("lastName"),
+            (d % 89).cast("string").alias("age"),
+        ]
+        if children is not None:
+            fields.append(children.alias("children"))
+        return F.struct(*fields)
+
+    c = d % 4  # chain depth below the root person
+    p3 = child(3, None)
+    p2 = child(2, F.when(c >= 3, F.array(p3)))
+    p1 = child(1, F.when(c >= 2, F.array(p2)))
+    p0 = F.struct(
+        F.when(d % 7 == 0, nul)
+        .otherwise(F.concat(F.lit("fn"), d.cast("string"))).alias("firstName"),
+        F.when(d % 11 == 3, nul)
+        .otherwise(F.concat(F.lit("ln"), d.cast("string"))).alias("lastName"),
+        F.when(d % 5 == 2, F.lit("x"))
+        .otherwise((d % 97).cast("string")).alias("age"),
+        F.when(c >= 1, F.array(p1)).alias("children"),
+    )
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.to_json(F.array(p0)).alias("people_json")
+    )
+    nodes = flatten_recursive(
+        docs, "people_json",
+        {"firstName": "string", "lastName": "string", "age": "string"},
+        max_depth=2,
+    )
+    # the sample's person definition minus the recursive ref (which the
+    # flatten realizes as rows); age stays `integer` → lexical try-cast
+    person_top = {
+        "type": "object",
+        "required": ["firstName", "lastName"],
+        "properties": {
+            "firstName": {"type": "string"},
+            "lastName": {"type": "string"},
+            "age": {"type": "integer"},
+        },
+    }
+    rs, defs = ruleset_from_json_schema(person_top, name="person")
+    v = (
+        with_violations(nodes, rs, defs)
+        .select("doc_id", "node_path", F.explode_outer("violations").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .select(
+            "doc_id", "node_path",
+            F.col("v.rule_id").alias("rule_id"),
+            F.col("v.severity").alias("severity"),
+        )
+    )
+    boundary = nodes.where((F.col("depth") == 2) & (F.col("n_children") > 0)).select(
+        "doc_id", "node_path",
+        F.lit("person.refDepthExceeded").alias("rule_id"),
+        F.lit("error").alias("severity"),
+    )
+    return v.unionByName(boundary)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-weight downsampling (``operators/sampling``): keep en at
     0.5, es at 0.25, fr at 0.1, everything else (incl. NULL lang) at
@@ -1939,6 +2064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combination_oneof_report": q_combination_oneof_report,
         "combination_grouped": q_combination_grouped,
         "schema_import": q_schema_import,
+        "schema_import_multi": q_schema_import_multi,
+        "sample_schema": q_sample_schema,
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
         "cluster_split": q_cluster_split,
@@ -3654,6 +3781,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, '/n_chars', 'n_chars.$ref', 'error',
                    '[/n_chars] constraint ''maximum'' violated'
             FROM documents WHERE n_chars IS NOT NULL AND n_chars > 380
+        """,
+        # Mirrors q_schema_import_multi: the three-document schema set,
+        # recomputed constraint-by-constraint from the raw columns. Each
+        # $ref rule resolves to one node, so a property emits at most one
+        # row; the resolved kind names the message ('allOf' for the
+        # composite shortText / limits chains).
+        "schema_import_multi": """
+            SELECT doc_id, '/text' AS span_path, 'text.required' AS rule_id,
+                   'error' AS severity, '[/text] required value is missing' AS message
+            FROM documents WHERE text IS NULL
+            UNION ALL
+            SELECT doc_id, '/text', 'text.$ref', 'error',
+                   '[/text] constraint ''allOf'' violated'
+            FROM documents
+            WHERE text IS NOT NULL AND (length(text) > 300 OR length(text) < 1)
+            UNION ALL
+            SELECT doc_id, '/lang', 'lang.$ref', 'error',
+                   '[/lang] value is not in the allowed set'
+            FROM documents
+            WHERE lang IS NOT NULL AND lang NOT IN ('en', 'es', 'fr', 'de')
+            UNION ALL
+            SELECT doc_id, '/source', 'source.$ref', 'error',
+                   '[/source] value does not match the required pattern'
+            FROM documents
+            WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-3]$')
+            UNION ALL
+            SELECT doc_id, '/n_chars', 'n_chars.$ref', 'error',
+                   '[/n_chars] constraint ''allOf'' violated'
+            FROM documents
+            WHERE n_chars IS NOT NULL AND (n_chars < 50 OR n_chars > 380)
+        """,
+        # Mirrors q_sample_schema: the deterministic person-corpus
+        # construction (chain depth = doc_id % 4) re-derived as CASE
+        # arithmetic — no JSON needed on the oracle side, every violation
+        # (and the depth-boundary row) is a pure function of doc_id.
+        "sample_schema": """
+            WITH base AS (SELECT doc_id, doc_id % 4 AS c FROM documents)
+            SELECT doc_id, '/people/0' AS node_path,
+                   'firstName.required' AS rule_id, 'error' AS severity
+            FROM base WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT doc_id, '/people/0', 'lastName.required', 'error'
+            FROM base WHERE doc_id % 11 = 3
+            UNION ALL
+            SELECT doc_id, '/people/0', 'age.type', 'error'
+            FROM base WHERE doc_id % 5 = 2
+            UNION ALL
+            SELECT doc_id, '/people/0/children/0', 'lastName.required', 'error'
+            FROM base WHERE c >= 1 AND (doc_id + 1) % 6 = 0
+            UNION ALL
+            SELECT doc_id, '/people/0/children/0/children/0',
+                   'lastName.required', 'error'
+            FROM base WHERE c >= 2 AND (doc_id + 2) % 6 = 0
+            UNION ALL
+            SELECT doc_id, '/people/0/children/0/children/0',
+                   'person.refDepthExceeded', 'error'
+            FROM base WHERE c = 3
         """,
         "stratified_sample": f"""
             SELECT doc_id, lang FROM documents

@@ -31,6 +31,7 @@ CATALOGS: dict[str, dict[str, str]] = {
         "monotonic": "array field is not strictly increasing",
         "uniqueItems": "array elements are not unique",
         "contains": "array does not contain the required number of matching elements",
+        "refDepthExceeded": "value nests deeper than the unrolled $ref depth",
         "__default__": "constraint '{kind}' violated",
     },
     "fr": {
@@ -45,6 +46,7 @@ CATALOGS: dict[str, dict[str, str]] = {
         "monotonic": "le champ du tableau n'est pas strictement croissant",
         "uniqueItems": "les éléments du tableau ne sont pas uniques",
         "contains": "le tableau ne contient pas le nombre requis d'éléments correspondants",
+        "refDepthExceeded": "la valeur est imbriquée au-delà de la profondeur $ref déroulée",
         "__default__": "contrainte '{kind}' non respectée",
     },
     "de": {
@@ -59,6 +61,7 @@ CATALOGS: dict[str, dict[str, str]] = {
         "monotonic": "Array-Feld ist nicht streng aufsteigend",
         "uniqueItems": "Array-Elemente sind nicht eindeutig",
         "contains": "Array enthält nicht die geforderte Anzahl passender Elemente",
+        "refDepthExceeded": "Wert ist tiefer verschachtelt als die entrollte $ref-Tiefe",
         "__default__": "Bedingung '{kind}' verletzt",
     },
 }

@@ -25,9 +25,12 @@ names (``#/$defs/<name>``), cycle guard included.
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
 from typing import Any
+from urllib.parse import urldefrag, urljoin
 
 from json_validator_spark.rules.model import Rule, RuleSet, RuleSetGroup
+from json_validator_spark.rules.schema_registry import SchemaRegistry
 
 # Annotation-only keywords: legal everywhere, produce no rule.
 _ANNOTATIONS = {
@@ -69,6 +72,52 @@ _HANDLED = (
 )
 
 
+@dataclass
+class _ImportCtx:
+    """Per-document import context: canonicalizes every ``$ref`` the way
+    the reference's resolver does (``LocalSchemaResolver.java:71-85``
+    resolves the ref URI against the owning document's ``$id`` before the
+    local-cache lookup) and records cross-reference targets for the
+    worklist in ``ruleset_from_json_schema``.
+
+    ``prefix`` is None for the ROOT document so same-document refs keep
+    their literal ``#/$defs/<n>`` keys (back-compat with hand-built
+    definition maps); for a registry document it is that document's
+    ``$id``, so its internal refs namespace as ``<id>#/...``."""
+
+    base_uri: str | None = None   # RFC 3986 base for relative refs
+    prefix: str | None = None     # key namespace for '#...' refs
+    need: set[str] = field(default_factory=set)
+
+    def canon(self, ref: str) -> str:
+        if ref.startswith("#"):
+            key = ref if self.prefix is None else self.prefix.rstrip("#") + ref
+        else:
+            doc, frag = urldefrag(urljoin((self.base_uri or "").rstrip("#"), ref))
+            if not doc:
+                raise ValueError(
+                    f"relative $ref {ref!r} with no base $id to resolve against"
+                )
+            key = f"{doc}#{frag}"
+        self.need.add(key)
+        return key
+
+
+def _json_pointer(doc: Any, frag: str, where: str) -> Any:
+    """Navigate a ``#/a/b``-style fragment (RFC 6901: ``~1`` → ``/``,
+    ``~0`` → ``~``, digits index arrays). Empty fragment = whole doc."""
+    node = doc
+    for raw in [p for p in frag.split("/") if p != ""]:
+        part = raw.replace("~1", "/").replace("~0", "~")
+        if isinstance(node, dict) and part in node:
+            node = node[part]
+        elif isinstance(node, list) and part.isdigit() and int(part) < len(node):
+            node = node[int(part)]
+        else:
+            raise ValueError(f"$ref pointer {where!r}: fragment /{raw} not found")
+    return node
+
+
 def _check_known(sub: dict[str, Any], where: str) -> None:
     unknown = set(sub) - _HANDLED
     if unknown:
@@ -78,7 +127,9 @@ def _check_known(sub: dict[str, Any], where: str) -> None:
         )
 
 
-def _applications(sub: dict[str, Any], where: str) -> list[tuple[str, dict]]:
+def _applications(
+    sub: dict[str, Any], where: str, ctx: _ImportCtx | None = None
+) -> list[tuple[str, dict]]:
     """One (kind, params) application per constraint keyword in ``sub``."""
     if sub is True or sub == {}:
         return []
@@ -88,7 +139,8 @@ def _applications(sub: dict[str, Any], where: str) -> list[tuple[str, dict]]:
     apps: list[tuple[str, dict]] = []
 
     if "$ref" in sub:
-        apps.append(("$ref", {"ref": sub["$ref"]}))
+        ref = sub["$ref"] if ctx is None else ctx.canon(sub["$ref"])
+        apps.append(("$ref", {"ref": ref}))
 
     for kw, (kind, to_params) in _SCALAR_KEYWORDS.items():
         if kw in sub:
@@ -113,19 +165,19 @@ def _applications(sub: dict[str, Any], where: str) -> list[tuple[str, dict]]:
     if prefix is None and isinstance(sub.get("items"), list):
         prefix = sub["items"]
     if prefix is not None:
-        apps.append(("prefixItems", {"schemas": [_node(s, f"{where}/prefixItems") for s in prefix]}))
+        apps.append(("prefixItems", {"schemas": [_node(s, f"{where}/prefixItems", ctx) for s in prefix]}))
     remainder = None
     if isinstance(sub.get("items"), (dict, bool)):
         remainder = sub["items"]
     elif "additionalItems" in sub and isinstance(sub.get("items"), list):
         remainder = sub["additionalItems"]
     if remainder is not None:
-        p: dict[str, Any] = {"schema": _node(remainder, f"{where}/items")}
+        p: dict[str, Any] = {"schema": _node(remainder, f"{where}/items", ctx)}
         if prefix is not None:  # items beyond the tuple prefix
             p["start"] = len(prefix)
         apps.append(("items", p))
     if "contains" in sub:
-        p = {"schema": _node(sub["contains"], f"{where}/contains")}
+        p = {"schema": _node(sub["contains"], f"{where}/contains", ctx)}
         if "minContains" in sub:
             p["min"] = sub["minContains"]
         if "maxContains" in sub:
@@ -142,7 +194,7 @@ def _applications(sub: dict[str, Any], where: str) -> list[tuple[str, dict]]:
             apps.append(("propertyNames", {"regex": pn["pattern"]}))
     if "patternProperties" in sub:
         for rx, s in sub["patternProperties"].items():
-            apps.append(("patternProperties", {"key_regex": rx, "schema": _node(s, f"{where}/patternProperties")}))
+            apps.append(("patternProperties", {"key_regex": rx, "schema": _node(s, f"{where}/patternProperties", ctx)}))
     if sub.get("additionalProperties") is False:
         apps.append(
             ("additionalProperties", {
@@ -166,12 +218,12 @@ def _applications(sub: dict[str, Any], where: str) -> list[tuple[str, dict]]:
     if "properties" in sub:
         apps.append(
             ("properties", {
-                "properties": {k: _node(s, f"{where}/properties/{k}") for k, s in sub["properties"].items()}
+                "properties": {k: _node(s, f"{where}/properties/{k}", ctx) for k, s in sub["properties"].items()}
             })
         )
     if "dependentSchemas" in sub:
         for key, s in sub["dependentSchemas"].items():
-            apps.append(("dependentSchemas", {"key": key, "schema": _node(s, f"{where}/dependentSchemas")}))
+            apps.append(("dependentSchemas", {"key": key, "schema": _node(s, f"{where}/dependentSchemas", ctx)}))
     if "discriminator" in sub:  # OpenAPI: {propertyName, mapping{value: schema}}
         d = sub["discriminator"]
         if "mapping" not in d:
@@ -182,15 +234,15 @@ def _applications(sub: dict[str, Any], where: str) -> list[tuple[str, dict]]:
         apps.append(
             ("discriminator", {
                 "key": d["propertyName"],
-                "mapping": {v: _node(s, f"{where}/discriminator/{v}") for v, s in d["mapping"].items()},
+                "mapping": {v: _node(s, f"{where}/discriminator/{v}", ctx) for v, s in d["mapping"].items()},
             })
         )
 
     for combo in ("allOf", "anyOf", "oneOf"):
         if combo in sub:
-            apps.append((combo, {"schemas": [_node(s, f"{where}/{combo}") for s in sub[combo]]}))
+            apps.append((combo, {"schemas": [_node(s, f"{where}/{combo}", ctx) for s in sub[combo]]}))
     if "not" in sub:
-        apps.append(("not", {"schema": _node(sub["not"], f"{where}/not")}))
+        apps.append(("not", {"schema": _node(sub["not"], f"{where}/not", ctx)}))
     if sub.get("readOnly"):
         apps.append(("readOnly", {}))
     if sub.get("writeOnly"):
@@ -198,7 +250,7 @@ def _applications(sub: dict[str, Any], where: str) -> list[tuple[str, dict]]:
     return apps
 
 
-def _node(sub: Any, where: str) -> dict[str, Any]:
+def _node(sub: Any, where: str, ctx: _ImportCtx | None = None) -> dict[str, Any]:
     """A nested subschema as ONE engine node ({kind, params}); multiple
     keywords wrap in allOf (conjunction — exactly JSON Schema's
     semantics for sibling keywords)."""
@@ -206,7 +258,7 @@ def _node(sub: Any, where: str) -> dict[str, Any]:
         return {"kind": "true", "params": {}}
     if sub is False:
         return {"kind": "false", "params": {}}
-    apps = _applications(sub, where)
+    apps = _applications(sub, where, ctx)
     if not apps:
         return {"kind": "true", "params": {}}
     if len(apps) == 1:
@@ -218,8 +270,153 @@ def _node(sub: Any, where: str) -> dict[str, Any]:
     }
 
 
+# ----------------------------------------------------------------------
+# Cross-document resolution + bounded unrolling of recursive schemas
+# ----------------------------------------------------------------------
+
+def _resolve_worklist(
+    definitions: dict[str, dict[str, Any]],
+    ctx: _ImportCtx,
+    root: dict[str, Any],
+    registry: SchemaRegistry | None,
+) -> None:
+    """Compile every ``$ref`` target recorded during import into the flat
+    ``definitions`` map — the ``LocalSchemaCache`` resolution loop
+    (``LocalSchemaCache.java:62-73`` preload-wins;
+    ``LocalSchemaResolver.java:71-85`` uri→document→fragment). Foreign
+    documents compile under their own ``$id`` namespace so their internal
+    refs land on ``<id>#/...`` keys; the loop is a worklist because a
+    fragment may itself reference further documents. Deterministic order
+    (sorted) so rule tables are reproducible across runs."""
+    done = set(definitions)
+    while True:
+        pending = sorted(ctx.need - done)
+        if not pending:
+            return
+        key = pending[0]
+        done.add(key)
+        if key in definitions:
+            continue
+        doc_part, _, frag = key.partition("#")
+        if doc_part == "":
+            fragment = _json_pointer(root, frag, key)
+            sub_ctx = ctx  # same document → same (root) namespace
+        else:
+            if registry is None:
+                raise ValueError(
+                    f"cross-document $ref {key!r}: pass a SchemaRegistry with "
+                    "the preloaded schema set (the reference's shared-schema "
+                    "config, validator.schemaFile.*)"
+                )
+            doc = registry.resolve(doc_part)  # KeyError lists known $ids
+            fragment = _json_pointer(doc, frag, key)
+            base = doc.get("$id") or doc_part
+            sub_ctx = _ImportCtx(base_uri=base, prefix=base, need=ctx.need)
+        definitions[key] = _node(fragment, key, sub_ctx)
+
+
+def _ref_targets(node: dict[str, Any], out: set[str]) -> None:
+    if node.get("kind") == "$ref":
+        out.add(node["params"]["ref"])
+        return
+    params = node.get("params", {})
+    if isinstance(params.get("schema"), dict):
+        _ref_targets(params["schema"], out)
+    if isinstance(params.get("schemas"), list):
+        for s in params["schemas"]:
+            if isinstance(s, dict):
+                _ref_targets(s, out)
+    for holder in ("properties", "mapping"):
+        if isinstance(params.get(holder), dict):
+            for v in params[holder].values():
+                if isinstance(v, dict):
+                    _ref_targets(v, out)
+
+
+def _rewrite_refs(node: dict[str, Any], fn) -> dict[str, Any]:
+    """Structurally copy ``node`` mapping every $ref target through
+    ``fn``; ``fn`` returning None replaces the ref with the explicit
+    recursion-boundary node (fails on any present value — deeper nesting
+    surfaces as a violation, never as silently-unchecked data)."""
+    if node.get("kind") == "$ref":
+        new = fn(node["params"]["ref"])
+        if new is None:
+            return {
+                "kind": "refDepthExceeded",
+                "params": {"ref": node["params"]["ref"]},
+            }
+        return {"kind": "$ref", "params": {**node["params"], "ref": new}}
+    params = node.get("params", {})
+    np = dict(params)
+    if isinstance(params.get("schema"), dict):
+        np["schema"] = _rewrite_refs(params["schema"], fn)
+    if isinstance(params.get("schemas"), list):
+        np["schemas"] = [
+            _rewrite_refs(s, fn) if isinstance(s, dict) else s
+            for s in params["schemas"]
+        ]
+    for holder in ("properties", "mapping"):
+        if isinstance(params.get(holder), dict):
+            np[holder] = {
+                k: _rewrite_refs(v, fn) if isinstance(v, dict) else v
+                for k, v in params[holder].items()
+            }
+    return {**node, "params": np}
+
+
+def _unroll_definitions(
+    definitions: dict[str, dict[str, Any]], max_depth: int
+) -> dict[str, dict[str, Any]]:
+    """Bounded unrolling of RECURSIVE definitions (the reference's own
+    sample schema, ``etc/dev/sample/sample-v1.0/sample.json``, is a
+    recursive ``person.children`` — networknt walks it per document;
+    this engine's rules are static expressions, so recursion unrolls to
+    ``max_depth`` copies ``key@1..key@max_depth`` and the boundary
+    becomes an explicit ``refDepthExceeded`` failure). Non-recursive
+    definitions are untouched; the original key aliases its depth-1 copy
+    so existing rule targets keep working."""
+    if max_depth < 1:
+        raise ValueError("max_ref_depth must be >= 1")
+    graph = {}
+    for k, v in definitions.items():
+        t: set[str] = set()
+        _ref_targets(v, t)
+        graph[k] = t & set(definitions)
+
+    def reaches(src: str, dst: str) -> bool:
+        seen: set[str] = set()
+        stack = list(graph.get(src, ()))
+        while stack:
+            n = stack.pop()
+            if n == dst:
+                return True
+            if n in seen:
+                continue
+            seen.add(n)
+            stack.extend(graph.get(n, ()))
+        return False
+
+    cyclic = {k for k in graph if reaches(k, k)}
+    if not cyclic:
+        return definitions
+    out = dict(definitions)
+    for k in cyclic:
+        orig = definitions[k]
+        for d in range(1, max_depth + 1):
+            def repl(ref: str, d: int = d) -> str | None:
+                if ref in cyclic:
+                    return f"{ref}@{d + 1}" if d < max_depth else None
+                return ref
+            out[f"{k}@{d}"] = _rewrite_refs(orig, repl)
+        out[k] = {"kind": "$ref", "params": {"ref": f"{k}@1"}}
+    return out
+
+
 def ruleset_from_json_schema(
-    schema: dict[str, Any], name: str = "imported"
+    schema: dict[str, Any],
+    name: str = "imported",
+    registry: SchemaRegistry | None = None,
+    max_ref_depth: int | None = None,
 ) -> tuple["RuleSet | RuleSetGroup", dict[str, dict[str, Any]]]:
     """Compile a JSON-Schema OBJECT document (top-level ``type: object``
     with ``properties`` over the table's columns) into ``(RuleSet,
@@ -237,11 +434,18 @@ def ruleset_from_json_schema(
     ALL/ANY/ONE_OF approach, ``JSONValidator.java:252-296``); the
     result is then a ``RuleSetGroup`` conjoining the main rules with the
     combinator branches. Any OTHER top-level constraint keyword raises:
-    the engine refuses rather than silently dropping a constraint."""
+    the engine refuses rather than silently dropping a constraint.
+
+    ``registry`` enables cross-document ``$ref`` (``$ref:
+    "https://other-id#/..."`` or a relative URI against this document's
+    ``$id``) resolved from the preloaded ``$id → document`` map — the
+    ``LocalSchemaCache`` semantics. ``max_ref_depth`` opts into bounded
+    unrolling of RECURSIVE schemas (otherwise a cycle raises at compile
+    time, never loops or silently passes)."""
     from json_validator_spark.rules.model import Combination
 
-    _TOP_LEVEL = {"type", "properties", "required", "$defs", "dependentRequired",
-                  "allOf", "anyOf", "oneOf"} | _ANNOTATIONS
+    _TOP_LEVEL = {"type", "properties", "required", "$defs", "definitions",
+                  "dependentRequired", "allOf", "anyOf", "oneOf"} | _ANNOTATIONS
     unknown_top = set(schema) - _TOP_LEVEL
     if unknown_top:
         raise ValueError(
@@ -253,10 +457,13 @@ def ruleset_from_json_schema(
     if "anyOf" in schema and "oneOf" in schema:
         raise ValueError("top-level anyOf and oneOf together are not supported")
 
-    definitions = {
-        f"#/$defs/{dn}": _node(ds, f"#/$defs/{dn}")
-        for dn, ds in schema.get("$defs", {}).items()
-    }
+    ctx = _ImportCtx(base_uri=schema.get("$id"), prefix=None)
+    definitions: dict[str, dict[str, Any]] = {}
+    # 2020-12 `$defs` and draft-4/7 `definitions` (the reference's own
+    # sample schema uses the latter) — keys keep the document's spelling
+    for holder in ("$defs", "definitions"):
+        for dn, ds in schema.get(holder, {}).items():
+            definitions[f"#/{holder}/{dn}"] = _node(ds, f"#/{holder}/{dn}", ctx)
 
     rules: list[Rule] = []
     seen: dict[str, int] = {}
@@ -284,7 +491,7 @@ def ruleset_from_json_schema(
                 raise ValueError(f"property {prop!r}: subschema must be an object or boolean")
             sev = sub.get("x-severity", "error") if isinstance(sub, dict) else "error"
             for kind, params in _applications(
-                sub if isinstance(sub, dict) else {}, f"{where}/properties/{prop}"
+                sub if isinstance(sub, dict) else {}, f"{where}/properties/{prop}", ctx
             ):
                 add(prop, kind, params, sev, ruleset, prefix)
             if sub is False:
@@ -299,6 +506,9 @@ def ruleset_from_json_schema(
 
     combo_kw = "anyOf" if "anyOf" in schema else ("oneOf" if "oneOf" in schema else None)
     if combo_kw is None:
+        _resolve_worklist(definitions, ctx, schema, registry)
+        if max_ref_depth is not None:
+            definitions = _unroll_definitions(definitions, max_ref_depth)
         return main, definitions
     rules = []
     for i, member in enumerate(schema[combo_kw]):
@@ -310,6 +520,9 @@ def ruleset_from_json_schema(
         combination=Combination.ANY if combo_kw == "anyOf" else Combination.ONE_OF,
         name=f"{name}-{combo_kw}",
     )
+    _resolve_worklist(definitions, ctx, schema, registry)
+    if max_ref_depth is not None:
+        definitions = _unroll_definitions(definitions, max_ref_depth)
     return RuleSetGroup(groups=(main, branches), name=name), definitions
 
 

@@ -1,0 +1,124 @@
+"""Multi-document schema registry — the ``LocalSchemaCache`` analogue.
+
+The reference preloads a shared ``$id → local path`` map at startup
+(``LocalSchemaCache.java:62-73`` initialise, ``:99-132``
+readSchemaIdsAndPaths: file-or-directory config entries, directories
+scanned recursively for ``*.json`` to depth 10, files without an
+``$id`` skipped with a warning) and resolves every ``$ref`` URI against
+that map FIRST — only a cache miss goes to the (authorized) network
+(``LocalSchemaResolver.java:71-85``). This module reproduces those
+semantics driver-side: the registry is a plain ``$id → schema
+document`` dict built before compilation, resolution normalizes IDs the
+same way the reference does (a ``#`` is appended when missing,
+``LocalSchemaCache.java:140-143`` schemaKey), preloaded documents
+always win, and the network fallback is an explicit opt-in ``fetcher``
+hook — absent by default, so tests and production imports are
+airtight-offline exactly like the reference's restricted mode.
+
+Scale note: the registry lives entirely on the driver and feeds
+``ruleset_from_json_schema``, which compiles the closed set of
+referenced fragments into the flat ``definitions`` map shipped to
+executors as plan constants — schema-set size is config-scale (KBs),
+never data-scale, so nothing here touches the distributed plan.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Callable
+
+
+class SchemaRegistry:
+    """``$id → schema document`` map with reference-equivalent lookup.
+
+    - ``register`` / ``add_path`` preload documents (preload wins over
+      any fetcher, like the reference's local-first resolution);
+    - ``resolve`` normalizes the URI (trailing ``#`` optional on both
+      sides) and returns the raw document dict;
+    - unresolvable IDs raise ``KeyError`` with the known-ID inventory —
+      the error-shaping the reference logs on failed lookups.
+    """
+
+    def __init__(
+        self, fetcher: Callable[[str], dict[str, Any]] | None = None
+    ) -> None:
+        self._docs: dict[str, dict[str, Any]] = {}
+        self._fetcher = fetcher
+
+    @staticmethod
+    def _key(uri: str) -> str:
+        # LocalSchemaCache.schemaKey appends '#' when missing so
+        # "https://x/s.json" and "https://x/s.json#" hit the same entry
+        return uri if uri.endswith("#") else uri + "#"
+
+    def register(self, schema: dict[str, Any]) -> str:
+        """Preload one schema document; returns its normalized ``$id``.
+        A document without ``$id`` is un-addressable and raises (the
+        reference skips such files with a warning at directory scan —
+        ``add_path`` does that; an explicit register is a hard error)."""
+        sid = schema.get("$id")
+        if not isinstance(sid, str) or not sid:
+            raise ValueError("schema document has no $id — cannot register")
+        self._docs[self._key(sid)] = schema
+        return self._key(sid)
+
+    def add_path(self, path: str | Path) -> list[str]:
+        """Preload a file, or a directory scanned recursively for
+        ``*.json`` (depth ≤ 10 — ``LocalSchemaCache.java:119`` uses the
+        same bound). Files without an ``$id`` are skipped (reference
+        logs a warning and continues). Returns registered IDs."""
+        p = Path(path)
+        files: list[Path]
+        if p.is_file():
+            files = [p]
+        elif p.is_dir():
+            files = [
+                f
+                for f in sorted(p.rglob("*.json"))
+                if len(f.relative_to(p).parts) <= 10
+            ]
+        else:
+            raise FileNotFoundError(f"shared-schema path not found: {p}")
+        out = []
+        for f in files:
+            try:
+                doc = json.loads(f.read_text())
+            except (OSError, json.JSONDecodeError) as e:
+                raise ValueError(f"unreadable shared schema [{f}]: {e}") from e
+            if isinstance(doc, dict) and isinstance(doc.get("$id"), str):
+                out.append(self.register(doc))
+        return out
+
+    @classmethod
+    def from_paths(
+        cls,
+        paths: "list[str | Path]",
+        fetcher: Callable[[str], dict[str, Any]] | None = None,
+    ) -> "SchemaRegistry":
+        reg = cls(fetcher=fetcher)
+        for p in paths:
+            reg.add_path(p)
+        return reg
+
+    def __contains__(self, uri: str) -> bool:
+        return self._key(uri) in self._docs
+
+    def resolve(self, uri: str) -> dict[str, Any]:
+        """Local-first lookup; on a miss, the fetcher (if any) is asked
+        once and its result cached; otherwise raise with the inventory."""
+        key = self._key(uri)
+        if key in self._docs:
+            return self._docs[key]
+        if self._fetcher is not None:
+            doc = self._fetcher(uri)
+            if not isinstance(doc, dict):
+                raise ValueError(f"fetcher returned a non-object schema for {uri!r}")
+            self._docs[key] = doc
+            return doc
+        known = sorted(self._docs) or ["<none>"]
+        raise KeyError(
+            f"unresolvable $ref target {uri!r}: not in the preloaded schema set "
+            f"(known $ids: {', '.join(known)}) and no remote fetcher is "
+            "configured (offline mode — the reference's restricted resolution)"
+        )

@@ -68,6 +68,10 @@ ALIASES = {
     "writeOnly": "forbidden",
     "unionType": "type",
     "notAllowed": "false",
+    # bounded $ref unrolling boundary (schema_import.max_ref_depth): any
+    # value PRESENT beyond the unrolled depth fails — deeper nesting is
+    # an explicit violation, never silently-unchecked data
+    "refDepthExceeded": "forbidden",
 }
 
 

@@ -110,3 +110,105 @@ def derived_corpus_ruleset() -> RuleSet:
             Rule("monotonic.offsets", "/spans", "monotonic", {"field": "offset"}),
         ),
     )
+
+
+# ----------------------------------------------------------------------
+# Recursive-document flattening (the engine-side twin of bounded $ref
+# unrolling in rules/schema_import — see its _unroll_definitions)
+# ----------------------------------------------------------------------
+
+def _recursive_node_ddl(
+    fields: dict[str, str], children_field: str, levels_left: int
+) -> str:
+    scalars = ",".join(f"{k}:{t}" for k, t in fields.items())
+    if levels_left == 0:
+        # probe level: one extra struct layer so nesting BEYOND the
+        # boundary is countable (its own children are dropped by the
+        # parser, which is exactly the undetectable residue the
+        # refDepthExceeded violation at the boundary reports on)
+        child_t = f"array<struct<{scalars}>>"
+    else:
+        child_t = f"array<{_recursive_node_ddl(fields, children_field, levels_left - 1)}>"
+    return f"struct<{scalars},{children_field}:{child_t}>"
+
+
+def flatten_recursive(
+    docs: DataFrame,
+    json_col: str,
+    fields: dict[str, str],
+    *,
+    children_field: str = "children",
+    max_depth: int = 2,
+    root_path: str = "/people",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode a RECURSIVE JSON document column (the reference's sample
+    schema shape — ``etc/dev/sample/sample-v1.0/sample.json``, persons
+    with nested ``children`` persons, validated natively by networknt's
+    tree walk at ``JSONValidator.java:381-397``) into one row per node
+    at depths ``0..max_depth``, so the imported per-node RuleSet runs as
+    ONE distributed scan over the node table instead of a per-document
+    recursive interpreter.
+
+    ``json_col`` holds the serialized node ARRAY (e.g. the ``people``
+    value). ``fields`` maps scalar field → DDL type (use ``string`` for
+    lexical type checks). Output: ``(id_col, node_path, depth,
+    <fields...>, n_children int)`` where ``node_path`` is the exact
+    JSON-pointer location the reference would report
+    (``/people/0/children/2`` style). Nodes AT ``max_depth`` with
+    ``n_children > 0`` nest deeper than the unrolled schema — callers
+    surface those as ``refDepthExceeded`` violations (error, never
+    silence; the import-side twin is ``schema_import.max_ref_depth``).
+
+    Scale: from_json + posexplode are narrow (no shuffle); the per-level
+    frames are a union over one shared scan lineage, and depth is a
+    config-bounded constant — plan size is O(max_depth), data movement
+    zero."""
+    ddl = f"array<{_recursive_node_ddl(fields, children_field, max_depth)}>"
+    cur = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.from_json(F.col(json_col), ddl)).alias("_pos", "_node"),
+        )
+        .where(F.col("_node").isNotNull())
+        .withColumn(
+            "node_path",
+            F.concat(F.lit(root_path + "/"), F.col("_pos").cast("string")),
+        )
+    )
+    frames: list[DataFrame] = []
+    for d in range(max_depth + 1):
+        frames.append(
+            cur.select(
+                F.col(id_col),
+                "node_path",
+                F.lit(d).alias("depth"),
+                *[F.col(f"_node.{k}").alias(k) for k in fields],
+                F.coalesce(F.size(f"_node.{children_field}"), F.lit(0)).alias(
+                    "n_children"
+                ),
+            )
+        )
+        if d < max_depth:
+            cur = (
+                cur.select(
+                    F.col(id_col),
+                    F.col("node_path").alias("_parent_path"),
+                    F.posexplode(F.col(f"_node.{children_field}")).alias(
+                        "_pos", "_node"
+                    ),
+                )
+                .where(F.col("_node").isNotNull())
+                .withColumn(
+                    "node_path",
+                    F.concat(
+                        F.col("_parent_path"),
+                        F.lit(f"/{children_field}/"),
+                        F.col("_pos").cast("string"),
+                    ),
+                )
+            )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

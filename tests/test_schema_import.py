@@ -10,6 +10,7 @@ map-typed object properties and the strict unknown-keyword stance.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from json_validator_spark.operators.row_checks import violations_df
 from json_validator_spark.rules.schema_import import ruleset_from_json_schema
@@ -280,3 +281,245 @@ def test_import_prefix_items_plus_items_start_offset(spark):
     got = {(r["doc_id"], r["rule_id"]) for r in violations_df(df, rs, definitions=defs).collect()}
     # doc 1: prefix fails (5 < 10); doc 2: remainder fails (7 > 3)
     assert got == {(1, "arr.prefixItems"), (2, "arr.items")}
+
+
+# ----------------------------------------------------------------------
+# Multi-document schema sets (SchemaRegistry — LocalSchemaCache analogue)
+# ----------------------------------------------------------------------
+
+ROOT_MULTI = {
+    "$id": "https://example.test/root.schema.json",
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "type": "object",
+    "required": ["name"],
+    "$defs": {"localTag": {"pattern": "^t"}},
+    "properties": {
+        # relative cross-document ref (resolved against this doc's $id)
+        "name": {"$ref": "common.schema.json#/$defs/shortName"},
+        # absolute whole-document ref
+        "addr": {"$ref": "https://example.test/address.schema.json"},
+        # same-document ref keeps its literal key
+        "tag": {"$ref": "#/$defs/localTag"},
+    },
+}
+COMMON_MULTI = {
+    "$id": "https://example.test/common.schema.json",
+    "$defs": {
+        "shortName": {"type": "string", "maxLength": 5,
+                      "allOf": [{"$ref": "#/$defs/lower"}]},
+        "lower": {"pattern": "^[a-z]+$"},
+        "zip4": {"pattern": "^[0-9]{4}$"},
+    },
+}
+ADDRESS_MULTI = {
+    "$id": "https://example.test/address.schema.json",
+    "type": "object",
+    "required": ["city"],
+    "properties": {
+        "city": {"minLength": 2},
+        # document→document chain: address refs common, relative
+        "zip": {"$ref": "common.schema.json#/$defs/zip4"},
+    },
+}
+
+
+def _registry():
+    from json_validator_spark.rules.schema_registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.register(COMMON_MULTI)
+    reg.register(ADDRESS_MULTI)
+    return reg
+
+
+def test_registry_add_path_scans_directories(tmp_path):
+    import json
+
+    from json_validator_spark.rules.schema_registry import SchemaRegistry
+
+    d = tmp_path / "schemas"
+    (d / "nested").mkdir(parents=True)
+    (d / "common.json").write_text(json.dumps(COMMON_MULTI))
+    (d / "nested" / "address.json").write_text(json.dumps(ADDRESS_MULTI))
+    (d / "no_id.json").write_text(json.dumps({"type": "object"}))  # skipped
+    reg = SchemaRegistry.from_paths([d])
+    assert "https://example.test/common.schema.json" in reg
+    # trailing-# normalization (LocalSchemaCache.schemaKey)
+    assert "https://example.test/address.schema.json#" in reg
+    assert reg.resolve("https://example.test/common.schema.json")["$id"] == (
+        COMMON_MULTI["$id"]
+    )
+
+
+def test_registry_unresolvable_id_lists_inventory():
+    reg = _registry()
+    with pytest.raises(KeyError) as e:
+        reg.resolve("https://example.test/nope.schema.json")
+    msg = str(e.value)
+    assert "nope.schema.json" in msg
+    assert "common.schema.json" in msg and "address.schema.json" in msg
+
+
+def test_import_cross_document_refs_end_to_end(spark):
+    rs, defs = ruleset_from_json_schema(ROOT_MULTI, registry=_registry())
+    # foreign fragments landed under their $id namespace
+    assert "https://example.test/common.schema.json#/$defs/shortName" in defs
+    assert "https://example.test/common.schema.json#/$defs/lower" in defs
+    assert "https://example.test/common.schema.json#/$defs/zip4" in defs
+    assert "https://example.test/address.schema.json#" in defs
+    assert "#/$defs/localTag" in defs  # root key unchanged
+
+    rows = [
+        (0, "alice", {"city": "NY", "zip": "1234"}, "t1"),   # clean
+        (1, "Toolong7", {"zip": "12"}, "x"),                 # 4 violations
+        (2, None, None, None),                               # required name
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, name string, addr map<string,string>, tag string"
+    )
+    got = sorted(
+        (r.doc_id, r.rule_id)
+        for r in violations_df(df, rs, definitions=defs).collect()
+    )
+    assert got == [
+        (1, "addr.$ref"),        # whole-doc address: city missing + zip bad
+        (1, "name.$ref"),        # shortName: maxLength + lower-pattern
+        (1, "tag.$ref"),         # localTag pattern
+        (2, "name.required"),
+    ]
+
+
+def test_import_cross_document_without_registry_raises():
+    with pytest.raises(ValueError, match="SchemaRegistry"):
+        ruleset_from_json_schema(ROOT_MULTI)
+
+
+def test_import_unresolvable_foreign_id_raises():
+    from json_validator_spark.rules.schema_registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.register(COMMON_MULTI)  # address.schema.json missing
+    with pytest.raises(KeyError, match="address.schema.json"):
+        ruleset_from_json_schema(ROOT_MULTI, registry=reg)
+
+
+# ----------------------------------------------------------------------
+# Recursive schemas: bounded unroll + flatten_recursive twin
+# (the reference's shipped sample, etc/dev/sample/sample-v1.0/sample.json)
+# ----------------------------------------------------------------------
+
+SAMPLE = {  # verbatim shape of the reference's sample schema (draft-07)
+    "$id": "https://example.com/arrays.schema.json",
+    "$schema": "http://json-schema.org/draft-07/schema#",
+    "description": "A representation of people",
+    "type": "object",
+    "properties": {
+        "people": {"type": "array", "items": {"$ref": "#/definitions/person"}},
+    },
+    "definitions": {
+        "person": {
+            "type": "object",
+            "required": ["firstName", "lastName"],
+            "properties": {
+                "firstName": {"type": "string", "description": "The first name."},
+                "lastName": {"type": "string", "description": "The last name."},
+                "age": {"type": "integer", "description": "The age."},
+                "children": {"type": "array", "items": {"$ref": "#/definitions/person"}},
+            },
+        }
+    },
+}
+
+
+def test_import_recursive_cycle_raises_without_unroll():
+    from json_validator_spark.rules.compiler import normalize_rule
+
+    rs, defs = ruleset_from_json_schema(SAMPLE)
+    items_rule = next(r for r in rs.rules if r.kind == "items")
+    # measured behavior at the recursion boundary: a clear compile-time
+    # error, never an infinite loop or a silently-dropped constraint
+    with pytest.raises(ValueError, match="cyclic \\$ref"):
+        normalize_rule(items_rule, defs)
+
+
+def test_import_recursive_unroll_shape():
+    from json_validator_spark.rules.compiler import normalize_rule
+
+    rs, defs = ruleset_from_json_schema(SAMPLE, max_ref_depth=2)
+    assert defs["#/definitions/person"] == {
+        "kind": "$ref", "params": {"ref": "#/definitions/person@1"}
+    }
+    assert "#/definitions/person@1" in defs and "#/definitions/person@2" in defs
+
+    def find_boundary(node):
+        if node.get("kind") == "refDepthExceeded":
+            return True
+        p = node.get("params", {})
+        subs = [p.get("schema")] + list(p.get("schemas") or []) + list(
+            (p.get("properties") or {}).values()
+        )
+        return any(find_boundary(s) for s in subs if isinstance(s, dict))
+
+    assert not find_boundary(defs["#/definitions/person@1"])
+    assert find_boundary(defs["#/definitions/person@2"])
+    # and the unrolled form now COMPILES (no cycle error)
+    items_rule = next(r for r in rs.rules if r.kind == "items")
+    normalize_rule(items_rule, defs)
+
+
+def test_flatten_recursive_validates_reference_sample(spark):
+    """End-to-end task: the reference's recursive person schema over a
+    small person corpus — flatten to node rows at depth ≤ 2, run the
+    imported per-node rules, and surface nodes nesting DEEPER as
+    explicit refDepthExceeded violations."""
+    import json
+
+    from json_validator_spark.sources.derive import flatten_recursive
+
+    person = SAMPLE["definitions"]["person"]
+    person_top = {
+        "type": "object",
+        "required": person["required"],
+        "properties": {
+            k: v for k, v in person["properties"].items() if k != "children"
+        },
+    }
+    rs, defs = ruleset_from_json_schema(person_top, name="person")
+
+    docs = [
+        (0, [{"firstName": "ann", "lastName": "lee", "age": 31,
+              "children": [{"firstName": "bo", "lastName": "lee", "age": 4}]}]),
+        # missing lastName at depth 1; age non-integer at depth 0
+        (1, [{"firstName": "cy", "lastName": "orr", "age": "x",
+              "children": [{"firstName": "dee"}]}]),
+        # nests to depth 3: the depth-2 node has children -> boundary
+        (2, [{"firstName": "e", "lastName": "f",
+              "children": [{"firstName": "g", "lastName": "h",
+                            "children": [{"firstName": "i", "lastName": "j",
+                                          "children": [{"firstName": "k", "lastName": "l"}]}]}]}]),
+        (3, [{"lastName": "only"}]),  # missing firstName at depth 0
+    ]
+    df = spark.createDataFrame(
+        [(i, json.dumps(p)) for i, p in docs], "doc_id long, people_json string"
+    )
+    nodes = flatten_recursive(
+        df, "people_json",
+        {"firstName": "string", "lastName": "string", "age": "string"},
+        max_depth=2,
+    )
+    v = violations_df(
+        nodes.withColumn("node_id", F.concat("doc_id", F.lit(":"), "node_path"))
+        .drop("doc_id").withColumnRenamed("node_id", "doc_id"),
+        rs, definitions=defs,
+    ).select("doc_id", "rule_id")
+    boundary = nodes.where((F.col("depth") == 2) & (F.col("n_children") > 0)).select(
+        F.concat("doc_id", F.lit(":"), "node_path").alias("doc_id"),
+        F.lit("person.refDepthExceeded").alias("rule_id"),
+    )
+    got = sorted((r.doc_id, r.rule_id) for r in v.unionByName(boundary).collect())
+    assert got == [
+        ("1:/people/0", "age.type"),
+        ("1:/people/0/children/0", "lastName.required"),
+        ("2:/people/0/children/0/children/0", "person.refDepthExceeded"),
+        ("3:/people/0", "firstName.required"),
+    ]
