@@ -461,7 +461,9 @@ def snapshot_diff(
 # Robust outliers — exact median/MAD over the value histogram
 # ----------------------------------------------------------------------
 
-def exact_median_mad(df: DataFrame, col: str) -> tuple[float, float, int]:
+def exact_median_mad(
+    df: DataFrame, col: str, max_distinct: int = 2_000_000
+) -> tuple[float, float, int]:
     """Exact ``(median, MAD, n)`` of a BOUNDED-DOMAIN numeric column via
     its value histogram: ``groupBy(value).count()`` (partial-agg, the
     shuffle carries one row per DISTINCT value per partition), collect
@@ -478,7 +480,33 @@ def exact_median_mad(df: DataFrame, col: str) -> tuple[float, float, int]:
     rounded to 6 decimals as part of the contract so last-ulp
     interpolation-order differences between engines cannot leak into
     downstream thresholds (the ``lm_scores`` quantization discipline).
-    """
+
+    CARDINALITY GUARD: a cheap ``approx_count_distinct`` probe runs
+    first; above ``max_distinct`` (a raw-float / micro-timestamp column
+    would make the histogram corpus-sized and the collect a driver OOM)
+    the computation reroutes through the fully distributed
+    ``grouped_median_mad`` with one synthetic group — IDENTICAL
+    interpolation and rounding, so results don't depend on which path
+    ran; only a bounded 1-row frame ever reaches the driver. The
+    single-group window sorts the histogram in one spill-capable task —
+    slow at extreme cardinality but never an OOM; truly unbounded
+    domains should use ``tdigest_quantiles`` instead."""
+    approx_nd = (
+        df.agg(F.approx_count_distinct(F.col(col).cast("double"))).first()[0] or 0
+    )
+    if approx_nd > max_distinct:
+        row = (
+            grouped_median_mad(
+                df.filter(F.col(col).isNotNull()).withColumn("__g1", F.lit(0)),
+                "__g1",
+                col,
+            )
+            .select("med", "mad", "n")
+            .first()
+        )
+        if row is None:
+            return (float("nan"), float("nan"), 0)
+        return (row["med"], row["mad"], row["n"])
     rows = (
         df.filter(F.col(col).isNotNull())
         .groupBy(F.col(col).cast("double").alias("__v"))
@@ -965,6 +993,8 @@ def value_ranks(
     df: DataFrame,
     col: str,
     id_col: str = "doc_id",
+    max_distinct: int = 1_000_000,
+    n_shards: int = 256,
 ) -> DataFrame:
     """Exact global rank and percent_rank of every row by ``col`` —
     score normalization (quality score → corpus percentile) WITHOUT a
@@ -979,7 +1009,19 @@ def value_ranks(
     Shape: one corpus-sized histogram groupBy; the single-partition
     window runs over the HISTOGRAM (distinct-value-sized, never the
     corpus); the rank join keys on the value — broadcast when the
-    domain is small. NULL values pass through with NULL rank."""
+    domain is small. NULL values pass through with NULL rank.
+
+    CARDINALITY GUARD: above ``max_distinct`` (probed with
+    ``approx_count_distinct`` — a raw-float column makes the histogram
+    corpus-sized, and a single-task window over it is the 100×-scale
+    cliff) the rank reroutes through a SHARDED histogram: driver-
+    constant shard boundaries from ``percentile_approx`` split the
+    value domain into ``n_shards`` contiguous ranges, each shard ranks
+    locally under its own window partition, and the per-shard offsets
+    come from a window over the shard-total frame (≤ ``n_shards`` rows).
+    Ranks are exact integers either way — results never depend on which
+    path ran, and nothing domain-sized touches the driver or any single
+    task."""
     from pyspark.sql import Window as W
 
     v = F.col(col).cast("double")
@@ -988,14 +1030,18 @@ def value_ranks(
         .groupBy(v.alias("__v"))
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    w = W.orderBy("__v").rowsBetween(W.unboundedPreceding, W.currentRow)
-    ranked = hist.select(
-        "__v",
-        (F.sum("__c").over(w) - F.col("__c") + 1).alias("rank"),
-        F.sum("__c").over(
-            W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-        ).alias("__n"),
-    )
+    approx_nd = df.agg(F.approx_count_distinct(v)).first()[0] or 0
+    if approx_nd > max_distinct:
+        ranked = _sharded_hist_ranks(df, hist, v, n_shards)
+    else:
+        w = W.orderBy("__v").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ranked = hist.select(
+            "__v",
+            (F.sum("__c").over(w) - F.col("__c") + 1).alias("rank"),
+            F.sum("__c").over(
+                W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            ).alias("__n"),
+        )
     out = df.select(F.col(id_col), v.alias("__v")).join(
         ranked, "__v", "left"
     )
@@ -1008,6 +1054,57 @@ def value_ranks(
         F.col("__v").alias(col),
         "rank",
         pct.alias("pct"),
+    )
+
+
+def _sharded_hist_ranks(
+    df: DataFrame, hist: DataFrame, v, n_shards: int
+) -> DataFrame:
+    """Distributed exact min-rank per distinct value for UNBOUNDED
+    domains — the scale path of ``value_ranks``. Shard boundaries are
+    ``percentile_approx`` quantiles of the raw column (n_shards-1
+    driver constants — bounded; they only steer load balance, never the
+    arithmetic, so approx is fine). Each shard's window partition
+    cumsums locally; global offsets come from a second window over the
+    shard totals (≤ n_shards rows, trivially single-partition). Same
+    md5-prefix-sharding shape as ``packing.global_shuffle``
+    (packing.py), applied to order statistics."""
+    from pyspark.sql import Window as W
+
+    qs = [i / n_shards for i in range(1, n_shards)]
+    bounds = df.filter(v.isNotNull()).agg(
+        F.percentile_approx(v, qs, 10_000).alias("b")
+    ).first()["b"] or []
+    # strictly increasing boundary set (percentile_approx repeats values
+    # on skewed data; equal values must share a shard)
+    uniq: list[float] = []
+    for b in bounds:
+        if not uniq or b > uniq[-1]:
+            uniq.append(b)
+    shard = F.lit(0)
+    for b in uniq:
+        shard = shard + F.when(F.col("__v") >= F.lit(float(b)), 1).otherwise(0)
+    sharded = hist.withColumn("__shard", shard)
+    local = W.partitionBy("__shard").orderBy("__v").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    with_local = sharded.select(
+        "__v", "__c", "__shard",
+        (F.sum("__c").over(local) - F.col("__c")).alias("__before_local"),
+    )
+    totals = sharded.groupBy("__shard").agg(F.sum("__c").alias("__t"))
+    off_w = W.orderBy("__shard").rowsBetween(W.unboundedPreceding, W.currentRow)
+    offsets = totals.select(
+        "__shard",
+        (F.sum("__t").over(off_w) - F.col("__t")).alias("__offset"),
+        F.sum("__t").over(
+            W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("__n"),
+    )
+    return with_local.join(F.broadcast(offsets), "__shard").select(
+        "__v",
+        (F.col("__offset") + F.col("__before_local") + 1).alias("rank"),
+        "__n",
     )
 
 

@@ -490,3 +490,49 @@ def test_categorical_drift_chi2_one_sided_guard(spark):
     assert sc.categorical_drift_chi2(
         df.filter(F.lit(False)), "cat", F.col("i") % 2 == 0
     ).count() == 0
+
+
+# ----------------------------------------------------------------------
+# Cardinality guards: high-distinct columns must not collect to the
+# driver (exact_median_mad) or single-task the window (value_ranks)
+# ----------------------------------------------------------------------
+
+
+def test_exact_median_mad_guard_matches_driver_path(spark):
+    from json_validator_spark.operators.set_checks import exact_median_mad
+
+    df = spark.range(5001).select(
+        F.col("id"), ((F.col("id") % 977) / 7.0 + (F.col("id") % 13)).alias("x")
+    )
+    fast = exact_median_mad(df, "x")                      # driver histogram
+    guarded = exact_median_mad(df, "x", max_distinct=50)  # forced distributed
+    assert guarded == fast
+    assert guarded[2] == 5001 and guarded[1] > 0
+
+
+def test_value_ranks_sharded_path_matches_and_distributes(spark):
+    from json_validator_spark.operators.set_checks import value_ranks
+
+    # ~10^6 rows, near-all-distinct values plus deliberate tie blocks —
+    # the raw-float shape the round-3 verdict flagged as the 100× cliff
+    df = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 101 == 0, F.lit(-1.5))  # heavy tie block
+        .otherwise(F.col("id") * 1.0000001 + (F.col("id") % 7) * 0.25)
+        .alias("score"),
+    )
+    sharded = value_ranks(df, "score", max_distinct=1000, n_shards=16)
+    # plan-asserted: ranking windows partition on the shard key, never a
+    # single global partition over the histogram
+    plan = sharded._jdf.queryExecution().executedPlan().toString()
+    assert "__shard" in plan
+    plain = value_ranks(df.where(F.col("doc_id") < 20_000), "score")
+    guard = value_ranks(
+        df.where(F.col("doc_id") < 20_000), "score", max_distinct=100, n_shards=8
+    )
+    a = {r["doc_id"]: (r["rank"], r["pct"]) for r in plain.collect()}
+    b = {r["doc_id"]: (r["rank"], r["pct"]) for r in guard.collect()}
+    assert a == b
+    # spot exactness on the big frame: global min rank is 1, ties share
+    top = sharded.where(F.col("score") == -1.5).select("rank").distinct().collect()
+    assert len(top) == 1 and top[0]["rank"] == 1
