@@ -142,6 +142,7 @@ def cmd_validate(args: argparse.Namespace) -> int:
 
         write_table(doc_verdicts_merged(verdict_base, violations), f"{args.output}/verdicts")
         write_table(aggregate_report(violations), f"{args.output}/aggregate")
+        out_violations = violations
     else:
         res = validate_run(
             spark, docs, ruleset, definitions=definitions, media_catalog=media,
@@ -158,6 +159,21 @@ def cmd_validate(args: argparse.Namespace) -> int:
         write_table(doc_verdicts_merged(verdict_base, res.violations), f"{args.output}/verdicts")
         write_table(res.partition_verdicts, f"{args.output}/partition_verdicts")
         write_table(res.aggregate, f"{args.output}/aggregate")
+        out_violations = res.violations
+    if args.format == "xml":
+        import datetime as _dt
+
+        from json_validator_spark.operators.report import (
+            tar_reports_from_violations,
+            write_tar_xml_reports,
+        )
+
+        write_tar_xml_reports(
+            tar_reports_from_violations(docs, out_violations),
+            f"{args.output}/xml",
+            max_docs=args.xml_max,
+            date=_dt.datetime.now(_dt.timezone.utc).isoformat(timespec="seconds"),
+        )
     elapsed = time.perf_counter() - t0
     # count from the materialized verdict table (one row per doc incl.
     # corrupt uploads) — docs.count() would re-run the whole raw
@@ -199,6 +215,16 @@ def main(argv: list[str] | None = None) -> int:
         help="JSON-Schema document compiled to the rule table "
         "(rules/schema_import.py — the reference's own interface); "
         "mutually exclusive with --rules",
+    )
+    v.add_argument(
+        "--format", choices=["tables", "xml"], default="tables",
+        help="'xml' additionally writes per-doc GITB TAR-<doc_id>.xml "
+        "files under {output}/xml (FileManager.java:121-139 wire shape; "
+        "truncated to --xml-max docs, the full report stays in tables)",
+    )
+    v.add_argument(
+        "--xml-max", type=int, default=100,
+        help="max per-doc XML reports written with --format xml",
     )
     v.add_argument("--media-catalog", default=None)
     v.add_argument("--checkpoint", default=None)

@@ -225,3 +225,80 @@ def tar_reports(doc_verdicts_df: DataFrame, violations: DataFrame) -> DataFrame:
         .join(items, "doc_id", "left")
         .withColumn("reports", F.coalesce("reports", empty))
     )
+
+
+# ----------------------------------------------------------------------
+# GITB TAR XML serialization (S7 completion)
+# ----------------------------------------------------------------------
+
+_XML_HEADER = '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+_TAR_OPEN = (
+    '<TAR xmlns="http://www.gitb.com/tr/v1/" '
+    'xmlns:ns2="http://www.gitb.com/core/v1/" '
+    'xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">'
+)
+
+
+def tar_xml(report_row, date: str | None = None) -> str:
+    """One per-document TAR report as the GITB XML wire format — the
+    shape ``FileManager.java:100-139`` saves as ``TAR-<uuid>.xml`` and
+    ``JSONValidator.java:443-465`` populates: result, counters
+    (nrOfAssertions always zero in the reference's JSON flow), and one
+    ``<error|warning|info xsi:type="BAR">`` element per report item
+    carrying description + location (the JSON-pointer contentPath,
+    ``JSONValidator.java:462-463``). ``report_row`` is one
+    ``tar_reports``/``tar_reports_from_violations`` row; items are
+    already in ReportItemComparator order (sort_array upstream), so the
+    serialization is deterministic. Driver-side BY DESIGN: callers pass
+    the truncated per-doc report set, never a corpus-sized frame."""
+    from xml.sax.saxutils import escape
+
+    c = report_row["counters"]
+    lines = [_XML_HEADER, _TAR_OPEN]
+    if date is not None:
+        lines.append(f"    <date>{escape(date)}</date>")
+    lines += [
+        f"    <result>{escape(report_row['result'])}</result>",
+        "    <counters>",
+        "        <nrOfAssertions>0</nrOfAssertions>",
+        f"        <nrOfErrors>{int(c['nrOfErrors'])}</nrOfErrors>",
+        f"        <nrOfWarnings>{int(c['nrOfWarnings'])}</nrOfWarnings>",
+        "    </counters>",
+        "    <reports>",
+    ]
+    for it in report_row["reports"]:
+        tag = it["severity"] if it["severity"] in ("error", "warning", "info") else "info"
+        lines += [
+            f'        <{tag} xsi:type="BAR">',
+            f"            <description>{escape(it['description'])}</description>",
+            f"            <location>{escape(it['location'])}</location>",
+            f"        </{tag}>",
+        ]
+    lines += ["    </reports>", "</TAR>", ""]
+    return "\n".join(lines)
+
+
+def write_tar_xml_reports(
+    tar_df: DataFrame,
+    out_dir: str,
+    max_docs: int = 100,
+    date: str | None = None,
+) -> list[str]:
+    """Write ``TAR-<doc_id>.xml`` files (the ``getReportFileNameXml``
+    naming, ``FileManager.java:121-124`` with the doc id as the uuid
+    slot) for the FIRST ``max_docs`` documents by id — the reference's
+    per-input report artifact is inherently per-file, so this sink is
+    explicitly truncated driver-side output (the full report stays in
+    the distributed tables; same contract as ``top_violations``).
+    Returns the written paths."""
+    from pathlib import Path
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    rows = tar_df.orderBy("doc_id").limit(max_docs).collect()
+    paths: list[str] = []
+    for r in rows:
+        p = out / f"TAR-{r['doc_id']}.xml"
+        p.write_text(tar_xml(r, date=date))
+        paths.append(str(p))
+    return paths

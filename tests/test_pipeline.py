@@ -487,3 +487,113 @@ def test_checkpoint_dir_reuse_no_stale_rows(spark, tmp_path):
     assert read_violations(spark, ck).count() == 50
     run_with_checkpoint(spark, clean, rs, ck, run_id="b", n_buckets=4)
     assert read_violations(spark, ck).count() == 0  # no stale run-a rows
+
+
+def test_tar_xml_golden(tmp_path, spark):
+    """GITB TAR XML wire shape (FileManager.java:100-139 naming,
+    JSONValidator.java:443-465 population) — golden-file comparison of
+    one FAILURE and one SUCCESS document."""
+    from json_validator_spark.operators.report import (
+        tar_reports_from_violations,
+        write_tar_xml_reports,
+    )
+
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    viols = spark.createDataFrame(
+        [
+            (1, "/name", "name.required", "error", "required value is missing"),
+            (1, "/n", "n.maximum", "warning", "constraint 'maximum' violated"),
+        ],
+        "doc_id long, span_path string, rule_id string, severity string, message string",
+    )
+    tar = tar_reports_from_violations(docs, viols)
+    paths = write_tar_xml_reports(
+        tar, str(tmp_path / "xml"), date="2026-08-18T00:00:00+00:00"
+    )
+    assert [p.rsplit("/", 1)[1] for p in paths] == ["TAR-1.xml", "TAR-2.xml"]
+    expected_1 = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<TAR xmlns="http://www.gitb.com/tr/v1/" xmlns:ns2="http://www.gitb.com/core/v1/" xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">
+    <date>2026-08-18T00:00:00+00:00</date>
+    <result>FAILURE</result>
+    <counters>
+        <nrOfAssertions>0</nrOfAssertions>
+        <nrOfErrors>1</nrOfErrors>
+        <nrOfWarnings>1</nrOfWarnings>
+    </counters>
+    <reports>
+        <warning xsi:type="BAR">
+            <description>constraint 'maximum' violated</description>
+            <location>/n</location>
+        </warning>
+        <error xsi:type="BAR">
+            <description>required value is missing</description>
+            <location>/name</location>
+        </error>
+    </reports>
+</TAR>
+"""
+    expected_2 = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<TAR xmlns="http://www.gitb.com/tr/v1/" xmlns:ns2="http://www.gitb.com/core/v1/" xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">
+    <date>2026-08-18T00:00:00+00:00</date>
+    <result>SUCCESS</result>
+    <counters>
+        <nrOfAssertions>0</nrOfAssertions>
+        <nrOfErrors>0</nrOfErrors>
+        <nrOfWarnings>0</nrOfWarnings>
+    </counters>
+    <reports>
+    </reports>
+</TAR>
+"""
+    assert (tmp_path / "xml" / "TAR-1.xml").read_text() == expected_1
+    assert (tmp_path / "xml" / "TAR-2.xml").read_text() == expected_2
+
+
+def test_tar_xml_escaping_and_truncation(tmp_path, spark):
+    from json_validator_spark.operators.report import (
+        tar_reports_from_violations,
+        write_tar_xml_reports,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    viols = spark.createDataFrame(
+        [(0, "/a<b>", "r&1", "error", 'needs <escaping> & "quotes"')],
+        "doc_id long, span_path string, rule_id string, severity string, message string",
+    )
+    paths = write_tar_xml_reports(
+        tar_reports_from_violations(docs, viols), str(tmp_path / "x"), max_docs=2
+    )
+    assert len(paths) == 2  # truncated sink, full report stays in tables
+    xml = (tmp_path / "x" / "TAR-0.xml").read_text()
+    assert "needs &lt;escaping&gt; &amp; \"quotes\"" in xml
+    assert "<location>/a&lt;b&gt;</location>" in xml
+
+
+def test_cli_format_xml(tmp_path, spark):
+    import json
+
+    from json_validator_spark.cli import main
+
+    (tmp_path / "docs.jsonl").write_text(
+        '{"doc_id": 1, "name": "alice"}\n{"doc_id": 2}\n'
+    )
+    (tmp_path / "schema.json").write_text(json.dumps({
+        "type": "object", "required": ["name"],
+        "properties": {"name": {"minLength": 2}},
+    }))
+    out = str(tmp_path / "out")
+    rc = main([
+        "validate", "--input", str(tmp_path / "docs.jsonl"), "--output", out,
+        "--input-format", "jsonl", "--input-schema", "doc_id long, name string",
+        "--schema", str(tmp_path / "schema.json"),
+        "--format", "xml", "--xml-max", "10",
+    ])
+    assert rc == 0
+    import pathlib
+
+    files = sorted(p.name for p in pathlib.Path(f"{out}/xml").glob("TAR-*.xml"))
+    assert files == ["TAR-1.xml", "TAR-2.xml"]
+    x2 = pathlib.Path(f"{out}/xml/TAR-2.xml").read_text()
+    assert "<result>FAILURE</result>" in x2
+    assert "<location>/name</location>" in x2
+    assert "<date>" in x2
