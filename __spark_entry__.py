@@ -1858,7 +1858,34 @@ def q_keyword_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "b": {"kind": "requiredKey", "params": {"key": "note"}}}}),
         ),
     )
-    return violations_df(frame, rs)
+    # unevaluated* via the IMPORT path: the sibling-allOf static
+    # approximation (rules/schema_import) unions the evaluated key /
+    # prefix sets across literal allOf members, so 'Bad-Key' is the only
+    # unevaluated key and the prefix length is 2
+    from json_validator_spark.rules.schema_import import ruleset_from_json_schema
+
+    mini = {
+        "type": "object",
+        "properties": {
+            "pm": {
+                "allOf": [
+                    {"properties": {"id": {}, "lang": {}, "kind": {}}},
+                    {"patternProperties": {"^x": {}}},
+                ],
+                "properties": {"note": {}},
+                "unevaluatedProperties": False,
+            },
+            "arr2": {
+                "allOf": [{"prefixItems": [{}, {}]}],
+                "unevaluatedItems": {"maximum": 3},
+            },
+        },
+    }
+    rs2, defs2 = ruleset_from_json_schema(mini, name="uneval")
+    frame2 = frame.select("doc_id", F.col("arr").alias("arr2"), "pm")
+    return violations_df(frame, rs).unionByName(
+        violations_df(frame2, rs2, definitions=defs2)
+    )
 
 
 def q_windowed_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2522,6 +2549,19 @@ UNION ALL
 SELECT d, '/pm', 'discriminator.pm', 'error',
        '[/pm] constraint ''discriminator'' violated'
 FROM k WHERE kindv IS NULL OR kindv = 'zz' OR (kindv = 'b' AND d % 3 <> 0)
+UNION ALL
+-- unevaluatedProperties: evaluated-key set unioned across the sibling
+-- allOf members ({id,lang,kind} + ^x pattern) and the schema's own
+-- properties ({note}); only 'Bad-Key' (d%11=0) is unevaluated
+SELECT d, '/pm', 'pm.unevaluatedProperties', 'error',
+       '[/pm] constraint ''additionalProperties'' violated'
+FROM k WHERE d % 11 = 0
+UNION ALL
+-- unevaluatedItems: prefix length 2 contributed by the sibling allOf;
+-- the remainder element (d % 7) must be <= 3
+SELECT d, '/arr2', 'arr2.unevaluatedItems', 'error',
+       '[/arr2] constraint ''items'' violated'
+FROM k WHERE d % 7 > 3
 """
 
 _EVENTS_SQL = """

@@ -68,6 +68,7 @@ _HANDLED = (
         "additionalProperties", "properties", "required", "dependentRequired",
         "dependentSchemas", "discriminator", "allOf", "anyOf", "oneOf", "not",
         "$ref", "readOnly", "writeOnly",
+        "unevaluatedProperties", "unevaluatedItems",
     }
 )
 
@@ -206,6 +207,51 @@ def _applications(
         raise ValueError(
             f"additionalProperties at {where}: only `false` (closed object) is "
             "supported on map-typed columns"
+        )
+    # unevaluatedProperties/Items — STATIC sibling-allOf approximation of
+    # draft-2020-12 annotation flow (jsv-messages.properties:48-49): the
+    # evaluated-key / evaluated-prefix sets are unioned across this
+    # subschema AND its literal `allOf` members (all of which must
+    # validate anyway, so the union is exactly the keys networknt would
+    # mark evaluated for the allOf composition). The residue that stays
+    # out of model is the genuinely DYNAMIC part: contributions from
+    # anyOf/oneOf branches (only passing branches count), if/then, and
+    # $dynamicRef — see README "Draft-2020-12 annotation boundary".
+    if sub.get("unevaluatedProperties") is False:
+        allowed = set(sub.get("properties", {}))
+        patterns = set(sub.get("patternProperties", {}))
+        for m in sub.get("allOf", []):
+            if isinstance(m, dict):
+                allowed |= set(m.get("properties", {}))
+                patterns |= set(m.get("patternProperties", {}))
+        apps.append(
+            ("unevaluatedProperties", {
+                "allowed": sorted(allowed),
+                "allowed_patterns": sorted(patterns),
+            })
+        )
+    elif isinstance(sub.get("unevaluatedProperties"), dict):
+        raise ValueError(
+            f"unevaluatedProperties at {where}: only `false` is supported"
+        )
+    if "unevaluatedItems" in sub:
+        uitems = sub["unevaluatedItems"]
+        if not (uitems is False or isinstance(uitems, dict)):
+            raise ValueError(
+                f"unevaluatedItems at {where}: must be `false` or a subschema"
+            )
+        starts = [len(prefix or [])]
+        for m in sub.get("allOf", []):
+            if isinstance(m, dict):
+                mp = m.get("prefixItems")
+                if mp is None and isinstance(m.get("items"), list):
+                    mp = m["items"]
+                starts.append(len(mp or []))
+        apps.append(
+            ("unevaluatedItems", {
+                "schema": _node(uitems, f"{where}/unevaluatedItems", ctx),
+                "start": max(starts),
+            })
         )
     # object keywords apply whenever present — JSON Schema applies
     # `required`/`properties` to any value that IS an object regardless

@@ -523,3 +523,51 @@ def test_flatten_recursive_validates_reference_sample(spark):
         ("2:/people/0/children/0/children/0", "person.refDepthExceeded"),
         ("3:/people/0", "firstName.required"),
     ]
+
+
+def test_import_unevaluated_sibling_allof_union(spark):
+    """Static sibling-allOf approximation of draft-2020-12 annotation
+    flow: keys/prefixes contributed by literal allOf members count as
+    evaluated for unevaluatedProperties/unevaluatedItems."""
+    schema = {
+        "type": "object",
+        "properties": {
+            "m": {
+                "allOf": [{"properties": {"a": {}, "b": {}}},
+                          {"patternProperties": {"^x": {}}}],
+                "properties": {"own": {}},
+                "unevaluatedProperties": False,
+            },
+            "t": {
+                "allOf": [{"prefixItems": [{}, {}, {}]}],
+                "unevaluatedItems": False,
+            },
+        },
+    }
+    rs, defs = ruleset_from_json_schema(schema)
+    up = next(r for r in rs.rules if r.kind == "unevaluatedProperties")
+    assert up.params["allowed"] == ["a", "b", "own"]
+    assert up.params["allowed_patterns"] == ["^x"]
+    ui = next(r for r in rs.rules if r.kind == "unevaluatedItems")
+    assert ui.params["start"] == 3
+    assert ui.params["schema"] == {"kind": "false", "params": {}}
+
+    rows = [
+        (0, {"a": "1", "x9": "2", "own": "3"}, [1, 2, 3]),        # clean
+        (1, {"a": "1", "zz": "2"}, [1, 2, 3, 4]),                 # both fail
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, m map<string,string>, t array<int>"
+    )
+    got = sorted(
+        (r.doc_id, r.rule_id) for r in violations_df(df, rs, definitions=defs).collect()
+    )
+    assert got == [(1, "m.unevaluatedProperties"), (1, "t.unevaluatedItems")]
+
+
+def test_import_unevaluated_properties_schema_form_raises():
+    with pytest.raises(ValueError, match="unevaluatedProperties"):
+        ruleset_from_json_schema({
+            "type": "object",
+            "properties": {"m": {"unevaluatedProperties": {"maxLength": 3}}},
+        })
