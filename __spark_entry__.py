@@ -293,6 +293,94 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _arrival_chunks(spark: SparkSession, df: DataFrame, base: str) -> str:
+    """Write ``df`` as three event-time-ordered parquet arrival chunks
+    under ``{base}/in`` — the landing-directory shape the streaming
+    layer consumes. Chunk boundaries are exact percentiles of the event
+    time, so cross-batch arrival order matches event-time order (the
+    streaming sessionizer's documented batch-parity precondition)."""
+    import shutil
+    from pathlib import Path
+
+    in_dir = f"{base}/in"
+    Path(in_dir).mkdir(parents=True)
+    cuts = df.select(
+        F.expr(
+            "percentile(unix_micros(cast(ts as timestamp)), array(0.33, 0.66))"
+        ).alias("c")
+    ).first()["c"]
+    lo, hi = int(cuts[0]), int(cuts[1])
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    for i, cond in enumerate([us <= lo, (us > lo) & (us <= hi), us > hi]):
+        stage = f"{base}/stage{i}"
+        df.filter(cond).coalesce(1).write.parquet(stage)
+        part = next(Path(stage).glob("part-*.parquet"))
+        shutil.copy(part, f"{in_dir}/chunk{i}.parquet")
+    return in_dir
+
+
+def q_session_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionization batch parity (VERDICT r03 #8): the
+    events table replayed as three time-ordered arrival chunks through
+    ``streaming/session_stream`` (``applyInPandasWithState``, one file
+    per micro-batch so per-user state genuinely carries across
+    batches), then the materialized per-event assignments are compared
+    against the batch gap-sessionization SQL. The streaming layer's
+    math stops being pytest-only: its output IS the oracle row."""
+    import tempfile
+
+    from json_validator_spark.streaming.session_stream import session_stream
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.col("user_id").cast("string").alias("user_id"),
+            F.col("event_id").cast("string").alias("event_id"),
+            "ts",
+        )
+    )
+    base = tempfile.mkdtemp(prefix="jvs_sess_parity_")
+    in_dir = _arrival_chunks(spark, ev, base)
+    q = session_stream(
+        spark, in_dir, "user_id string, event_id string, ts timestamp",
+        f"{base}/out", f"{base}/ckpt", gap_minutes=30, max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out/sessions").select(
+        "user_id", "event_id", "session_idx", "session_id"
+    )
+
+
+def q_running_stats_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-key running stats batch parity: three arrival
+    chunks through ``streaming/running_stats_stream`` (Chan/Welford
+    moment merges in keyed state), then each key's LAST emitted row —
+    its lifetime stats after the final batch — must equal the one-pass
+    batch aggregate over the same events."""
+    import tempfile
+
+    from json_validator_spark.streaming.stats_stream import running_stats_stream
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(F.col("event_type").cast("string").alias("event_type"), "value", "ts")
+    )
+    base = tempfile.mkdtemp(prefix="jvs_stats_parity_")
+    in_dir = _arrival_chunks(spark, ev, base)
+    q = running_stats_stream(
+        spark, in_dir, "event_type string, value double, ts timestamp",
+        f"{base}/out", f"{base}/ckpt", max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(f"{base}/out/stats")
+    last = out.groupBy("key").agg(F.max("batch_id").alias("batch_id"))
+    return out.join(last, ["key", "batch_id"]).select(
+        "key", "n", "mean", "std", "min", "max"
+    )
+
+
 def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window rate check: users firing >2 events in any
     (t−60m, t] window — RANGE frame over microsecond ticks, one
@@ -2024,6 +2112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_composite": q_fd_composite,
         "completeness": q_completeness,
         "sessions": q_sessions,
+        "session_stream_parity": q_session_stream_parity,
+        "running_stats_stream_parity": q_running_stats_stream_parity,
         "rate_limit": q_rate_limit,
         "asof_rates": q_asof_rates,
         "funnel": q_funnel,
@@ -2743,6 +2833,44 @@ def oracle_sql() -> dict[str, str]:
                    floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT
                      AS duration_s
             FROM s GROUP BY user_id, session_idx
+        """,
+        # Mirrors q_session_stream_parity: the per-event gap
+        # sessionization the stream must reproduce (strict 30-minute
+        # microsecond gap, cumulative break count per user).
+        "session_stream_parity": """
+            WITH e AS (
+              SELECT user_id::VARCHAR AS user_id, event_id::VARCHAR AS event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ), m AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN prev IS NULL
+                          OR date_diff('microsecond', prev, ts) > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM e
+            )
+            SELECT user_id, event_id,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_idx,
+                   user_id || '#' ||
+                   (sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING))::VARCHAR AS session_id
+            FROM m
+        """,
+        # Mirrors q_running_stats_stream_parity: lifetime per-key moments
+        # (sample std; n=1 keys report 0 like the Welford state).
+        "running_stats_stream_parity": """
+            SELECT event_type AS key,
+                   count(value)::BIGINT AS n,
+                   round(avg(value), 6) AS mean,
+                   CASE WHEN count(value) > 1
+                        THEN round(stddev_samp(value), 6) ELSE 0.0 END AS std,
+                   min(value) AS min,
+                   max(value) AS max
+            FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY event_type
+            HAVING count(value) > 0
         """,
         "key_skew": """
             WITH c AS (

@@ -81,6 +81,7 @@ def session_stream(
     schema: str,
     output_path: str,
     checkpoint_path: str,
+    max_files_per_trigger: int | None = None,
     gap_minutes: int = 30,
     user_col: str = "user_id",
     ts_col: str = "ts",
@@ -92,7 +93,12 @@ def session_stream(
     the idempotent per-batch overwrite."""
     from json_validator_spark.streaming.validate_stream import write_batch_idempotent
 
-    stream = spark.readStream.schema(schema).parquet(input_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # bound each micro-batch (availableNow still drains everything):
+        # forces genuine multi-batch state carryover in tests/parity runs
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
     keyed = stream.select(
         F.col(user_col).cast("string").alias("user_id"),
         F.col(id_col).cast("string").alias("event_id"),

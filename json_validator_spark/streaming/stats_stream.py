@@ -83,6 +83,7 @@ def running_stats_stream(
     schema: str,
     output_path: str,
     checkpoint_path: str,
+    max_files_per_trigger: int | None = None,
     key_col: str = "event_type",
     value_col: str = "value",
 ) -> StreamingQuery:
@@ -92,7 +93,12 @@ def running_stats_stream(
     reuses the idempotent per-batch overwrite."""
     from json_validator_spark.streaming.validate_stream import write_batch_idempotent
 
-    stream = spark.readStream.schema(schema).parquet(input_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # bound each micro-batch (availableNow still drains everything):
+        # forces genuine multi-batch state carryover in tests/parity runs
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
     keyed = stream.select(
         F.col(key_col).cast("string").alias("key"),
         F.col(value_col).cast("double").alias("value"),
