@@ -1007,32 +1007,38 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched assignment, probe-2-of-8 clusters) under the
     tolerance-boolean oracle contract (the ``tdigest`` pattern —
     VERDICT r02 next-round #5): per query, recall is computed in-Spark
-    against the exact top-k (itself oracle-checked as ``knn_numpy``)
-    and ``recall_ok`` asserts it meets the 0.6 floor the pytest suite
-    quantifies (``test_ivf_recall_floor``; 0.6 is also the measured
-    per-query minimum across sf0.001/0.01/0.1 at this config). A
-    recall regression flips the boolean and reds the hash check."""
+    against the exact top-k (itself oracle-checked as ``knn_numpy``).
+    Config = the library defaults (probe-4-of-16, 10 Lloyd iters) —
+    the knee of the round-4 recall/latency sweep (BENCH.md "IVF
+    recall/latency curve"). Two deterministic assertions red the hash
+    on regression: per-query recall ≥ 0.6 (``recall_ok``) and MEAN
+    recall over the query set ≥ 0.8 (``mean_recall_ok`` — the r03
+    verdict's raised floor; measured means at this config are
+    0.875–0.95 across sf0.001/0.01/0.1, exactly reproducible because
+    codebook init, sampling and assignment are all hash-deterministic)."""
     from json_validator_spark.operators.similarity import cosine_topk_numpy, ivf_topk
 
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    approx = ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=2).select(
-        "query_id", "neighbor_id"
-    )
+    approx = ivf_topk(emb, queries, k=5).select("query_id", "neighbor_id")
     exact = cosine_topk_numpy(emb, queries, k=5).select("query_id", "neighbor_id")
     hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_hits")
     )
     per_q = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    return per_q.join(hits, "query_id", "left").select(
+    recall = F.coalesce("n_hits", F.lit(0)) / F.col("n_exact")
+    scored = per_q.join(hits, "query_id", "left").select(
         "query_id",
         F.col("n_exact").cast("long").alias("n_exact"),
-        (
-            F.coalesce("n_hits", F.lit(0))
-            >= F.ceil(F.lit(0.6) * F.col("n_exact"))
-        ).alias("recall_ok"),
+        (recall >= F.lit(0.6)).alias("recall_ok"),
+        recall.alias("__r"),
+    )
+    mean_ok = scored.agg((F.avg("__r") >= F.lit(0.8)).alias("m")).first()["m"]
+    return scored.select(
+        "query_id", "n_exact", "recall_ok",
+        F.lit(bool(mean_ok)).alias("mean_recall_ok"),
     )
 
 
@@ -4369,7 +4375,8 @@ def oracle_sql() -> dict[str, str]:
         # like tdigest) — the exact neighbor sets themselves are
         # oracle-checked as knn_bruteforce / knn_numpy.
         "knn_ivf": """
-            SELECT vec_id AS query_id, 5::BIGINT AS n_exact, true AS recall_ok
+            SELECT vec_id AS query_id, 5::BIGINT AS n_exact,
+                   true AS recall_ok, true AS mean_recall_ok
             FROM embeddings WHERE vec_id < 8
         """,
         # Mirrors media.synth_decodable_media + sources/synth.synth_media_catalog:

@@ -153,7 +153,7 @@ def cosine_topk_numpy(
 def kmeans_centroids(
     vectors: DataFrame,
     k: int,
-    iters: int = 3,
+    iters: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_fraction: float | None = None,
@@ -203,8 +203,8 @@ def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_clusters: int = 8,
-    n_probe: int = 2,
+    n_clusters: int = 16,
+    n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
