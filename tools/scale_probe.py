@@ -129,8 +129,14 @@ def main() -> None:
                 (
                     F.col("text")
                     if i == 0
+                    # suffix keyed by doc_id % 100000 so the +100000 dup
+                    # copies keep matching their originals WITHIN a
+                    # replica while cross-replica similarity stays below
+                    # threshold (pair output scales linearly)
                     else F.concat(
-                        F.col("text"), F.lit(f" zrep{i}q"), F.col("doc_id").cast("string")
+                        F.col("text"),
+                        F.lit(f" zrep{i}q"),
+                        (F.col("doc_id") % 100000).cast("string"),
                     )
                 ).alias("text"),
             )
