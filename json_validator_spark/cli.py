@@ -165,15 +165,24 @@ def cmd_validate(args: argparse.Namespace) -> int:
 
         from json_validator_spark.operators.report import (
             tar_reports_from_violations,
+            write_tar_xml_aggregate,
             write_tar_xml_reports,
         )
 
+        now = _dt.datetime.now(_dt.timezone.utc).isoformat(timespec="seconds")
         write_tar_xml_reports(
             tar_reports_from_violations(docs, out_violations),
             f"{args.output}/xml",
             max_docs=args.xml_max,
-            date=_dt.datetime.now(_dt.timezone.utc).isoformat(timespec="seconds"),
+            date=now,
         )
+        write_tar_xml_aggregate(
+            out_violations, f"{args.output}/xml/TAR-aggregate.xml", date=now
+        )
+    elif args.format == "csv":
+        ordered(out_violations).write.option("header", True).mode(
+            "overwrite"
+        ).csv(f"{args.output}/csv")
     elapsed = time.perf_counter() - t0
     # count from the materialized verdict table (one row per doc incl.
     # corrupt uploads) — docs.count() would re-run the whole raw
@@ -217,10 +226,13 @@ def main(argv: list[str] | None = None) -> int:
         "mutually exclusive with --rules",
     )
     v.add_argument(
-        "--format", choices=["tables", "xml"], default="tables",
-        help="'xml' additionally writes per-doc GITB TAR-<doc_id>.xml "
-        "files under {output}/xml (FileManager.java:121-139 wire shape; "
-        "truncated to --xml-max docs, the full report stays in tables)",
+        "--format", choices=["tables", "xml", "csv"], default="tables",
+        help="'xml' additionally writes per-doc GITB TAR-<doc_id>.xml files "
+        "plus the run-level TAR-aggregate.xml under {output}/xml "
+        "(FileManager.java:100-139 wire shapes; per-doc files truncated to "
+        "--xml-max, the full report stays in tables); 'csv' additionally "
+        "writes the ordered violation report as distributed CSV "
+        "(getReportFileNameCsv analogue) under {output}/csv",
     )
     v.add_argument(
         "--xml-max", type=int, default=100,

@@ -302,3 +302,73 @@ def write_tar_xml_reports(
         p.write_text(tar_xml(r, date=date))
         paths.append(str(p))
     return paths
+
+
+def aggregate_tar_items(violations: DataFrame) -> DataFrame:
+    """Aggregate-report items — the reference's ``AggregateReportItems``
+    keying (``JSONValidator.java:466-481``): severity element name +
+    description with the ``[location] `` prefix stripped (``:472-479``),
+    counted. Output ``(severity, description, count)``, rule-catalog-
+    sized (one partial-agg groupBy over the violation stream)."""
+    desc = F.when(
+        F.col("message").startswith("["),
+        F.expr("substring(message, instr(message, '] ') + 2)"),
+    ).otherwise(F.col("message"))
+    return (
+        violations.groupBy("severity", desc.alias("description"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def tar_xml_aggregate(items, n_errors: int, n_warnings: int, date: str | None = None) -> str:
+    """One run-level aggregate TAR as XML — the ``TAR-<uuid>_aggregate``
+    sibling of the per-doc report (``FileManager.java:100-124``
+    aggregate naming; populated at ``JSONValidator.java:485-499``).
+    ``items`` are ``aggregate_tar_items`` rows. itb-commons' exact
+    aggregated-item wording is localization-dependent (library not in
+    this repo); here each item is its location-free description
+    prefixed with the occurrence count — deterministic and
+    golden-testable. Items serialize in (severity, description) order."""
+    from xml.sax.saxutils import escape
+
+    lines = [_XML_HEADER, _TAR_OPEN]
+    if date is not None:
+        lines.append(f"    <date>{escape(date)}</date>")
+    lines += [
+        f"    <result>{'FAILURE' if n_errors else 'SUCCESS'}</result>",
+        "    <counters>",
+        "        <nrOfAssertions>0</nrOfAssertions>",
+        f"        <nrOfErrors>{int(n_errors)}</nrOfErrors>",
+        f"        <nrOfWarnings>{int(n_warnings)}</nrOfWarnings>",
+        "    </counters>",
+        "    <reports>",
+    ]
+    for it in sorted(items, key=lambda r: (r["severity"], r["description"])):
+        tag = it["severity"] if it["severity"] in ("error", "warning", "info") else "info"
+        lines += [
+            f'        <{tag} xsi:type="BAR">',
+            f"            <description>({int(it['count'])}x) "
+            f"{escape(it['description'])}</description>",
+            f"        </{tag}>",
+        ]
+    lines += ["    </reports>", "</TAR>", ""]
+    return "\n".join(lines)
+
+
+def write_tar_xml_aggregate(
+    violations: DataFrame, out_path: str, date: str | None = None
+) -> str:
+    """Serialize the run-level aggregate report to ONE
+    ``TAR-aggregate.xml`` file. The only driver-side data is the
+    rule-catalog-sized (severity, description, count) frame plus two
+    counters from the same rows — corpus-size-independent by
+    construction. Returns the written path."""
+    from pathlib import Path
+
+    items = aggregate_tar_items(violations).collect()
+    n_err = sum(r["count"] for r in items if r["severity"] == "error")
+    n_warn = sum(r["count"] for r in items if r["severity"] == "warning")
+    p = Path(out_path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(tar_xml_aggregate(items, n_err, n_warn, date=date))
+    return str(p)

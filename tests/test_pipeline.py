@@ -592,8 +592,78 @@ def test_cli_format_xml(tmp_path, spark):
     import pathlib
 
     files = sorted(p.name for p in pathlib.Path(f"{out}/xml").glob("TAR-*.xml"))
-    assert files == ["TAR-1.xml", "TAR-2.xml"]
+    assert files == ["TAR-1.xml", "TAR-2.xml", "TAR-aggregate.xml"]
+    agg = pathlib.Path(f"{out}/xml/TAR-aggregate.xml").read_text()
+    assert "(1x) required value is missing" in agg
     x2 = pathlib.Path(f"{out}/xml/TAR-2.xml").read_text()
     assert "<result>FAILURE</result>" in x2
     assert "<location>/name</location>" in x2
     assert "<date>" in x2
+
+
+def test_tar_xml_aggregate_golden(tmp_path, spark):
+    """Run-level aggregate TAR (AggregateReportItems keying,
+    JSONValidator.java:466-481: severity + location-stripped message,
+    counted) as one golden XML file."""
+    from json_validator_spark.operators.report import write_tar_xml_aggregate
+
+    viols = spark.createDataFrame(
+        [
+            (1, "/name", "name.required", "error", "[/name] required value is missing"),
+            (2, "/name", "name.required", "error", "[/name] required value is missing"),
+            (2, "/n", "n.maximum", "warning", "[/n] constraint 'maximum' violated"),
+        ],
+        "doc_id long, span_path string, rule_id string, severity string, message string",
+    )
+    path = write_tar_xml_aggregate(
+        viols, str(tmp_path / "TAR-aggregate.xml"), date="2026-08-18T00:00:00+00:00"
+    )
+    expected = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<TAR xmlns="http://www.gitb.com/tr/v1/" xmlns:ns2="http://www.gitb.com/core/v1/" xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">
+    <date>2026-08-18T00:00:00+00:00</date>
+    <result>FAILURE</result>
+    <counters>
+        <nrOfAssertions>0</nrOfAssertions>
+        <nrOfErrors>2</nrOfErrors>
+        <nrOfWarnings>1</nrOfWarnings>
+    </counters>
+    <reports>
+        <error xsi:type="BAR">
+            <description>(2x) required value is missing</description>
+        </error>
+        <warning xsi:type="BAR">
+            <description>(1x) constraint 'maximum' violated</description>
+        </warning>
+    </reports>
+</TAR>
+"""
+    import pathlib
+
+    assert pathlib.Path(path).read_text() == expected
+
+
+def test_cli_format_csv(tmp_path, spark):
+    import json
+    import pathlib
+
+    from json_validator_spark.cli import main
+
+    (tmp_path / "docs.jsonl").write_text(
+        '{"doc_id": 1, "name": "alice"}\n{"doc_id": 2}\n'
+    )
+    (tmp_path / "schema.json").write_text(json.dumps({
+        "type": "object", "required": ["name"],
+        "properties": {"name": {"minLength": 2}},
+    }))
+    out = str(tmp_path / "out")
+    rc = main([
+        "validate", "--input", str(tmp_path / "docs.jsonl"), "--output", out,
+        "--input-format", "jsonl", "--input-schema", "doc_id long, name string",
+        "--schema", str(tmp_path / "schema.json"), "--format", "csv",
+    ])
+    assert rc == 0
+    csv_text = "".join(
+        p.read_text() for p in pathlib.Path(f"{out}/csv").glob("*.csv")
+    )
+    assert "doc_id,span_path,rule_id,severity,message" in csv_text
+    assert "2,/name,name.required,error" in csv_text
