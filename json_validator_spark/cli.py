@@ -114,8 +114,15 @@ def cmd_validate(args: argparse.Namespace) -> int:
 
         if args.rules:
             raise SystemExit("--rules and --schema are mutually exclusive")
+        registry = None
+        if args.shared_schemas:
+            from json_validator_spark.rules.schema_registry import SchemaRegistry
+
+            registry = SchemaRegistry.from_paths(args.shared_schemas)
         with open(args.schema) as f:
-            ruleset, definitions = ruleset_from_json_schema(json.load(f))
+            ruleset, definitions = ruleset_from_json_schema(
+                json.load(f), registry=registry, max_ref_depth=args.max_ref_depth
+            )
     else:
         ruleset = _load_ruleset(args.rules)
 
@@ -224,6 +231,18 @@ def main(argv: list[str] | None = None) -> int:
         help="JSON-Schema document compiled to the rule table "
         "(rules/schema_import.py — the reference's own interface); "
         "mutually exclusive with --rules",
+    )
+    v.add_argument(
+        "--shared-schemas", action="append", default=None,
+        help="file or directory preloaded into the $id->document registry "
+        "for cross-document $ref (the reference's validator.schemaFile.* "
+        "shared-schema config); repeatable",
+    )
+    v.add_argument(
+        "--max-ref-depth", type=int, default=None,
+        help="bounded unrolling depth for RECURSIVE schemas (deeper "
+        "nesting becomes an explicit refDepthExceeded violation); "
+        "default: recursion is a compile-time error",
     )
     v.add_argument(
         "--format", choices=["tables", "xml", "csv"], default="tables",

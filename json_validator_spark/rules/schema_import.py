@@ -33,9 +33,11 @@ from json_validator_spark.rules.model import Rule, RuleSet, RuleSetGroup
 from json_validator_spark.rules.schema_registry import SchemaRegistry
 
 # Annotation-only keywords: legal everywhere, produce no rule.
+# ($anchor declares an addressable name — resolution happens in
+# _json_pointer's plain-name branch, the keyword itself emits nothing.)
 _ANNOTATIONS = {
     "title", "description", "examples", "default", "$comment", "$schema",
-    "$id", "deprecated", "x-severity",
+    "$id", "$anchor", "deprecated", "x-severity",
 }
 
 # subschema keyword -> engine kind for 1:1 scalar keywords
@@ -106,7 +108,15 @@ class _ImportCtx:
 
 def _json_pointer(doc: Any, frag: str, where: str) -> Any:
     """Navigate a ``#/a/b``-style fragment (RFC 6901: ``~1`` → ``/``,
-    ``~0`` → ``~``, digits index arrays). Empty fragment = whole doc."""
+    ``~0`` → ``~``, digits index arrays). Empty fragment = whole doc.
+    A PLAIN-NAME fragment (no leading ``/``) is an ``$anchor`` lookup —
+    networknt resolves ``other.json#name`` to the subschema declaring
+    ``"$anchor": "name"`` (draft-7 ``$id: "#name"`` also accepted)."""
+    if frag and not frag.startswith("/"):
+        hit = _find_anchor(doc, frag)
+        if hit is None:
+            raise ValueError(f"$ref {where!r}: no $anchor {frag!r} in document")
+        return hit
     node = doc
     for raw in [p for p in frag.split("/") if p != ""]:
         part = raw.replace("~1", "/").replace("~0", "~")
@@ -117,6 +127,26 @@ def _json_pointer(doc: Any, frag: str, where: str) -> Any:
         else:
             raise ValueError(f"$ref pointer {where!r}: fragment /{raw} not found")
     return node
+
+
+def _find_anchor(node: Any, name: str) -> Any:
+    """Depth-first search for the subschema declaring ``$anchor: name``
+    (or the draft-7 spelling ``$id: "#name"``). Deterministic: dict
+    insertion order, first hit wins — matching networknt's single-anchor
+    expectation (duplicate anchors are a schema-authoring error)."""
+    if isinstance(node, dict):
+        if node.get("$anchor") == name or node.get("$id") == f"#{name}":
+            return node
+        for v in node.values():
+            hit = _find_anchor(v, name)
+            if hit is not None:
+                return hit
+    elif isinstance(node, list):
+        for v in node:
+            hit = _find_anchor(v, name)
+            if hit is not None:
+                return hit
+    return None
 
 
 def _check_known(sub: dict[str, Any], where: str) -> None:

@@ -571,3 +571,85 @@ def test_import_unevaluated_properties_schema_form_raises():
             "type": "object",
             "properties": {"m": {"unevaluatedProperties": {"maxLength": 3}}},
         })
+
+
+def test_import_anchor_fragments(spark):
+    """Plain-name fragments resolve to the subschema declaring
+    ``$anchor`` (2020-12) or ``$id: "#name"`` (draft-7) — networknt's
+    anchor addressing, same-document and cross-document."""
+    from json_validator_spark.rules.schema_registry import SchemaRegistry
+
+    shared = {
+        "$id": "https://example.test/anchored.schema.json",
+        "$defs": {
+            "inner": {"$anchor": "tag", "pattern": "^t"},
+            "legacy": {"$id": "#old", "maxLength": 2},
+        },
+    }
+    root = {
+        "$id": "https://example.test/aroot.schema.json",
+        "type": "object",
+        "$defs": {"local": {"$anchor": "loc", "minLength": 2}},
+        "properties": {
+            "a": {"$ref": "anchored.schema.json#tag"},
+            "b": {"$ref": "anchored.schema.json#old"},
+            "c": {"$ref": "#loc"},
+        },
+    }
+    reg = SchemaRegistry()
+    reg.register(shared)
+    rs, defs = ruleset_from_json_schema(root, registry=reg)
+    df = spark.createDataFrame(
+        [(0, "tx", "ab", "xy"), (1, "nope", "toolong", "z")],
+        "doc_id long, a string, b string, c string",
+    )
+    got = sorted(
+        (r.doc_id, r.rule_id) for r in violations_df(df, rs, definitions=defs).collect()
+    )
+    assert got == [(1, "a.$ref"), (1, "b.$ref"), (1, "c.$ref")]
+
+
+def test_import_missing_anchor_raises():
+    from json_validator_spark.rules.schema_registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.register({"$id": "https://example.test/anchored.schema.json"})
+    with pytest.raises(ValueError, match="no \\$anchor"):
+        ruleset_from_json_schema({
+            "$id": "https://example.test/aroot.schema.json",
+            "type": "object",
+            "properties": {"a": {"$ref": "anchored.schema.json#missing"}},
+        }, registry=reg)
+
+
+def test_cli_shared_schemas_and_ref_depth(tmp_path, spark):
+    import json
+
+    from json_validator_spark.cli import main
+
+    (tmp_path / "shared").mkdir()
+    (tmp_path / "shared" / "common.json").write_text(json.dumps({
+        "$id": "https://example.test/c.json",
+        "$defs": {"short": {"maxLength": 3}},
+    }))
+    (tmp_path / "schema.json").write_text(json.dumps({
+        "$id": "https://example.test/root.json",
+        "type": "object",
+        "properties": {"name": {"$ref": "c.json#/$defs/short"}},
+    }))
+    (tmp_path / "docs.jsonl").write_text(
+        '{"doc_id": 1, "name": "ok"}\n{"doc_id": 2, "name": "toolong"}\n'
+    )
+    out = str(tmp_path / "out")
+    rc = main([
+        "validate", "--input", str(tmp_path / "docs.jsonl"), "--output", out,
+        "--input-format", "jsonl", "--input-schema", "doc_id long, name string",
+        "--schema", str(tmp_path / "schema.json"),
+        "--shared-schemas", str(tmp_path / "shared"),
+    ])
+    assert rc == 0
+    got = {
+        (r["doc_id"], r["rule_id"])
+        for r in spark.read.parquet(f"{out}/violations").collect()
+    }
+    assert got == {("2", "name.$ref")}
