@@ -1879,6 +1879,12 @@ def q_keyword_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
             Rule("dependencies.lang", "/lang", "dependencies",
                  {"if_target": "/source"}),
             Rule("notallowed.junk", "/junk", "notAllowed", {}),
+            # draft-7 conditional: IF n_chars < 100 THEN multipleOf 2
+            # ELSE maximum 400 — exact boolean composition
+            Rule("ifthenelse.n_chars", "/n_chars", "ifThenElse", {"schemas": [
+                {"kind": "maximum", "params": {"value": 99}},
+                {"kind": "multipleOf", "params": {"value": 2}},
+                {"kind": "maximum", "params": {"value": 400}}]}),
         ),
     )
     return violations_df(frame, rs, definitions=defs)
@@ -2588,6 +2594,12 @@ UNION ALL
 SELECT doc_id, '/junk', 'notallowed.junk', 'error',
        '[/junk] constraint ''false'' violated'
 FROM documents WHERE doc_id % 19 = 0
+UNION ALL
+-- ifThenElse: (n_chars <= 99 => n_chars % 2 = 0) AND (n_chars > 99 => n_chars <= 400)
+SELECT doc_id, '/n_chars', 'ifthenelse.n_chars', 'error',
+       '[/n_chars] constraint ''ifThenElse'' violated'
+FROM documents WHERE n_chars IS NOT NULL AND
+      CASE WHEN n_chars <= 99 THEN n_chars % 2 <> 0 ELSE n_chars > 400 END
 """
 
 # Mirrors q_keyword_objects. nkeys / kindv reconstruct the synthetic map's

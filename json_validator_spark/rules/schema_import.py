@@ -70,7 +70,7 @@ _HANDLED = (
         "additionalProperties", "properties", "required", "dependentRequired",
         "dependentSchemas", "discriminator", "allOf", "anyOf", "oneOf", "not",
         "$ref", "readOnly", "writeOnly",
-        "unevaluatedProperties", "unevaluatedItems",
+        "unevaluatedProperties", "unevaluatedItems", "if", "then", "else",
     }
 )
 
@@ -314,6 +314,20 @@ def _applications(
             })
         )
 
+    if "if" in sub:
+        # draft-7 conditionals: verdict = (if ⇒ then) ∧ (¬if ⇒ else).
+        # `then`/`else` WITHOUT `if` have no effect by spec (they are
+        # ignored applicators, not dropped constraints), so only the
+        # `if`-present form emits a rule.
+        apps.append(
+            ("ifThenElse", {
+                "schemas": [
+                    _node(sub["if"], f"{where}/if", ctx),
+                    _node(sub.get("then", True), f"{where}/then", ctx),
+                    _node(sub.get("else", True), f"{where}/else", ctx),
+                ]
+            })
+        )
     for combo in ("allOf", "anyOf", "oneOf"):
         if combo in sub:
             apps.append((combo, {"schemas": [_node(s, f"{where}/{combo}", ctx) for s in sub[combo]]}))

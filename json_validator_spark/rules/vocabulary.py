@@ -280,6 +280,16 @@ def build_pass(kind: str, value: Column, params: dict[str, Any]) -> Column:
         return n == 1
     if kind == "not":
         return ~_inner_pred(params["schema"])(value)
+    if kind == "ifThenElse":
+        # draft-7 conditional applicator: validation verdict is the exact
+        # boolean composition (if ⇒ then) ∧ (¬if ⇒ else); params pack the
+        # three branches positionally in `schemas` [if, then, else]
+        # (missing then/else = true schema) so every ref/predicate walker
+        # that already handles `schemas` covers conditionals for free
+        cond, then_s, else_s = params["schemas"]
+        return F.when(
+            _inner_pred(cond)(value), _inner_pred(then_s)(value)
+        ).otherwise(_inner_pred(else_s)(value))
     if kind == "false":  # always-invalid branch (:43)
         return F.lit(False)
     if kind == "true":

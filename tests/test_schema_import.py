@@ -653,3 +653,34 @@ def test_cli_shared_schemas_and_ref_depth(tmp_path, spark):
         for r in spark.read.parquet(f"{out}/violations").collect()
     }
     assert got == {("2", "name.$ref")}
+
+
+def test_import_if_then_else(spark):
+    """draft-7 conditionals compile to the exact boolean composition
+    (if => then) AND (not if => else); then/else without if are inert
+    applicators per spec."""
+    schema = {
+        "type": "object",
+        "properties": {
+            # if value looks numeric then it must be short, else ^x
+            "v": {"if": {"pattern": "^[0-9]+$"},
+                  "then": {"maxLength": 3},
+                  "else": {"pattern": "^x"}},
+            # then without if: no rule emitted for the conditional part
+            "w": {"then": {"maxLength": 1}, "minLength": 1},
+        },
+    }
+    rs, defs = ruleset_from_json_schema(schema)
+    assert [r.kind for r in rs.rules if r.column == "w"] == ["minLength"]
+    rows = [
+        (0, "123", "a"),      # numeric, short -> pass
+        (1, "1234", "a"),     # numeric, long -> then fails
+        (2, "xab", "a"),      # non-numeric, ^x -> pass
+        (3, "yab", "a"),      # non-numeric, no ^x -> else fails
+        (4, None, "a"),       # absent -> vacuous pass
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, v string, w string")
+    got = sorted(
+        (r.doc_id, r.rule_id) for r in violations_df(df, rs, definitions=defs).collect()
+    )
+    assert got == [(1, "v.ifThenElse"), (3, "v.ifThenElse")]
