@@ -293,17 +293,34 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _write_chunks(df: DataFrame, base: str, conds) -> str:
+    """Write ``df`` filtered by each condition as one parquet file per
+    arrival chunk under ``{base}/in``, with strictly increasing mtimes —
+    the file stream source orders micro-batches by modification time, so
+    explicit utimes make the arrival order deterministic (copy-order
+    mtimes can tie at filesystem resolution)."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    in_dir = f"{base}/in"
+    Path(in_dir).mkdir(parents=True)
+    for i, cond in enumerate(conds):
+        stage = f"{base}/stage{i}"
+        df.filter(cond).coalesce(1).write.parquet(stage)
+        part = next(Path(stage).glob("part-*.parquet"))
+        dst = f"{in_dir}/chunk{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    return in_dir
+
+
 def _arrival_chunks(spark: SparkSession, df: DataFrame, base: str) -> str:
     """Write ``df`` as three event-time-ordered parquet arrival chunks
     under ``{base}/in`` — the landing-directory shape the streaming
     layer consumes. Chunk boundaries are exact percentiles of the event
     time, so cross-batch arrival order matches event-time order (the
     streaming sessionizer's documented batch-parity precondition)."""
-    import shutil
-    from pathlib import Path
-
-    in_dir = f"{base}/in"
-    Path(in_dir).mkdir(parents=True)
     cuts = df.select(
         F.expr(
             "percentile(unix_micros(cast(ts as timestamp)), array(0.33, 0.66))"
@@ -311,12 +328,7 @@ def _arrival_chunks(spark: SparkSession, df: DataFrame, base: str) -> str:
     ).first()["c"]
     lo, hi = int(cuts[0]), int(cuts[1])
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    for i, cond in enumerate([us <= lo, (us > lo) & (us <= hi), us > hi]):
-        stage = f"{base}/stage{i}"
-        df.filter(cond).coalesce(1).write.parquet(stage)
-        part = next(Path(stage).glob("part-*.parquet"))
-        shutil.copy(part, f"{in_dir}/chunk{i}.parquet")
-    return in_dir
+    return _write_chunks(df, base, [us <= lo, (us > lo) & (us <= hi), us > hi])
 
 
 def q_session_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,6 +390,32 @@ def q_running_stats_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     last = out.groupBy("key").agg(F.max("batch_id").alias("batch_id"))
     return out.join(last, ["key", "batch_id"]).select(
         "key", "n", "mean", "std", "min", "max"
+    )
+
+
+def q_dedup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact-dedup batch parity: documents∪dups replayed as
+    three arrival chunks (``doc_id % 3`` — one file per micro-batch)
+    through ``streaming/dedup_stream`` (keyed content-hash state). The
+    stream's contract — canonical = lexicographic-min doc_id within the
+    FIRST batch that sees the hash, everything after is a duplicate —
+    is re-derived in the DuckDB mirror from the same chunk assignment,
+    so per-doc verdicts are a hard cross-engine check."""
+    import tempfile
+
+    from json_validator_spark.streaming.dedup_stream import dedup_stream
+
+    docs = _union_dup_docs(_load(spark, sf_dir, "documents"))
+    base = tempfile.mkdtemp(prefix="jvs_dedup_parity_")
+    c = F.col("doc_id") % 3
+    in_dir = _write_chunks(docs, base, [c == 0, c == 1, c == 2])
+    q = dedup_stream(
+        spark, in_dir, "doc_id long, text string",
+        f"{base}/out", f"{base}/ckpt", max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out/dedup").select(
+        "doc_id", "text_hash", "is_duplicate", "first_doc_id"
     )
 
 
@@ -2125,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completeness": q_completeness,
         "sessions": q_sessions,
         "session_stream_parity": q_session_stream_parity,
+        "dedup_stream_parity": q_dedup_stream_parity,
         "running_stats_stream_parity": q_running_stats_stream_parity,
         "rate_limit": q_rate_limit,
         "asof_rates": q_asof_rates,
@@ -2890,6 +2929,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type
             HAVING count(value) > 0
         """,
+        # Mirrors q_dedup_stream_parity: canonical = lexicographic-min
+        # doc_id within the group's FIRST arriving chunk (chunk = doc_id
+        # % 3), everything else a duplicate.
+        "dedup_stream_parity": """
+            WITH docs AS (__UNION_DUP__),
+            h AS (
+              SELECT doc_id::VARCHAR AS doc_id, md5(text) AS text_hash,
+                     (doc_id % 3)::INT AS chunk
+              FROM docs
+            ), fc AS (
+              SELECT text_hash, min(chunk) AS first_chunk FROM h GROUP BY text_hash
+            ), canon AS (
+              SELECT h.text_hash, min(h.doc_id) AS first_doc_id
+              FROM h JOIN fc ON h.text_hash = fc.text_hash AND h.chunk = fc.first_chunk
+              GROUP BY h.text_hash
+            )
+            SELECT h.doc_id, h.text_hash,
+                   h.doc_id <> c.first_doc_id AS is_duplicate,
+                   c.first_doc_id
+            FROM h JOIN canon c ON h.text_hash = c.text_hash
+        """.replace("__UNION_DUP__", _UNION_DUP_SQL),
         "key_skew": """
             WITH c AS (
               SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1

@@ -65,6 +65,7 @@ def dedup_stream(
     schema: str,
     output_path: str,
     checkpoint_path: str,
+    max_files_per_trigger: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> StreamingQuery:
@@ -75,7 +76,12 @@ def dedup_stream(
     overwrite (``validate_stream.write_batch_idempotent``)."""
     from json_validator_spark.streaming.validate_stream import write_batch_idempotent
 
-    stream = spark.readStream.schema(schema).parquet(input_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # bound each micro-batch (availableNow still drains everything):
+        # forces genuine multi-batch state carryover in tests/parity runs
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
     keyed = stream.select(
         F.col(id_col).cast("string").alias("doc_id"),
         F.md5(F.col(text_col)).alias("text_hash"),
