@@ -393,6 +393,33 @@ def q_running_stats_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_validate_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP path through Structured Streaming: the derived span
+    corpus replayed as three arrival chunks through
+    ``streaming/validate_stream`` (rule layer compiled once at stream
+    definition, idempotent per-batch sink); the materialized violations
+    must equal the batch ``corpus_validation`` result — same oracle SQL,
+    doc_id as string (the stream contract)."""
+    import tempfile
+
+    from json_validator_spark.sources.derive import SPAN_SCHEMA, derive_corpus, derived_corpus_ruleset
+    from json_validator_spark.streaming.validate_stream import validate_stream
+
+    corpus = derive_corpus(_load(spark, sf_dir, "documents"))
+    base = tempfile.mkdtemp(prefix="jvs_val_parity_")
+    c = F.col("doc_id") % 3
+    in_dir = _write_chunks(corpus, base, [c == 0, c == 1, c == 2])
+    q = validate_stream(
+        spark, in_dir, f"doc_id long, spans {SPAN_SCHEMA}",
+        derived_corpus_ruleset(), f"{base}/out", f"{base}/ckpt",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out/violations").select(
+        "doc_id", "span_path", "rule_id", "severity", "message"
+    )
+
+
 def q_dedup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING exact-dedup batch parity: documents∪dups replayed as
     three arrival chunks (``doc_id % 3`` — one file per micro-batch)
@@ -2164,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": q_sessions,
         "session_stream_parity": q_session_stream_parity,
         "dedup_stream_parity": q_dedup_stream_parity,
+        "validate_stream_parity": q_validate_stream_parity,
         "running_stats_stream_parity": q_running_stats_stream_parity,
         "rate_limit": q_rate_limit,
         "asof_rates": q_asof_rates,
@@ -2734,7 +2762,7 @@ def oracle_sql() -> dict[str, str]:
         for c in stats_cols
     )
     bucket = _QTY_BUCKET_SQL
-    return {
+    out = {
         "corpus_validation": _CORPUS_SQL,
         # preprocess_pointer: the spans2 construction projected as the
         # /spans/*/kind pointer rows (value = kind per span index).
@@ -4513,3 +4541,10 @@ def oracle_sql() -> dict[str, str]:
             FROM per_media GROUP BY 1 ORDER BY 1
         """,
     }
+    # the streaming validator consumes the SAME derived corpus; its
+    # doc_id is string (stream contract), values otherwise identical
+    out["validate_stream_parity"] = (
+        "SELECT doc_id::VARCHAR AS doc_id, span_path, rule_id, severity, "
+        "message FROM (" + out["corpus_validation"] + ")"
+    )
+    return out

@@ -40,6 +40,7 @@ def validate_stream(
     checkpoint_path: str,
     doc_id: str = "doc_id",
     definitions: dict[str, dict[str, Any]] | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Start an incremental validation stream over a landing directory.
 
@@ -47,7 +48,10 @@ def validate_stream(
     append to ``{output_path}/violations`` tagged with ``batch_id``.
     Restart-safe via the Spark streaming checkpoint; ``availableNow``
     trigger makes it drainable in tests and backfills."""
-    stream = spark.readStream.schema(schema).parquet(input_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
     wv = with_violations(stream, ruleset, definitions)
     viols = (
         wv.select(F.col(doc_id).cast("string").alias("doc_id"), F.explode_outer("violations").alias("v"))
