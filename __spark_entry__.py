@@ -965,6 +965,36 @@ def q_dedup_incremental_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def q_neardup_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup ingest batch parity: the increment replayed as
+    three doc_id%3 arrival chunks through
+    ``streaming/dedup_stream.neardup_ingest_stream`` (each micro-batch
+    probed one-sidedly against the standing corpus index, accepted docs
+    landing idempotently); the union of accepted batches must equal the
+    batch ``accept_new_documents`` over the whole increment — same
+    DuckDB oracle. (Intra-batch near-dup pairs cannot straddle chunks in
+    this increment: every accepted doc carries a unique appended token,
+    so acceptance is decided per doc against the corpus alone.)"""
+    import tempfile
+
+    from json_validator_spark.streaming.dedup_stream import neardup_ingest_stream
+
+    docs = _load(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="jvs_ingest_parity_")
+    corpus_path = f"{base}/corpus"
+    docs.select("doc_id", "text").write.parquet(corpus_path)
+    inc = _increment_docs(docs)
+    c = F.col("doc_id") % 3
+    in_dir = _write_chunks(inc, base, [c == 0, c == 1, c == 2])
+    q = neardup_ingest_stream(
+        spark, in_dir, "doc_id long, text string", corpus_path,
+        f"{base}/out", f"{base}/ckpt",
+        k=3, n_hashes=16, n_bands=8, threshold=0.999, max_bucket=10**6,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out/accepted").select("doc_id")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.dedup import simhash
 
@@ -2192,6 +2222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stream_parity": q_session_stream_parity,
         "dedup_stream_parity": q_dedup_stream_parity,
         "validate_stream_parity": q_validate_stream_parity,
+        "neardup_ingest_parity": q_neardup_ingest_parity,
         "running_stats_stream_parity": q_running_stats_stream_parity,
         "rate_limit": q_rate_limit,
         "asof_rates": q_asof_rates,
@@ -4547,4 +4578,6 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id::VARCHAR AS doc_id, span_path, rule_id, severity, "
         "message FROM (" + out["corpus_validation"] + ")"
     )
+    # streaming ingest accepts exactly what the batch accept does
+    out["neardup_ingest_parity"] = out["dedup_incremental_accept"]
     return out
