@@ -160,55 +160,63 @@ def flatten_recursive(
     surface those as ``refDepthExceeded`` violations (error, never
     silence; the import-side twin is ``schema_import.max_ref_depth``).
 
-    Scale: from_json + posexplode are narrow (no shuffle); the per-level
-    frames are a union over one shared scan lineage, and depth is a
-    config-bounded constant — plan size is O(max_depth), data movement
-    zero."""
+    Scale: ONE scan, ONE ``from_json`` (let-bound so the document parses
+    exactly once), every level's node array built with nested
+    ``transform`` lambdas inside the same projection, then a single
+    explode. The per-level-union alternative re-scans AND re-parses the
+    corpus once per level (each union branch has its own lineage):
+    measured equal wall-clock at sf0.1 — the corpus is one tiny cached
+    file there — but its plan carries (max_depth+1)× the FileScan +
+    from_json work, which IS the dominant cost at 100 TB, so the
+    single-scan shape is the one that survives the scale-up."""
     ddl = f"array<{_recursive_node_ddl(fields, children_field, max_depth)}>"
-    cur = (
-        docs.select(
-            F.col(id_col),
-            F.posexplode(F.from_json(F.col(json_col), ddl)).alias("_pos", "_node"),
+
+    def mk_struct(x: Column, d: int, path: Column) -> Column:
+        return F.struct(
+            path.alias("node_path"),
+            F.lit(d).alias("depth"),
+            *[x[k].alias(k) for k in fields],
+            F.coalesce(F.size(x[children_field]), F.lit(0)).alias("n_children"),
         )
-        .where(F.col("_node").isNotNull())
-        .withColumn(
-            "node_path",
-            F.concat(F.lit(root_path + "/"), F.col("_pos").cast("string")),
-        )
-    )
-    frames: list[DataFrame] = []
-    for d in range(max_depth + 1):
-        frames.append(
-            cur.select(
-                F.col(id_col),
-                "node_path",
-                F.lit(d).alias("depth"),
-                *[F.col(f"_node.{k}").alias(k) for k in fields],
-                F.coalesce(F.size(f"_node.{children_field}"), F.lit(0)).alias(
-                    "n_children"
+
+    def collect(arr: Column, d: int, target: int, prefix: Column) -> Column:
+        """array<node-struct> of all depth-``target`` nodes under ``arr``
+        (the depth-``d`` node array); ``prefix`` is the parent pointer +
+        '/'. Null children arrays coalesce to typed empties so flatten
+        never sees a null element."""
+        if d == target:
+            return F.transform(
+                arr, lambda x, i: mk_struct(x, d, F.concat(prefix, i.cast("string")))
+            )
+        child_t = _recursive_node_ddl(fields, children_field, max_depth - (d + 1))
+        empty = F.array().cast(f"array<{child_t}>")
+        return F.flatten(
+            F.transform(
+                arr,
+                lambda x, i: collect(
+                    F.coalesce(x[children_field], empty),
+                    d + 1,
+                    target,
+                    F.concat(
+                        prefix, i.cast("string"), F.lit(f"/{children_field}/")
+                    ),
                 ),
             )
         )
-        if d < max_depth:
-            cur = (
-                cur.select(
-                    F.col(id_col),
-                    F.col("node_path").alias("_parent_path"),
-                    F.posexplode(F.col(f"_node.{children_field}")).alias(
-                        "_pos", "_node"
-                    ),
-                )
-                .where(F.col("_node").isNotNull())
-                .withColumn(
-                    "node_path",
-                    F.concat(
-                        F.col("_parent_path"),
-                        F.lit(f"/{children_field}/"),
-                        F.col("_pos").cast("string"),
-                    ),
-                )
-            )
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+
+    def all_nodes(roots: Column) -> Column:
+        root_prefix = F.lit(root_path + "/")
+        return F.concat(
+            *[collect(roots, 0, t, root_prefix) for t in range(max_depth + 1)]
+        )
+
+    return docs.select(
+        F.col(id_col),
+        F.explode(let(F.from_json(F.col(json_col), ddl), all_nodes)).alias("_n"),
+    ).select(
+        F.col(id_col),
+        "_n.node_path",
+        "_n.depth",
+        *[F.col(f"_n.{k}").alias(k) for k in fields],
+        "_n.n_children",
+    )
