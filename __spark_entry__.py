@@ -1709,7 +1709,20 @@ def q_sample_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     }
     rs, defs = ruleset_from_json_schema(person_top, name="person")
-    v = (
+    # the recursion boundary as ONE MORE guarded rule (depth==max_depth
+    # nodes must have no children) so the whole validation — keyword
+    # rules AND the boundary — is a single pass over the node table; a
+    # separate boundary consumer would re-run the flatten lineage
+    from json_validator_spark.rules.model import Rule, RuleSet
+
+    rs = RuleSet(
+        name=rs.name,
+        rules=rs.rules + (
+            Rule("person.refDepthExceeded", "/n_children", "maximum",
+                 {"value": 0, "when_doc": {"target": "/depth", "eq": 2}}),
+        ),
+    )
+    return (
         with_violations(nodes, rs, defs)
         .select("doc_id", "node_path", F.explode_outer("violations").alias("v"))
         .filter(F.col("v").isNotNull())
@@ -1719,12 +1732,6 @@ def q_sample_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v.severity").alias("severity"),
         )
     )
-    boundary = nodes.where((F.col("depth") == 2) & (F.col("n_children") > 0)).select(
-        "doc_id", "node_path",
-        F.lit("person.refDepthExceeded").alias("rule_id"),
-        F.lit("error").alias("severity"),
-    )
-    return v.unionByName(boundary)
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
