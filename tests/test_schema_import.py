@@ -684,3 +684,68 @@ def test_import_if_then_else(spark):
         (r.doc_id, r.rule_id) for r in violations_df(df, rs, definitions=defs).collect()
     )
     assert got == [(1, "v.ifThenElse"), (3, "v.ifThenElse")]
+
+
+def test_registry_import_total_under_random_ref_graphs():
+    """Property fuzz over the multi-document worklist + bounded unroll:
+    for ANY ref graph across three documents (including cycles, missing
+    targets, anchors), import either compiles or raises a clean
+    ValueError/KeyError — never hangs, never leaks another exception —
+    and whatever compiles also normalizes (or names the cycle)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from json_validator_spark.rules.compiler import normalize_rule
+    from json_validator_spark.rules.schema_registry import SchemaRegistry
+
+    ids = ["https://t.test/a.json", "https://t.test/b.json"]
+    def_names = ["d0", "d1", "d2"]
+    # a ref target: same-doc def, cross-doc def, whole doc, or a bogus id
+    targets = (
+        [f"#/$defs/{n}" for n in def_names]
+        + [f"{i}#/$defs/{n}" for i in ids for n in def_names]
+        + ids
+        + ["https://t.test/missing.json#/$defs/d0"]
+    )
+    leaf = st.sampled_from(
+        [{"minLength": 1}, {"maximum": 10}, {"pattern": "^a"}, True]
+    )
+    node = st.one_of(
+        leaf,
+        st.sampled_from(targets).map(lambda t: {"$ref": t}),
+        st.tuples(st.sampled_from(targets), leaf).map(
+            lambda p: {"allOf": [{"$ref": p[0]}, p[1] if p[1] is not True else {}]}
+        ),
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        defs_a=st.lists(node, min_size=3, max_size=3),
+        defs_b=st.lists(node, min_size=3, max_size=3),
+        root_defs=st.lists(node, min_size=3, max_size=3),
+        prop=node,
+        depth=st.sampled_from([None, 1, 2]),
+    )
+    def run(defs_a, defs_b, root_defs, prop, depth):
+        reg = SchemaRegistry()
+        reg.register({"$id": ids[0], "$defs": dict(zip(def_names, defs_a))})
+        reg.register({"$id": ids[1], "$defs": dict(zip(def_names, defs_b))})
+        root = {
+            "$id": "https://t.test/root.json",
+            "type": "object",
+            "$defs": dict(zip(def_names, root_defs)),
+            "properties": {"p": prop},
+        }
+        try:
+            rs, d = ruleset_from_json_schema(
+                root, registry=reg, max_ref_depth=depth
+            )
+        except (ValueError, KeyError):
+            return  # clean refusal (missing id / fragment / bad shape)
+        for r in rs.rules:
+            try:
+                normalize_rule(r, d)
+            except ValueError as e:
+                assert "cyclic" in str(e) or "unresolved" in str(e)
+
+    run()
