@@ -1734,6 +1734,25 @@ def q_sample_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (``text_checks.normalize_text`` — the
+    ingest-hygiene op that keeps precomposed/decomposed graphemes from
+    splitting dedup hash groups): deterministic mixed corpus (every 3rd
+    doc gets a DECOMPOSED e+U+0301 suffix, every 3rd+1 the precomposed
+    U+00E9), normalized via the Arrow-vectorized pandas UDF, mirrored by
+    DuckDB's native ``nfc_normalize``."""
+    from json_validator_spark.operators.text_checks import normalize_text
+
+    d = F.col("doc_id")
+    mixed = (
+        F.when(d % 3 == 0, F.concat(F.col("text"), F.lit(" caf"), F.lit("é")))
+        .when(d % 3 == 1, F.concat(F.col("text"), F.lit(" caf"), F.lit("é")))
+        .otherwise(F.col("text"))
+    )
+    docs = _load(spark, sf_dir, "documents").select("doc_id", mixed.alias("text"))
+    return normalize_text(docs).select("doc_id", "norm_text", "changed")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-weight downsampling (``operators/sampling``): keep en at
     0.5, es at 0.25, fr at 0.1, everything else (incl. NULL lang) at
@@ -2300,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_import": q_schema_import,
         "schema_import_multi": q_schema_import_multi,
         "sample_schema": q_sample_schema,
+        "unicode_normalize": q_unicode_normalize,
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
         "cluster_split": q_cluster_split,
@@ -4150,6 +4170,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, '/people/0/children/0/children/0',
                    'person.refDepthExceeded', 'error'
             FROM base WHERE c = 3
+        """,
+        # Mirrors q_unicode_normalize via DuckDB's native nfc_normalize;
+        # chr(769) = U+0301 combining acute, chr(233) = precomposed e-acute.
+        "unicode_normalize": """
+            WITH m AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN text || ' caf' || 'e' || chr(769)
+                          WHEN doc_id % 3 = 1 THEN text || ' caf' || chr(233)
+                          ELSE text END AS text
+              FROM documents
+            )
+            SELECT doc_id, nfc_normalize(text) AS norm_text,
+                   nfc_normalize(text) <> text AS changed
+            FROM m
         """,
         "stratified_sample": f"""
             SELECT doc_id, lang FROM documents

@@ -741,3 +741,36 @@ def repetition_stats(
         F.round((nb - nd) / denom, 6).alias("dup_bigram_ratio"),
         F.round(tn / denom, 6).alias("top_bigram_frac"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization for ingest hygiene: the same grapheme can
+    arrive precomposed (U+00E9) or decomposed (e + U+0301), which
+    silently splits exact-dedup hash groups, shingle sets and vocab
+    counts. Output: ``(id, text, norm_text, changed)``.
+
+    Spark has NO built-in unicode-normalize expression, so this is the
+    documented slow-path exception: one Arrow-vectorized pandas UDF
+    (``Series.str.normalize`` — C-level ICU-equivalent loop, no per-row
+    Python), narrow projection, zero shuffle. NFC is the cross-engine
+    contract (DuckDB ``nfc_normalize`` mirrors it exactly); NFD/NFKC/
+    NFKD are supported for pipeline use but have no oracle twin."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def norm(s):
+        return s.str.normalize(form)
+
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        t.alias(text_col),
+        norm(t).alias("norm_text"),
+    ).withColumn("changed", F.col("norm_text") != t)

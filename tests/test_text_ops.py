@@ -880,3 +880,23 @@ def test_quantize_embeddings_per_dim_bound(spark):
     assert all(o["within_bound"] for o in out.values())
     for o in out.values():
         assert o["max_abs_err"] <= 1000.0 / 510 + 1e-9
+
+
+def test_normalize_text_forms(spark):
+    """NFC recomposes e+U+0301; NFKC additionally folds compatibility
+    characters (ligature fi); nulls pass through; bad form raises."""
+    from json_validator_spark.operators.text_checks import normalize_text
+
+    rows = [(0, "café"), (1, "café"), (2, "ﬁsh"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nfc = {r.doc_id: (r.norm_text, r.changed) for r in normalize_text(df).collect()}
+    assert nfc[0] == ("café", True)
+    assert nfc[1] == ("café", False)
+    assert nfc[2] == ("ﬁsh", False)       # NFC keeps the ligature
+    assert nfc[3] == (None, None)
+    nfkc = {r.doc_id: r.norm_text for r in normalize_text(df, form="NFKC").collect()}
+    assert nfkc[2] == "fish"                    # NFKC folds it
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="normalization form"):
+        normalize_text(df, form="NFX")
