@@ -154,6 +154,45 @@ def main() -> None:
             docs, k=3, n_hashes=16, n_bands=8, threshold=0.999
         ).count()
         wall = time.perf_counter() - t0
+    elif query == "components":
+        # simhash near-dup pairs -> pointer-jumping connected components
+        # over the replicated corpus: the iteration-heavy operator (O(log
+        # diameter) rounds, lineage cut per round)
+        from json_validator_spark.operators.dedup import (
+            connected_components,
+            simhash,
+            simhash_neardup_pairs,
+        )
+
+        import __spark_entry__ as entry
+
+        base = entry._union_dup_docs(entry._load_spread(spark, sf_dir, "documents"))
+        reps = None
+        for i in range(scale):
+            r = base.select(
+                (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                (
+                    F.col("text")
+                    if i == 0
+                    else F.concat(
+                        F.col("text"),
+                        F.lit(f" zrep{i}q"),
+                        (F.col("doc_id") % 100000).cast("string"),
+                    )
+                ).alias("text"),
+            )
+            reps = r if reps is None else reps.unionByName(r)
+        corpus_path = os.path.join(tempfile.gettempdir(), f"jvs_probe_cc_{scale}")
+        reps.write.mode("overwrite").parquet(corpus_path)
+        docs = spark.read.parquet(corpus_path).repartition(2 * cpus)
+        pairs = simhash_neardup_pairs(
+            simhash(docs), max_hamming=3, n_bands=4, max_bucket=10**6
+        )
+        connected_components(pairs.limit(100)).count()  # warm-up
+        t0_ms = time.time() * 1000
+        t0 = time.perf_counter()
+        rows = connected_components(pairs).count()
+        wall = time.perf_counter() - t0
     else:
         raise SystemExit(f"unknown query {query!r}")
 
