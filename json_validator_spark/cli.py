@@ -190,6 +190,25 @@ def cmd_validate(args: argparse.Namespace) -> int:
         ordered(out_violations).write.option("header", True).mode(
             "overwrite"
         ).csv(f"{args.output}/csv")
+    elif args.format == "pdf":
+        import datetime as _dt
+
+        from json_validator_spark.operators.report import (
+            tar_reports_from_violations,
+            write_tar_pdf_aggregate,
+            write_tar_pdf_reports,
+        )
+
+        now = _dt.datetime.now(_dt.timezone.utc).isoformat(timespec="seconds")
+        write_tar_pdf_reports(
+            tar_reports_from_violations(docs, out_violations),
+            f"{args.output}/pdf",
+            max_docs=args.xml_max,
+            date=now,
+        )
+        write_tar_pdf_aggregate(
+            out_violations, f"{args.output}/pdf/TAR-aggregate.pdf", date=now
+        )
     elapsed = time.perf_counter() - t0
     # count from the materialized verdict table (one row per doc incl.
     # corrupt uploads) — docs.count() would re-run the whole raw
@@ -245,13 +264,16 @@ def main(argv: list[str] | None = None) -> int:
         "default: recursion is a compile-time error",
     )
     v.add_argument(
-        "--format", choices=["tables", "xml", "csv"], default="tables",
+        "--format", choices=["tables", "xml", "csv", "pdf"], default="tables",
         help="'xml' additionally writes per-doc GITB TAR-<doc_id>.xml files "
         "plus the run-level TAR-aggregate.xml under {output}/xml "
         "(FileManager.java:100-139 wire shapes; per-doc files truncated to "
         "--xml-max, the full report stays in tables); 'csv' additionally "
         "writes the ordered violation report as distributed CSV "
-        "(getReportFileNameCsv analogue) under {output}/csv",
+        "(getReportFileNameCsv analogue) under {output}/csv; 'pdf' "
+        "additionally writes per-doc TAR-<doc_id>.pdf files plus "
+        "TAR-aggregate.pdf under {output}/pdf (report.X.pdf analogue, "
+        "ValidationRunner.java:164-171; same --xml-max truncation)",
     )
     v.add_argument(
         "--xml-max", type=int, default=100,

@@ -304,6 +304,206 @@ def write_tar_xml_reports(
     return paths
 
 
+# ----------------------------------------------------------------------
+# PDF report serialization (the reference's report.X.pdf / TAR-<uuid>.pdf)
+# ----------------------------------------------------------------------
+
+_PDF_PAGE_LINES = 46  # 11pt leading inside a US-Letter text box
+_PDF_WRAP = 92  # chars per line at 10pt Helvetica in a 468pt box
+
+
+def _pdf_text(s: str) -> bytes:
+    """A PDF literal string: latin-1 (the base-14 fonts' StandardEncoding
+    superset), unencodable chars replaced, ``\\ ( )`` escaped."""
+    b = str(s).encode("latin-1", errors="replace")
+    return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def _pdf_wrap(s: str, width: int = _PDF_WRAP) -> list[str]:
+    out: list[str] = []
+    s = str(s)
+    while len(s) > width:
+        cut = s.rfind(" ", 1, width + 1)
+        if cut <= 0:
+            cut = width
+        out.append(s[:cut])
+        s = s[cut:].lstrip(" ")
+    out.append(s)
+    return out
+
+
+def _pdf_document(pages: list[list[tuple[bool, str]]]) -> bytes:
+    """Assemble a complete deterministic PDF 1.4 byte string from pages of
+    ``(bold, text)`` lines. Objects: 1 Catalog, 2 Pages, 3/4 the base-14
+    Helvetica fonts (no embedding), then one Page + one Content stream
+    per page; a correct xref table so any conforming reader accepts it.
+    No creation timestamp is emitted — byte-identical output for
+    identical input is part of the sink's contract (golden-testable,
+    idempotent re-runs)."""
+    n_pages = len(pages) or 1
+    objs: list[bytes] = []
+    kids = " ".join(f"{5 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode("ascii")
+    )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold >>")
+    for i in range(n_pages):
+        lines = pages[i] if pages else []
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 3 0 R /F2 4 0 R >> >> "
+                f"/Contents {6 + 2 * i} 0 R >>"
+            ).encode("ascii")
+        )
+        parts = [b"BT /F1 10 Tf 11 TL 72 756 Td"]
+        cur_bold = False
+        for bold, text in lines:
+            if bold != cur_bold:
+                parts.append(b"/F2 10 Tf" if bold else b"/F1 10 Tf")
+                cur_bold = bold
+            parts.append(b"(" + _pdf_text(text) + b") Tj T*")
+        parts.append(b"ET")
+        stream = b"\n".join(parts)
+        objs.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+        )
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(buf)
+    buf += b"xref\n0 %d\n" % (len(objs) + 1)
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += b"%010d 00000 n \n" % off
+    buf += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(buf)
+
+
+def tar_pdf(report_row, date: str | None = None) -> bytes:
+    """One per-document validation report as a PDF — the reference's
+    ``report.X.pdf`` / ``TAR-<uuid>.pdf`` artifact
+    (``ValidationRunner.java:164-171`` via itb-commons' ReportGenerator;
+    naming ``FileManager.java:94-102``). Same content as ``tar_xml``:
+    result + counters header, then one block per report item (severity,
+    JSON-pointer location, wrapped description), items already in
+    ReportItemComparator order. Pure-Python PDF 1.4 with the base-14
+    Helvetica fonts — no libraries, byte-deterministic. Driver-side BY
+    DESIGN on the truncated report set (the reference itself refuses
+    PDF above maximumReportsForDetailedOutput)."""
+    c = report_row["counters"]
+    lines: list[tuple[bool, str]] = [
+        (True, f"Validation report - document {report_row['doc_id']}"),
+        (False, ""),
+        (False, f"Result: {report_row['result']}"),
+    ]
+    if date is not None:
+        lines.append((False, f"Date: {date}"))
+    lines += [
+        (
+            False,
+            f"Errors: {int(c['nrOfErrors'])}    "
+            f"Warnings: {int(c['nrOfWarnings'])}    Assertions: 0",
+        ),
+        (False, ""),
+    ]
+    for it in report_row["reports"]:
+        sev = it["severity"] if it["severity"] in ("error", "warning", "info") else "info"
+        lines.append((True, f"[{sev.upper()}] {it['location']}"))
+        lines += [(False, ln) for ln in _pdf_wrap(it["description"])]
+        lines.append((False, ""))
+    pages = [
+        lines[i : i + _PDF_PAGE_LINES]
+        for i in range(0, len(lines), _PDF_PAGE_LINES)
+    ] or [[]]
+    return _pdf_document(pages)
+
+
+def write_tar_pdf_reports(
+    tar_df: DataFrame,
+    out_dir: str,
+    max_docs: int = 100,
+    date: str | None = None,
+    max_items_for_detailed: int = 5000,
+) -> list[str]:
+    """Write ``TAR-<doc_id>.pdf`` files for the first ``max_docs``
+    documents by id — the ``getReportFileNamePdf`` naming
+    (``FileManager.java:94-102``). Mirrors the reference's detailed-
+    output gate (``ValidationRunner.java:163-176``): a document whose
+    item count exceeds ``max_items_for_detailed`` gets NO PDF (the XML/
+    table surfaces still carry it) — that is the reference's own
+    protection against unbounded driver-side rendering, kept here for
+    the same reason. Returns the written paths."""
+    from pathlib import Path
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    rows = tar_df.orderBy("doc_id").limit(max_docs).collect()
+    paths: list[str] = []
+    for r in rows:
+        if len(r["reports"]) > max_items_for_detailed:
+            continue
+        p = out / f"TAR-{r['doc_id']}.pdf"
+        p.write_bytes(tar_pdf(r, date=date))
+        paths.append(str(p))
+    return paths
+
+
+def tar_pdf_aggregate(
+    items, n_errors: int, n_warnings: int, date: str | None = None
+) -> bytes:
+    """Run-level aggregate report as a PDF — the ``TAR-<uuid>_aggregate.pdf``
+    sibling (``FileManager.java:94-102`` aggregate naming). ``items`` are
+    ``aggregate_tar_items`` rows; rendered in (severity, description)
+    order with the occurrence-count prefix, matching
+    ``tar_xml_aggregate``."""
+    lines: list[tuple[bool, str]] = [
+        (True, "Aggregate validation report"),
+        (False, ""),
+        (False, f"Result: {'FAILURE' if n_errors else 'SUCCESS'}"),
+    ]
+    if date is not None:
+        lines.append((False, f"Date: {date}"))
+    lines += [
+        (False, f"Errors: {int(n_errors)}    Warnings: {int(n_warnings)}    Assertions: 0"),
+        (False, ""),
+    ]
+    for it in sorted(items, key=lambda r: (r["severity"], r["description"])):
+        sev = it["severity"] if it["severity"] in ("error", "warning", "info") else "info"
+        lines.append((True, f"[{sev.upper()}] ({int(it['count'])}x)"))
+        lines += [(False, ln) for ln in _pdf_wrap(it["description"])]
+        lines.append((False, ""))
+    pages = [
+        lines[i : i + _PDF_PAGE_LINES]
+        for i in range(0, len(lines), _PDF_PAGE_LINES)
+    ] or [[]]
+    return _pdf_document(pages)
+
+
+def write_tar_pdf_aggregate(
+    violations: DataFrame, out_path: str, date: str | None = None
+) -> str:
+    """Serialize the run-level aggregate report to ONE PDF. Driver-side
+    data is the rule-catalog-sized aggregate frame only — corpus-size-
+    independent, same contract as ``write_tar_xml_aggregate``."""
+    from pathlib import Path
+
+    items = aggregate_tar_items(violations).collect()
+    n_err = sum(r["count"] for r in items if r["severity"] == "error")
+    n_warn = sum(r["count"] for r in items if r["severity"] == "warning")
+    p = Path(out_path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_bytes(tar_pdf_aggregate(items, n_err, n_warn, date=date))
+    return str(p)
+
+
 def aggregate_tar_items(violations: DataFrame) -> DataFrame:
     """Aggregate-report items — the reference's ``AggregateReportItems``
     keying (``JSONValidator.java:466-481``): severity element name +

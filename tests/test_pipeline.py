@@ -667,3 +667,125 @@ def test_cli_format_csv(tmp_path, spark):
     )
     assert "doc_id,span_path,rule_id,severity,message" in csv_text
     assert "2,/name,name.required,error" in csv_text
+
+
+def _pdf_check_structure(data: bytes) -> list[bytes]:
+    """Minimal conforming-reader check: header, xref offsets that land
+    exactly on their objects, startxref pointing at the xref table,
+    trailing %%EOF. Returns the decoded content streams."""
+    import re
+
+    assert data.startswith(b"%PDF-1.4\n")
+    assert data.rstrip().endswith(b"%%EOF")
+    start = int(re.search(rb"startxref\n(\d+)\n%%EOF", data).group(1))
+    assert data[start : start + 4] == b"xref"
+    offsets = [
+        int(m.group(1))
+        for m in re.finditer(rb"(\d{10}) 00000 n", data[start:])
+    ]
+    for i, off in enumerate(offsets, start=1):
+        assert data[off:].startswith(b"%d 0 obj" % i), f"object {i} offset wrong"
+    return re.findall(rb"stream\n(.*?)\nendstream", data, flags=re.S)
+
+
+def test_tar_pdf_reports(tmp_path, spark):
+    """PDF report sink (report.X.pdf / TAR-<uuid>.pdf,
+    ValidationRunner.java:164-171, naming FileManager.java:94-102):
+    structurally valid, byte-deterministic, carries the report content,
+    and paginates."""
+    from json_validator_spark.operators.report import (
+        tar_pdf,
+        tar_reports_from_violations,
+        write_tar_pdf_reports,
+    )
+
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    viols = spark.createDataFrame(
+        [
+            (1, "/name", "name.required", "error", "required (value) is missing"),
+            (1, "/n", "n.maximum", "warning", "constraint 'maximum' violated"),
+        ],
+        "doc_id long, span_path string, rule_id string, severity string, message string",
+    )
+    tar = tar_reports_from_violations(docs, viols)
+    paths = write_tar_pdf_reports(
+        tar, str(tmp_path / "pdf"), date="2026-08-18T00:00:00+00:00"
+    )
+    assert [p.rsplit("/", 1)[1] for p in paths] == ["TAR-1.pdf", "TAR-2.pdf"]
+    data = (tmp_path / "pdf" / "TAR-1.pdf").read_bytes()
+    streams = _pdf_check_structure(data)
+    text = b"\n".join(streams)
+    assert b"(Validation report - document 1) Tj" in text
+    assert b"(Result: FAILURE) Tj" in text
+    assert rb"(required \(value\) is missing) Tj" in text  # escaped parens
+    assert b"([WARNING] /n) Tj" in text
+    assert b"(Errors: 1    Warnings: 1    Assertions: 0) Tj" in text
+    ok = (tmp_path / "pdf" / "TAR-2.pdf").read_bytes()
+    assert b"(Result: SUCCESS) Tj" in b"\n".join(_pdf_check_structure(ok))
+    # byte-determinism: same row, same bytes
+    rows = {r["doc_id"]: r for r in tar.collect()}
+    assert tar_pdf(rows["1"], date="2026-08-18T00:00:00+00:00") == data
+    # pagination: enough items to spill past one page -> multiple Page objects
+    many = tar_reports_from_violations(
+        spark.createDataFrame([(9,)], "doc_id long"),
+        spark.createDataFrame(
+            [(9, f"/f{i:03d}", f"r{i:03d}", "error", f"message {i}") for i in range(40)],
+            "doc_id long, span_path string, rule_id string, severity string, message string",
+        ),
+    )
+    big = tar_pdf(many.collect()[0])
+    _pdf_check_structure(big)
+    assert big.count(b"/Type /Page /Parent") >= 3  # 40 items * 3 lines / 46
+
+
+def test_tar_pdf_detailed_output_gate(tmp_path, spark):
+    """The reference skips PDF when a report's item count exceeds
+    maximumReportsForDetailedOutput (ValidationRunner.java:163-176) —
+    the sink honors the same gate; XML/tables still carry the doc."""
+    from json_validator_spark.operators.report import (
+        tar_reports_from_violations,
+        write_tar_pdf_reports,
+    )
+
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    viols = spark.createDataFrame(
+        [(1, f"/f{i}", f"r{i}", "error", "m") for i in range(10)]
+        + [(2, "/g", "rg", "error", "m")],
+        "doc_id long, span_path string, rule_id string, severity string, message string",
+    )
+    paths = write_tar_pdf_reports(
+        tar_reports_from_violations(docs, viols),
+        str(tmp_path / "pdf"),
+        max_items_for_detailed=5,
+    )
+    assert [p.rsplit("/", 1)[1] for p in paths] == ["TAR-2.pdf"]  # doc 1 gated
+
+
+def test_cli_format_pdf(tmp_path, spark):
+    import json
+    import pathlib
+
+    from json_validator_spark.cli import main
+
+    (tmp_path / "docs.jsonl").write_text(
+        '{"doc_id": 1, "name": "alice"}\n{"doc_id": 2}\n'
+    )
+    (tmp_path / "schema.json").write_text(json.dumps({
+        "type": "object", "required": ["name"],
+        "properties": {"name": {"minLength": 2}},
+    }))
+    out = str(tmp_path / "out")
+    rc = main([
+        "validate", "--input", str(tmp_path / "docs.jsonl"), "--output", out,
+        "--input-format", "jsonl", "--input-schema", "doc_id long, name string",
+        "--schema", str(tmp_path / "schema.json"),
+        "--format", "pdf", "--xml-max", "10",
+    ])
+    assert rc == 0
+    files = sorted(p.name for p in pathlib.Path(f"{out}/pdf").glob("TAR-*.pdf"))
+    assert files == ["TAR-1.pdf", "TAR-2.pdf", "TAR-aggregate.pdf"]
+    agg = pathlib.Path(f"{out}/pdf/TAR-aggregate.pdf").read_bytes()
+    streams = _pdf_check_structure(agg)
+    text = b"\n".join(streams)
+    assert b"(Result: FAILURE) Tj" in text
+    assert b"required value is missing) Tj" in text
