@@ -1648,6 +1648,43 @@ def q_schema_import_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return violations_df(_load(spark, sf_dir, "documents"), rs, definitions=defs)
 
 
+def q_schema_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2020-12 ``$dynamicRef``/``$dynamicAnchor`` end-to-end (static
+    entry-chain binding, ``rules/schema_import._collect_dynamic_bindings``):
+    a shared library document exposes two extension points via
+    ``$dynamicRef``; the entry schema OVERRIDES one (``srccheck`` → a
+    stricter pattern, the spec's strict-tree-style re-routing) and leaves
+    the other (``langcheck``) to the library default, exercising both
+    sides of the bookending rule across documents."""
+    from json_validator_spark.operators.row_checks import violations_df
+    from json_validator_spark.rules.schema_import import ruleset_from_json_schema
+    from json_validator_spark.rules.schema_registry import SchemaRegistry
+
+    lib = {
+        "$id": "https://example.test/dyn-lib",
+        "$defs": {
+            "srcCheck": {"$dynamicAnchor": "srccheck", "type": "string"},
+            "srcHolder": {"$dynamicRef": "#srccheck"},
+            "langCheck": {"$dynamicAnchor": "langcheck",
+                          "enum": ["en", "es", "fr", "de"]},
+            "langHolder": {"$dynamicRef": "#langcheck"},
+        },
+    }
+    entry = {
+        "type": "object",
+        "$defs": {"strictSrc": {"$dynamicAnchor": "srccheck",
+                                "pattern": "^src[0-2]$"}},
+        "properties": {
+            "source": {"$ref": "https://example.test/dyn-lib#/$defs/srcHolder"},
+            "lang": {"$ref": "https://example.test/dyn-lib#/$defs/langHolder"},
+        },
+    }
+    reg = SchemaRegistry()
+    reg.register(lib)
+    rs, defs = ruleset_from_json_schema(entry, name="dyn", registry=reg)
+    return violations_df(_load(spark, sf_dir, "documents"), rs, definitions=defs)
+
+
 def q_sample_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's SHIPPED sample schema end-to-end
     (``etc/dev/sample/sample-v1.0/sample.json`` — recursive
@@ -2318,6 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combination_grouped": q_combination_grouped,
         "schema_import": q_schema_import,
         "schema_import_multi": q_schema_import_multi,
+        "schema_dynamic": q_schema_dynamic,
         "sample_schema": q_sample_schema,
         "unicode_normalize": q_unicode_normalize,
         "stratified_sample": q_stratified_sample,
@@ -4143,6 +4181,21 @@ def oracle_sql() -> dict[str, str]:
                    '[/n_chars] constraint ''allOf'' violated'
             FROM documents
             WHERE n_chars IS NOT NULL AND (n_chars < 50 OR n_chars > 380)
+        """,
+        # Mirrors q_schema_dynamic: the overridden extension point is the
+        # stricter ^src[0-2]$ pattern (entry-chain binding wins), the
+        # non-overridden one is the library's enum default.
+        "schema_dynamic": """
+            SELECT doc_id, '/source' AS span_path, 'source.$ref' AS rule_id,
+                   'error' AS severity,
+                   '[/source] value does not match the required pattern' AS message
+            FROM documents
+            WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-2]$')
+            UNION ALL
+            SELECT doc_id, '/lang', 'lang.$ref', 'error',
+                   '[/lang] value is not in the allowed set'
+            FROM documents
+            WHERE lang IS NOT NULL AND lang NOT IN ('en', 'es', 'fr', 'de')
         """,
         # Mirrors q_sample_schema: the deterministic person-corpus
         # construction (chain depth = doc_id % 4) re-derived as CASE

@@ -33,11 +33,12 @@ from json_validator_spark.rules.model import Rule, RuleSet, RuleSetGroup
 from json_validator_spark.rules.schema_registry import SchemaRegistry
 
 # Annotation-only keywords: legal everywhere, produce no rule.
-# ($anchor declares an addressable name — resolution happens in
-# _json_pointer's plain-name branch, the keyword itself emits nothing.)
+# ($anchor/$dynamicAnchor declare addressable names — resolution happens
+# in _json_pointer's plain-name branch and the dynamic binding map, the
+# keywords themselves emit nothing.)
 _ANNOTATIONS = {
     "title", "description", "examples", "default", "$comment", "$schema",
-    "$id", "$anchor", "deprecated", "x-severity",
+    "$id", "$anchor", "$dynamicAnchor", "deprecated", "x-severity",
 }
 
 # subschema keyword -> engine kind for 1:1 scalar keywords
@@ -69,7 +70,7 @@ _HANDLED = (
         "minContains", "maxContains", "additionalItems", "propertyNames", "patternProperties",
         "additionalProperties", "properties", "required", "dependentRequired",
         "dependentSchemas", "discriminator", "allOf", "anyOf", "oneOf", "not",
-        "$ref", "readOnly", "writeOnly",
+        "$ref", "$dynamicRef", "readOnly", "writeOnly",
         "unevaluatedProperties", "unevaluatedItems", "if", "then", "else",
     }
 )
@@ -91,6 +92,10 @@ class _ImportCtx:
     base_uri: str | None = None   # RFC 3986 base for relative refs
     prefix: str | None = None     # key namespace for '#...' refs
     need: set[str] = field(default_factory=set)
+    doc: Any = None               # the OWNING document (anchor lookups)
+    root_doc: Any = None          # the import's ENTRY document
+    dyn: dict[str, str] = field(default_factory=dict)  # $dynamicAnchor bindings
+    registry: SchemaRegistry | None = None
 
     def canon(self, ref: str) -> str:
         if ref.startswith("#"):
@@ -131,11 +136,17 @@ def _json_pointer(doc: Any, frag: str, where: str) -> Any:
 
 def _find_anchor(node: Any, name: str) -> Any:
     """Depth-first search for the subschema declaring ``$anchor: name``
-    (or the draft-7 spelling ``$id: "#name"``). Deterministic: dict
-    insertion order, first hit wins — matching networknt's single-anchor
-    expectation (duplicate anchors are a schema-authoring error)."""
+    (draft-7 spelling ``$id: "#name"``, or ``$dynamicAnchor: name`` —
+    the 2020-12 spec says a dynamic anchor is ALSO a plain anchor).
+    Deterministic: dict insertion order, first hit wins — matching
+    networknt's single-anchor expectation (duplicate anchors are a
+    schema-authoring error)."""
     if isinstance(node, dict):
-        if node.get("$anchor") == name or node.get("$id") == f"#{name}":
+        if (
+            node.get("$anchor") == name
+            or node.get("$id") == f"#{name}"
+            or node.get("$dynamicAnchor") == name
+        ):
             return node
         for v in node.values():
             hit = _find_anchor(v, name)
@@ -158,6 +169,196 @@ def _check_known(sub: dict[str, Any], where: str) -> None:
         )
 
 
+def _scan_anchors_refs(node: Any, anchors: list[str], refs: list[str]) -> None:
+    """Pre-order raw-document scan: every ``$dynamicAnchor`` name and
+    every ``$ref``/``$dynamicRef`` target string, in document order."""
+    if isinstance(node, dict):
+        v = node.get("$dynamicAnchor")
+        if isinstance(v, str):
+            anchors.append(v)
+        for kw in ("$ref", "$dynamicRef"):
+            r = node.get(kw)
+            if isinstance(r, str):
+                refs.append(r)
+        for val in node.values():
+            _scan_anchors_refs(val, anchors, refs)
+    elif isinstance(node, list):
+        for val in node:
+            _scan_anchors_refs(val, anchors, refs)
+
+
+def _collect_dynamic_bindings(
+    schema: dict[str, Any], registry: SchemaRegistry | None
+) -> dict[str, str]:
+    """The static image of 2020-12 dynamic scope: BFS the raw document
+    graph from the ENTRY schema (documents discovered in $ref traversal
+    order) and record, for each ``$dynamicAnchor`` name, the FIRST
+    declaring document — the outermost resource a runtime dynamic scope
+    could contain for that name along the entry's reference chain. This
+    binds the spec's canonical extensibility pattern exactly (the
+    strict-tree override re-routes tree's ``$dynamicRef: "#node"`` back
+    through strict-tree), because the entry chain IS the dynamic scope
+    prefix shared by every evaluation path. The approximation being
+    static-per-import: two different reference chains inside ONE import
+    that should bind the same anchor name to different resources
+    collapse to the first-discovered one. Unresolvable documents are
+    skipped here — the compile worklist raises the proper inventory
+    error for any ref that actually gets compiled."""
+    bind: dict[str, str] = {}
+    seen_docs: set[str] = set()
+    queue: list[tuple[Any, str | None]] = [(schema, None)]
+    while queue:
+        doc, prefix = queue.pop(0)
+        anchors: list[str] = []
+        refs: list[str] = []
+        _scan_anchors_refs(doc, anchors, refs)
+        for name in anchors:
+            bind.setdefault(name, f"{prefix or ''}#{name}")
+        base = (doc.get("$id") if isinstance(doc, dict) else None) or prefix
+        for ref in refs:
+            if ref.startswith("#"):
+                continue  # same-document: no new resource entered
+            target, _frag = urldefrag(urljoin((base or "").rstrip("#"), ref))
+            if not target or target in seen_docs or registry is None:
+                continue
+            seen_docs.add(target)
+            try:
+                d = registry.resolve(target)
+            except KeyError:
+                continue
+            queue.append((d, (d.get("$id") if isinstance(d, dict) else None) or target))
+    return bind
+
+
+def _dynamic_ref_key(ref: Any, where: str, ctx: _ImportCtx | None) -> str:
+    """Compile-time resolution of ``$dynamicRef`` (2020-12 §8.2.3.2):
+    the fragment first resolves as a normal anchor in the containing
+    document; if (and only if) that initial target declares a matching
+    ``$dynamicAnchor`` — the spec's bookending rule — the reference
+    re-routes to the binding map's outermost declaration
+    (``_collect_dynamic_bindings``); otherwise it behaves as a plain
+    ``$ref``. Non-fragment forms (``other.json#name``) are refused
+    explicitly rather than mis-resolved."""
+    if ctx is None or ctx.doc is None:
+        raise ValueError(
+            f"$dynamicRef at {where}: requires document context — import the "
+            "schema via ruleset_from_json_schema"
+        )
+    if not (isinstance(ref, str) and ref.startswith("#")) or ref.startswith("#/"):
+        raise ValueError(
+            f"$dynamicRef at {where}: only plain-name fragments ('#name') are "
+            "supported (the bookending rule needs an anchor name)"
+        )
+    name = ref[1:]
+    initial = _find_anchor(ctx.doc, name)
+    if initial is None:
+        raise ValueError(
+            f"$dynamicRef {ref!r} at {where}: no anchor {name!r} in the "
+            "containing document"
+        )
+    if (
+        isinstance(initial, dict)
+        and initial.get("$dynamicAnchor") == name
+        and name in ctx.dyn
+    ):
+        key = ctx.dyn[name]
+        ctx.need.add(key)
+        return key
+    return ctx.canon(ref)
+
+
+def _resolve_ref_raw(
+    ref: str, is_dynamic: bool, ctx: _ImportCtx, doc: Any, base: str | None
+) -> tuple[Any, Any, str | None]:
+    """Statically resolve a sibling ``$ref``/``$dynamicRef`` to its RAW
+    target subschema: ``(subschema, owning_doc, owning_base)`` — the
+    evaluated-set closure needs the uncompiled JSON to read its
+    ``properties``/``prefixItems``."""
+    if is_dynamic and ref.startswith("#") and not ref.startswith("#/"):
+        name = ref[1:]
+        initial = _find_anchor(doc, name)
+        if initial is None:
+            raise ValueError(
+                f"$dynamicRef {ref!r}: no anchor {name!r} in the containing document"
+            )
+        if (
+            isinstance(initial, dict)
+            and initial.get("$dynamicAnchor") == name
+            and name in ctx.dyn
+        ):
+            key = ctx.dyn[name]
+            dpart, _, frag = key.partition("#")
+            if dpart == "":
+                rd = ctx.root_doc
+                rb = rd.get("$id") if isinstance(rd, dict) else None
+                return _json_pointer(rd, frag, key), rd, rb
+            d = ctx.registry.resolve(dpart)  # bound during BFS -> resolvable
+            return _json_pointer(d, frag, key), d, d.get("$id") or dpart
+        return initial, doc, base
+    if ref.startswith("#"):
+        return _json_pointer(doc, ref[1:], ref), doc, base
+    target, frag = urldefrag(urljoin((base or "").rstrip("#"), ref))
+    if not target:
+        raise ValueError(f"relative $ref {ref!r} with no base $id to resolve against")
+    if ctx.registry is None:
+        raise ValueError(
+            f"cross-document $ref {ref!r}: pass a SchemaRegistry with the "
+            "preloaded schema set (the reference's shared-schema config, "
+            "validator.schemaFile.*)"
+        )
+    d = ctx.registry.resolve(target)
+    return _json_pointer(d, frag, ref), d, d.get("$id") or target
+
+
+def _evaluated_closure(
+    sub: dict[str, Any], ctx: _ImportCtx | None, where: str
+) -> tuple[set[str], set[str], list[int], bool]:
+    """Static evaluated-set closure for ``unevaluatedProperties``/
+    ``unevaluatedItems``: keys/prefixes contributed by this subschema,
+    its literal ``allOf`` members, AND its statically-resolved sibling
+    ``$ref``/``$dynamicRef`` targets (transitively, cycle-guarded). All
+    of these must validate for the instance to pass, so their
+    annotations are exactly the evaluated set networknt's annotation
+    flow would produce for the conjunction — this closes the spec's
+    canonical strict-tree pattern, where the evaluated keys come from a
+    ``$ref`` sibling of ``unevaluatedProperties: false``. Returns
+    ``(allowed, patterns, starts, full_items)``; ``full_items`` True
+    means some member's non-tuple ``items`` evaluates EVERY element, so
+    ``unevaluatedItems`` is a spec no-op. The residue that stays out of
+    model is the genuinely dynamic part: contributions from anyOf/oneOf
+    branches and if/then that only count when they pass."""
+    allowed: set[str] = set()
+    patterns: set[str] = set()
+    starts = [0]
+    full_items = [False]
+    seen: set[int] = set()
+
+    def walk(s: Any, doc: Any, base: str | None) -> None:
+        if not isinstance(s, dict) or id(s) in seen:
+            return
+        seen.add(id(s))
+        allowed.update(s.get("properties", {}))
+        patterns.update(s.get("patternProperties", {}))
+        p = s.get("prefixItems")
+        if p is None and isinstance(s.get("items"), list):
+            p = s["items"]
+        starts.append(len(p or []))
+        it = s.get("items")
+        if isinstance(it, dict) or it is True:
+            full_items[0] = True
+        for m in s.get("allOf", []):
+            walk(m, doc, base)
+        if ctx is not None and doc is not None:
+            for kw in ("$ref", "$dynamicRef"):
+                r = s.get(kw)
+                if isinstance(r, str):
+                    t, td, tb = _resolve_ref_raw(r, kw == "$dynamicRef", ctx, doc, base)
+                    walk(t, td, tb)
+
+    walk(sub, ctx.doc if ctx else None, ctx.base_uri if ctx else None)
+    return allowed, patterns, starts, full_items[0]
+
+
 def _applications(
     sub: dict[str, Any], where: str, ctx: _ImportCtx | None = None
 ) -> list[tuple[str, dict]]:
@@ -172,6 +373,8 @@ def _applications(
     if "$ref" in sub:
         ref = sub["$ref"] if ctx is None else ctx.canon(sub["$ref"])
         apps.append(("$ref", {"ref": ref}))
+    if "$dynamicRef" in sub:
+        apps.append(("$ref", {"ref": _dynamic_ref_key(sub["$dynamicRef"], where, ctx)}))
 
     for kw, (kind, to_params) in _SCALAR_KEYWORDS.items():
         if kw in sub:
@@ -238,22 +441,18 @@ def _applications(
             f"additionalProperties at {where}: only `false` (closed object) is "
             "supported on map-typed columns"
         )
-    # unevaluatedProperties/Items — STATIC sibling-allOf approximation of
+    # unevaluatedProperties/Items — STATIC closure approximation of
     # draft-2020-12 annotation flow (jsv-messages.properties:48-49): the
     # evaluated-key / evaluated-prefix sets are unioned across this
-    # subschema AND its literal `allOf` members (all of which must
-    # validate anyway, so the union is exactly the keys networknt would
-    # mark evaluated for the allOf composition). The residue that stays
-    # out of model is the genuinely DYNAMIC part: contributions from
-    # anyOf/oneOf branches (only passing branches count), if/then, and
-    # $dynamicRef — see README "Draft-2020-12 annotation boundary".
+    # subschema, its literal `allOf` members, and its statically-resolved
+    # sibling `$ref`/`$dynamicRef` targets, transitively (all of which
+    # must validate anyway, so the union is exactly the keys networknt
+    # would mark evaluated for the conjunction) — `_evaluated_closure`.
+    # The residue that stays out of model is the genuinely DYNAMIC part:
+    # contributions from anyOf/oneOf branches and if/then (only passing
+    # branches count) — see README "Draft-2020-12 annotation boundary".
     if sub.get("unevaluatedProperties") is False:
-        allowed = set(sub.get("properties", {}))
-        patterns = set(sub.get("patternProperties", {}))
-        for m in sub.get("allOf", []):
-            if isinstance(m, dict):
-                allowed |= set(m.get("properties", {}))
-                patterns |= set(m.get("patternProperties", {}))
+        allowed, patterns, _starts, _full = _evaluated_closure(sub, ctx, where)
         apps.append(
             ("unevaluatedProperties", {
                 "allowed": sorted(allowed),
@@ -270,19 +469,14 @@ def _applications(
             raise ValueError(
                 f"unevaluatedItems at {where}: must be `false` or a subschema"
             )
-        starts = [len(prefix or [])]
-        for m in sub.get("allOf", []):
-            if isinstance(m, dict):
-                mp = m.get("prefixItems")
-                if mp is None and isinstance(m.get("items"), list):
-                    mp = m["items"]
-                starts.append(len(mp or []))
-        apps.append(
-            ("unevaluatedItems", {
-                "schema": _node(uitems, f"{where}/unevaluatedItems", ctx),
-                "start": max(starts),
-            })
-        )
+        _allowed, _patterns, starts, full = _evaluated_closure(sub, ctx, where)
+        if not full:  # a non-tuple `items` in the closure evaluates everything
+            apps.append(
+                ("unevaluatedItems", {
+                    "schema": _node(uitems, f"{where}/unevaluatedItems", ctx),
+                    "start": max(starts),
+                })
+            )
     # object keywords apply whenever present — JSON Schema applies
     # `required`/`properties` to any value that IS an object regardless
     # of a declared `type` (including type: ["object","null"] and no
@@ -401,7 +595,10 @@ def _resolve_worklist(
             doc = registry.resolve(doc_part)  # KeyError lists known $ids
             fragment = _json_pointer(doc, frag, key)
             base = doc.get("$id") or doc_part
-            sub_ctx = _ImportCtx(base_uri=base, prefix=base, need=ctx.need)
+            sub_ctx = _ImportCtx(
+                base_uri=base, prefix=base, need=ctx.need, doc=doc,
+                root_doc=ctx.root_doc, dyn=ctx.dyn, registry=ctx.registry,
+            )
         definitions[key] = _node(fragment, key, sub_ctx)
 
 
@@ -531,7 +728,16 @@ def ruleset_from_json_schema(
     ``$id``) resolved from the preloaded ``$id → document`` map — the
     ``LocalSchemaCache`` semantics. ``max_ref_depth`` opts into bounded
     unrolling of RECURSIVE schemas (otherwise a cycle raises at compile
-    time, never loops or silently passes)."""
+    time, never loops or silently passes).
+
+    2020-12 ``$dynamicRef``/``$dynamicAnchor`` are supported with a
+    static entry-chain binding: each dynamic anchor name binds to its
+    outermost declaration in $ref-discovery order from THIS entry schema
+    (``_collect_dynamic_bindings``), the spec's bookending rule is
+    honored per occurrence (``_dynamic_ref_key``), and the canonical
+    strict-tree extensibility pattern — an entry-side override re-routing
+    a library's recursive ``$dynamicRef`` — compiles to the overriding
+    definitions (recursion still bounded by ``max_ref_depth``)."""
     from json_validator_spark.rules.model import Combination
 
     _TOP_LEVEL = {"type", "properties", "required", "$defs", "definitions",
@@ -547,7 +753,10 @@ def ruleset_from_json_schema(
     if "anyOf" in schema and "oneOf" in schema:
         raise ValueError("top-level anyOf and oneOf together are not supported")
 
-    ctx = _ImportCtx(base_uri=schema.get("$id"), prefix=None)
+    ctx = _ImportCtx(
+        base_uri=schema.get("$id"), prefix=None, doc=schema, root_doc=schema,
+        dyn=_collect_dynamic_bindings(schema, registry), registry=registry,
+    )
     definitions: dict[str, dict[str, Any]] = {}
     # 2020-12 `$defs` and draft-4/7 `definitions` (the reference's own
     # sample schema uses the latter) — keys keep the document's spelling

@@ -749,3 +749,217 @@ def test_registry_import_total_under_random_ref_graphs():
                 assert "cyclic" in str(e) or "unresolved" in str(e)
 
     run()
+
+
+# ----------------------------------------------------------------------
+# 2020-12 $dynamicRef / $dynamicAnchor — static entry-chain binding
+# ----------------------------------------------------------------------
+
+TREE_DOC = {  # the spec's extensible-tree library schema (§ strict-tree)
+    "$id": "https://example.test/tree",
+    "$dynamicAnchor": "node",
+    "type": "object",
+    "properties": {
+        "data": {"type": "string"},
+        "children": {"type": "array", "items": {"$dynamicRef": "#node"}},
+    },
+}
+STRICT_TREE_DOC = {
+    "$id": "https://example.test/strict-tree",
+    "$dynamicAnchor": "node",
+    "$ref": "https://example.test/tree",
+    "unevaluatedProperties": False,
+}
+
+
+def test_dynamic_ref_self_binding_recursion():
+    """With no override in scope, $dynamicRef '#node' binds to its own
+    document's $dynamicAnchor — plain recursive-$ref behavior, bounded
+    by max_ref_depth like any cycle."""
+    from json_validator_spark.rules.compiler import normalize_rule
+
+    schema = {
+        "type": "object",
+        "$defs": {
+            "node": {
+                "$dynamicAnchor": "node",
+                "required": ["data"],
+                "properties": {
+                    "kids": {"type": "array", "items": {"$dynamicRef": "#node"}}
+                },
+            }
+        },
+        "properties": {"tree_json": {"$ref": "#/$defs/node"}},
+    }
+    rs, defs = ruleset_from_json_schema(schema, max_ref_depth=2)
+    assert "#node" in defs  # the dynamic binding compiled under its anchor key
+    # the recursion unrolled: depth copies exist and the rule normalizes
+    assert any(k.startswith("#node@") for k in defs)
+    ref_rule = next(r for r in rs.rules if r.kind == "$ref")
+    normalize_rule(ref_rule, defs)
+    # without the unroll the cycle is an explicit compile error
+    with pytest.raises(ValueError, match="cyclic"):
+        rs2, defs2 = ruleset_from_json_schema(schema)
+        normalize_rule(next(r for r in rs2.rules if r.kind == "$ref"), defs2)
+
+
+def test_dynamic_ref_strict_tree_override_shape():
+    """The spec's canonical strict-tree pattern: the entry chain's
+    outermost $dynamicAnchor 'node' (strict-tree) captures tree's
+    recursive $dynamicRef, and unevaluatedProperties: false sees tree's
+    properties through the sibling-$ref evaluated-set closure."""
+    from json_validator_spark.rules.schema_registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.register(TREE_DOC)
+    reg.register(STRICT_TREE_DOC)
+    entry = {
+        "type": "object",
+        "properties": {"tree_json": {"$ref": "https://example.test/strict-tree"}},
+    }
+    rs, defs = ruleset_from_json_schema(entry, registry=reg, max_ref_depth=2)
+    # tree's items/$dynamicRef re-routed to the strict-tree binding
+    strict_key = "https://example.test/strict-tree#node"
+
+    def refs_of(node, out):
+        if node.get("kind") == "$ref":
+            out.add(node["params"]["ref"])
+        p = node.get("params", {})
+        for s in [p.get("schema")] + list(p.get("schemas") or []) + list(
+            (p.get("properties") or {}).values()
+        ):
+            if isinstance(s, dict):
+                refs_of(s, out)
+        return out
+
+    tree_refs: set = set()
+    for k, v in defs.items():  # all depth copies of the tree definition
+        if k.startswith("https://example.test/tree#"):
+            refs_of(v, tree_refs)
+    assert any(
+        r == strict_key or r.startswith(strict_key + "@") for r in tree_refs
+    )
+    # the strict node's unevaluatedProperties knows tree's keys statically
+    # (the bare key aliases its depth-1 unroll copy)
+    strict_def = defs[strict_key + "@1"]
+    ups = [
+        n for n in strict_def["params"]["schemas"]
+        if n["kind"] == "unevaluatedProperties"
+    ]
+    assert ups and ups[0]["params"]["allowed"] == ["children", "data"]
+    # plain-tree entry (no override in scope): the ref binds back to tree
+    rs2, defs2 = ruleset_from_json_schema(
+        {"type": "object",
+         "properties": {"tree_json": {"$ref": "https://example.test/tree"}}},
+        registry=reg, max_ref_depth=2,
+    )
+    tree_key = "https://example.test/tree#node"
+    assert any(
+        r == tree_key or r.startswith(tree_key + "@")
+        for r in refs_of(defs2["https://example.test/tree#"], set())
+    )
+    assert not any(k.startswith("https://example.test/strict-tree") for k in defs2)
+
+
+def test_dynamic_ref_extension_point_override(spark):
+    """A library exposes an extension point via $dynamicRef; the entry
+    schema's $dynamicAnchor overrides it — values legal under the
+    library default become violations under the override."""
+    lib = {
+        "$id": "https://example.test/lib",
+        "$defs": {
+            "ext": {"$dynamicAnchor": "ext", "type": "string"},
+            "holder": {"$dynamicRef": "#ext"},
+        },
+    }
+    from json_validator_spark.rules.schema_registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.register(lib)
+    with_override = {
+        "type": "object",
+        "$defs": {"strictExt": {"$dynamicAnchor": "ext", "pattern": "^x"}},
+        "properties": {"field": {"$ref": "https://example.test/lib#/$defs/holder"}},
+    }
+    without = {
+        "type": "object",
+        "properties": {"field": {"$ref": "https://example.test/lib#/$defs/holder"}},
+    }
+    df = spark.createDataFrame([(0, "zz")], "doc_id long, field string")
+    rs_o, defs_o = ruleset_from_json_schema(with_override, registry=reg)
+    got = [(r.doc_id, r.rule_id) for r in violations_df(df, rs_o, definitions=defs_o).collect()]
+    assert got == [(0, "field.$ref")]  # entry override: pattern ^x fires
+    rs_p, defs_p = ruleset_from_json_schema(without, registry=reg)
+    assert violations_df(df, rs_p, definitions=defs_p).count() == 0  # lib default
+    # bookending: an initial target WITHOUT $dynamicAnchor stays a plain $ref
+    lib_plain = {
+        "$id": "https://example.test/lib2",
+        "$defs": {
+            "ext": {"$anchor": "ext", "type": "string"},
+            "holder": {"$dynamicRef": "#ext"},
+        },
+    }
+    reg2 = SchemaRegistry()
+    reg2.register(lib_plain)
+    rs_b, defs_b = ruleset_from_json_schema(
+        {
+            "type": "object",
+            "$defs": {"strictExt": {"$dynamicAnchor": "ext", "pattern": "^x"}},
+            "properties": {"field": {"$ref": "https://example.test/lib2#/$defs/holder"}},
+        },
+        registry=reg2,
+    )
+    assert violations_df(df, rs_b, definitions=defs_b).count() == 0
+
+
+def test_dynamic_ref_error_shapes():
+    with pytest.raises(ValueError, match="plain-name fragments"):
+        ruleset_from_json_schema(
+            {"type": "object", "properties": {"f": {"$dynamicRef": "#/$defs/x"}}}
+        )
+    with pytest.raises(ValueError, match="no anchor"):
+        ruleset_from_json_schema(
+            {"type": "object", "properties": {"f": {"$dynamicRef": "#missing"}}}
+        )
+
+
+def test_unevaluated_sibling_ref_closure(spark):
+    """unevaluatedProperties: false with a sibling $ref counts the
+    ref'd schema's keys as evaluated (transitively), per 2020-12
+    annotation flow — previously only literal allOf members counted."""
+    schema = {
+        "type": "object",
+        "$defs": {
+            "base": {"properties": {"a": {}, "b": {}},
+                     "allOf": [{"$ref": "#/$defs/base2"}]},
+            "base2": {"properties": {"c": {}}},
+        },
+        "properties": {
+            "m": {"$ref": "#/$defs/base", "properties": {"own": {}},
+                  "unevaluatedProperties": False},
+        },
+    }
+    rs, defs = ruleset_from_json_schema(schema)
+    up = next(r for r in rs.rules if r.kind == "unevaluatedProperties")
+    assert up.params["allowed"] == ["a", "b", "c", "own"]
+    rows = [(0, {"a": "1", "c": "2", "own": "3"}), (1, {"zz": "1"})]
+    df = spark.createDataFrame(rows, "doc_id long, m map<string,string>")
+    got = sorted(
+        (r.doc_id, r.rule_id)
+        for r in violations_df(df, rs, definitions=defs).collect()
+        if r.rule_id == "m.unevaluatedProperties"
+    )
+    assert got == [(1, "m.unevaluatedProperties")]
+
+
+def test_unevaluated_items_full_items_noop():
+    """A non-tuple `items` in the closure evaluates every element, so
+    unevaluatedItems is a spec no-op and emits no rule."""
+    rs, defs = ruleset_from_json_schema({
+        "type": "object",
+        "properties": {
+            "t": {"items": {"type": "integer"}, "unevaluatedItems": False},
+        },
+    })
+    assert not [r for r in rs.rules if r.kind == "unevaluatedItems"]
+    assert [r for r in rs.rules if r.kind == "items"]
