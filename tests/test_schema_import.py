@@ -963,3 +963,76 @@ def test_unevaluated_items_full_items_noop():
     })
     assert not [r for r in rs.rules if r.kind == "unevaluatedItems"]
     assert [r for r in rs.rules if r.kind == "items"]
+
+
+def test_import_total_under_random_dynamic_ref_graphs():
+    """Property fuzz extending the worklist fuzz with $dynamicAnchor /
+    $dynamicRef: for ANY placement of dynamic anchors and dynamic refs
+    across three documents (overrides, self-bindings, missing anchors,
+    cycles), import either compiles or raises a clean ValueError/
+    KeyError — never hangs — and whatever compiles also normalizes (or
+    names the cycle)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from json_validator_spark.rules.compiler import normalize_rule
+    from json_validator_spark.rules.schema_registry import SchemaRegistry
+
+    ids = ["https://t.test/a.json", "https://t.test/b.json"]
+    def_names = ["d0", "d1", "d2"]
+    anchor_names = ["x", "y"]
+    ref_targets = (
+        [f"#/$defs/{n}" for n in def_names]
+        + [f"{i}#/$defs/{n}" for i in ids for n in def_names]
+        + ids
+    )
+    dyn_targets = [f"#{a}" for a in anchor_names] + ["#missing"]
+    leaf = st.sampled_from([{"minLength": 1}, {"maximum": 10}, True])
+
+    def with_anchor(pair):
+        anchor, body = pair
+        out = dict(body) if isinstance(body, dict) else {}
+        if anchor is not None:
+            out["$dynamicAnchor"] = anchor
+        return out
+
+    node = st.one_of(
+        st.tuples(st.sampled_from(anchor_names + [None]), leaf).map(with_anchor),
+        st.sampled_from(ref_targets).map(lambda t: {"$ref": t}),
+        st.tuples(
+            st.sampled_from(anchor_names + [None]), st.sampled_from(dyn_targets)
+        ).map(lambda p: with_anchor((p[0], {"$dynamicRef": p[1]}))),
+        st.tuples(st.sampled_from(ref_targets), st.sampled_from(dyn_targets)).map(
+            lambda p: {"allOf": [{"$ref": p[0]}, {"$dynamicRef": p[1]}]}
+        ),
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        defs_a=st.lists(node, min_size=3, max_size=3),
+        defs_b=st.lists(node, min_size=3, max_size=3),
+        root_defs=st.lists(node, min_size=3, max_size=3),
+        prop=node,
+        depth=st.sampled_from([None, 1, 2]),
+    )
+    def run(defs_a, defs_b, root_defs, prop, depth):
+        reg = SchemaRegistry()
+        reg.register({"$id": ids[0], "$defs": dict(zip(def_names, defs_a))})
+        reg.register({"$id": ids[1], "$defs": dict(zip(def_names, defs_b))})
+        root = {
+            "$id": "https://t.test/root.json",
+            "type": "object",
+            "$defs": dict(zip(def_names, root_defs)),
+            "properties": {"p": prop},
+        }
+        try:
+            rs, d = ruleset_from_json_schema(root, registry=reg, max_ref_depth=depth)
+        except (ValueError, KeyError):
+            return  # clean refusal (missing anchor / id / bad shape)
+        for r in rs.rules:
+            try:
+                normalize_rule(r, d)
+            except ValueError as e:
+                assert "cyclic" in str(e) or "unresolved" in str(e)
+
+    run()
