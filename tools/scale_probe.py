@@ -77,10 +77,15 @@ def main() -> None:
 
     from json_validator_spark.session import get_spark
 
+    # SHUFFLE_PARTITIONS overrides the fixed test default — the probe
+    # tables document peak-task-memory growing as corpus/partitions at a
+    # FIXED partition count; this knob measures the documented remedy
+    # (size partitions with the corpus) instead of just asserting it.
+    parts = int(os.environ.get("SHUFFLE_PARTITIONS", str(max(2 * cpus, 16))))
     spark = get_spark(
         app_name=f"probe-{query}-{scale}",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(2 * cpus, 16),
+        shuffle_partitions=parts,
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{evdir}",
