@@ -120,6 +120,70 @@ def test_fuzz_funnel_matches_greedy_python(spark):
         assert got == _py_funnel(rows, steps, types), f"seed {seed}"
 
 
+def _py_funnel_windowed(rows, steps, types, gap_us):
+    """Exact brute-force DP: f[i][j] = steps[:j+1] can be matched with
+    the step-(j+1) match ending at event i; predecessor must be any
+    event strictly earlier in tick AND within gap_us. O(n²k) — the
+    reference the two-chain fold must equal on every input."""
+    by_user: dict[int, list] = {}
+    for eid, u, t in rows:
+        by_user.setdefault(u, []).append((_ticks(t), types[eid]))
+    out = {}
+    k = len(steps)
+    for u, evs in by_user.items():
+        evs.sort()
+        n = len(evs)
+        f = [[False] * k for _ in range(n)]
+        best = 0
+        for i, (t, ty) in enumerate(evs):
+            for j in range(k):
+                if ty != steps[j]:
+                    continue
+                if j == 0:
+                    f[i][0] = True
+                else:
+                    f[i][j] = any(
+                        f[i2][j - 1] and evs[i2][0] < t and t - evs[i2][0] <= gap_us
+                        for i2 in range(n)
+                    )
+                if f[i][j]:
+                    best = max(best, j + 1)
+        if any(ty in steps for _, ty in evs):
+            out[u] = best
+    return out
+
+
+def test_fuzz_funnel_windowed_matches_exact_dp(spark):
+    """The windowed funnel's two-chain re-anchoring fold vs the exact
+    O(n²k) DP, on boundary-salted random frames (exact-window ticks,
+    same-tick events, multiple step-1 candidates where only a later
+    one converts — the case greedy-earliest gets wrong). Also asserts
+    the returned step_ts chain is a valid WITNESS: right types, right
+    user, strictly increasing ticks, every gap within the window."""
+    steps = ["a", "b", "c"]
+    for seed in (7, 23, 41):
+        rows = _gen_events(seed)
+        rng = random.Random(seed * 1001)
+        types = {eid: rng.choice(["a", "b", "c", "x"]) for eid, _, _ in rows}
+        data = [(eid, u, types[eid], t) for eid, u, t in rows]
+        df = spark.createDataFrame(
+            data, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        res = tp.funnel(df, steps, max_step_gap_minutes=WIN_MIN).collect()
+        got = {r["user_id"]: r["steps_completed"] for r in res}
+        assert got == _py_funnel_windowed(rows, steps, types, WIN_US), f"seed {seed}"
+        evset: dict[int, set] = {}
+        for eid, u, t in rows:
+            evset.setdefault(u, set()).add((_ticks(t), types[eid]))
+        for r in res:
+            chain = list(r["step_ts"])
+            assert len(chain) == r["steps_completed"], f"seed {seed}"
+            for i, tick in enumerate(chain):
+                assert (tick, steps[i]) in evset[r["user_id"]], f"seed {seed}"
+                if i:
+                    assert 0 < tick - chain[i - 1] <= WIN_US, f"seed {seed}"
+
+
 def test_fuzz_asof_join_matches_bruteforce(spark):
     rng = random.Random(99)
     ev = [(i, rng.choice(["a", "b", "c"]),
