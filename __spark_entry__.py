@@ -2146,6 +2146,70 @@ def q_keyword_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_uneval_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC draft-2020-12 annotation flow for ``unevaluated*`` (r4):
+    keys/prefixes contributed by sibling ``anyOf``/``oneOf``/``if``-
+    ``then``-``else`` branches count as evaluated only on rows where the
+    branch passes — and, per the spec's annotation-retention rule, where
+    the applicator keyword as a whole succeeds (whole-``oneOf``
+    exactly-one guard). The import path
+    (``rules/schema_import._dynamic_contributors``) compiles these to
+    per-row conditional set subtraction / prefix widening inside ONE
+    codegen projection; the DuckDB mirror re-derives every evaluated-set
+    decision from ``doc_id`` arithmetic alone, so the rows are a hard
+    cross-engine check of the semantics (networknt's annotation flow,
+    ``jsv-messages.properties:48-49``)."""
+    from json_validator_spark.operators.row_checks import violations_df
+    from json_validator_spark.rules.schema_import import ruleset_from_json_schema
+
+    d = F.col("doc_id")
+
+    def ent(cond, k):
+        return F.when(cond, F.struct(F.lit(k).alias("key"), F.lit("v").alias("value")))
+
+    entries = F.array_compact(F.array(
+        ent(F.lit(True), "id"),
+        ent(d % 3 == 0, "a"),
+        ent(d % 5 == 0, "b"),
+        ent(d % 7 == 0, "c"),
+        ent(d % 2 == 0, "x1"),
+        ent(d % 11 == 0, "zz"),
+    ))
+    frame = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.map_from_entries(entries).alias("pm"),
+        F.array((d % 5).cast("int"), (d % 3).cast("int"), (d % 9).cast("int")).alias("arr2"),
+    )
+    schema = {
+        "type": "object",
+        "properties": {
+            "pm": {
+                "properties": {"id": {}},
+                "anyOf": [
+                    {"required": ["a"], "properties": {"b": {}}},
+                    {"required": ["b"], "patternProperties": {"^x": {}}},
+                ],
+                "if": {"required": ["c"]},
+                "then": {"properties": {"a": {}}},
+                "else": {"properties": {"x1": {}}},
+                "oneOf": [
+                    {"required": ["a"], "properties": {"c": {}}},
+                    {"required": ["b"], "properties": {"c": {}}},
+                ],
+                "unevaluatedProperties": False,
+            },
+            "arr2": {
+                "allOf": [{"prefixItems": [{}, {}]}],
+                "if": {"contains": {"minimum": 5}},
+                "then": {"prefixItems": [{}, {}, {}]},
+                "unevaluatedItems": {"maximum": 3},
+            },
+        },
+    }
+    rs, defs = ruleset_from_json_schema(schema, name="uneval-dyn")
+    return violations_df(frame, rs, definitions=defs)
+
+
 def q_windowed_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed verdict rollup (streaming/validate_stream's
     aggregation, batch mode) — hourly event counts + per-window rule
@@ -2372,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tar_reports": q_tar_reports,
         "keyword_scalars": q_keyword_scalars,
         "keyword_objects": q_keyword_objects,
+        "uneval_dynamic": q_uneval_dynamic,
         "windowed_event_rates": q_windowed_event_rates,
         "approx_stats": q_approx_stats,
         "tdigest": q_tdigest,
@@ -2833,6 +2898,39 @@ UNION ALL
 SELECT d, '/arr2', 'arr2.unevaluatedItems', 'error',
        '[/arr2] constraint ''items'' violated'
 FROM k WHERE d % 7 > 3
+"""
+
+# Mirrors q_uneval_dynamic: every evaluated-set decision of the dynamic
+# annotation flow re-derived from doc_id arithmetic. Key presence:
+# a=d%3, b=d%5, c=d%7, x1=d%2, zz=d%11 (all =0); evaluated iff
+#   b <- anyOf branch 1 passes (a present)
+#   x* <- anyOf branch 2 passes (b present), via the ^x pattern
+#   a <- if (c present) passes -> then's properties
+#   x1 <- if fails (c absent) -> else's properties
+#   c <- oneOf succeeds as a whole (exactly one of a,b present)
+_UNEVAL_DYNAMIC_SQL = """
+WITH k AS (SELECT doc_id AS d FROM documents)
+SELECT d AS doc_id, '/pm' AS span_path,
+       'pm.unevaluatedProperties' AS rule_id, 'error' AS severity,
+       '[/pm] constraint ''additionalProperties'' violated' AS message
+FROM k WHERE (d % 3 = 0 AND d % 7 <> 0)
+   OR (d % 5 = 0 AND d % 3 <> 0)
+   OR (d % 7 = 0 AND ((d % 3 = 0) = (d % 5 = 0)))
+   OR (d % 2 = 0 AND d % 5 <> 0 AND d % 7 = 0)
+   OR d % 11 = 0
+UNION ALL
+SELECT d, '/pm', 'pm.anyOf', 'error', '[/pm] constraint ''anyOf'' violated'
+FROM k WHERE d % 3 <> 0 AND d % 5 <> 0
+UNION ALL
+SELECT d, '/pm', 'pm.oneOf', 'error', '[/pm] constraint ''oneOf'' violated'
+FROM k WHERE (d % 3 = 0) = (d % 5 = 0)
+UNION ALL
+-- unevaluatedItems: the if-branch (contains >= 5, i.e. d%9 >= 5) widens
+-- the evaluated prefix to 3 (no remainder); otherwise the remainder
+-- element d%9 must be <= 3 -> violation iff d%9 = 4
+SELECT d, '/arr2', 'arr2.unevaluatedItems', 'error',
+       '[/arr2] constraint ''items'' violated'
+FROM k WHERE d % 9 = 4
 """
 
 _EVENTS_SQL = """
@@ -4462,6 +4560,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "keyword_scalars": _KW_SCALARS_SQL,
         "keyword_objects": _KW_OBJECTS_SQL,
+        "uneval_dynamic": _UNEVAL_DYNAMIC_SQL,
         "events_json": _EVENTS_SQL,
         "corrupt_records": """
             SELECT event_id::VARCHAR AS doc_id, '/props' AS span_path,

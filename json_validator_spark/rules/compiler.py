@@ -71,6 +71,15 @@ def resolve_refs(
                 k: resolve_refs(v, definitions, _seen) if isinstance(v, dict) else v
                 for k, v in params[holder].items()
             }
+    # unevaluated* dynamic contributors carry pass-predicate nodes in `when`
+    if isinstance(params.get("contributors"), list):
+        new_params["contributors"] = [
+            {**c, "when": [
+                resolve_refs(n, definitions, _seen) if isinstance(n, dict) else n
+                for n in c.get("when", [])
+            ]}
+            for c in params["contributors"]
+        ]
     return {**schema, "params": new_params}
 
 
@@ -151,6 +160,8 @@ def _uses_python_predicate(kind: str, params: dict[str, Any]) -> bool:
     for holder in ("properties", "mapping"):
         if isinstance(params.get(holder), dict):
             subs.extend(v for v in params[holder].values() if isinstance(v, dict))
+    for c in params.get("contributors", []):
+        subs.extend(n for n in c.get("when", []) if isinstance(n, dict))
     return any(
         _uses_python_predicate(s.get("kind", ""), s.get("params", {})) for s in subs
     )

@@ -25,6 +25,7 @@ names (``#/$defs/<name>``), cycle guard included.
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field
 from typing import Any
 from urllib.parse import urldefrag, urljoin
@@ -311,7 +312,8 @@ def _resolve_ref_raw(
 
 
 def _evaluated_closure(
-    sub: dict[str, Any], ctx: _ImportCtx | None, where: str
+    sub: dict[str, Any], ctx: _ImportCtx | None, where: str,
+    doc: Any = None, base: str | None = None,
 ) -> tuple[set[str], set[str], list[int], bool]:
     """Static evaluated-set closure for ``unevaluatedProperties``/
     ``unevaluatedItems``: keys/prefixes contributed by this subschema,
@@ -355,8 +357,116 @@ def _evaluated_closure(
                     t, td, tb = _resolve_ref_raw(r, kw == "$dynamicRef", ctx, doc, base)
                     walk(t, td, tb)
 
-    walk(sub, ctx.doc if ctx else None, ctx.base_uri if ctx else None)
+    walk(
+        sub,
+        doc if doc is not None else (ctx.doc if ctx else None),
+        base if base is not None else (ctx.base_uri if ctx else None),
+    )
     return allowed, patterns, starts, full_items[0]
+
+
+def _dynamic_contributors(
+    sub: dict[str, Any], ctx: _ImportCtx | None, where: str,
+    max_depth: int = 4,
+) -> list[dict[str, Any]]:
+    """Conditional evaluated-set contributors for ``unevaluated*`` — the
+    DYNAMIC half of draft-2020-12 annotation flow that
+    ``_evaluated_closure`` cannot see statically: keys/prefixes
+    contributed by sibling ``anyOf``/``oneOf``/``if``-``then``-``else``/
+    ``dependentSchemas`` branches count only on instances where the
+    branch validates (and, per the spec's annotation-retention rule, the
+    applicator keyword as a whole succeeds — hence the whole-``oneOf``
+    exactly-one guard on each ``oneOf`` member, and the
+    ``if``-pass / ``if``-fail guards on ``then``/``else``).
+
+    Each contributor is::
+
+        {"when": [node, ...],          # conjunction of pass-predicate nodes
+         "allowed": [keys...],         # evaluated property keys
+         "allowed_patterns": [rx...],  # evaluated patternProperties regexes
+         "start": int,                 # evaluated tuple-prefix length
+         "full": bool}                 # a non-tuple `items` evaluates all
+
+    and compiles (``vocabulary.build_pass``) to per-row conditional set
+    subtraction / prefix widening — still one codegen projection, no
+    UDFs. Branch sets are the branch's own static closure
+    (``_evaluated_closure``); dynamics nested INSIDE a branch recurse
+    with the guard conjunction extended per level, bounded at
+    ``max_depth`` — contributors beyond the bound are dropped, which
+    only makes the check STRICTER (the pre-r4 fully-static behavior),
+    never looser. Cycle-guarded along each path so diamond ``$ref``
+    graphs revisit but true cycles stop."""
+    out: list[dict[str, Any]] = []
+    keys_seen: set[str] = set()
+
+    def emit(branch: Any, conds: list, depth: int, doc: Any, base: str | None,
+             path: frozenset) -> None:
+        if depth > max_depth or not isinstance(branch, dict):
+            return
+        allowed, patterns, starts, full = _evaluated_closure(
+            branch, ctx, where, doc=doc, base=base
+        )
+        start = max(starts)
+        if allowed or patterns or start or full:
+            c = {
+                "when": conds,
+                "allowed": sorted(allowed),
+                "allowed_patterns": sorted(patterns),
+                "start": start,
+                "full": full,
+            }
+            k = json.dumps(c, sort_keys=True, default=str)
+            if k not in keys_seen:
+                keys_seen.add(k)
+                out.append(c)
+        spine(branch, conds, depth, doc, base, path)
+
+    def spine(s: Any, conds: list, depth: int, doc: Any, base: str | None,
+              path: frozenset) -> None:
+        # conjunctive spine: the node itself, literal allOf members and
+        # statically-resolved $ref/$dynamicRef targets all MUST apply, so
+        # they pass the guard conjunction through unchanged
+        if not isinstance(s, dict) or id(s) in path:
+            return
+        path = path | {id(s)}
+        for m in s.get("anyOf", []):
+            emit(m, conds + [_node(m, f"{where}/anyOf", ctx)],
+                 depth + 1, doc, base, path)
+        one = s.get("oneOf")
+        if isinstance(one, list) and one:
+            one_node = _node({"oneOf": one}, f"{where}/oneOf", ctx)
+            for m in one:
+                emit(m, conds + [one_node, _node(m, f"{where}/oneOf", ctx)],
+                     depth + 1, doc, base, path)
+        if "if" in s:
+            if_node = _node(s["if"], f"{where}/if", ctx)
+            emit(s["if"], conds + [if_node], depth + 1, doc, base, path)
+            if "then" in s:
+                emit(s["then"],
+                     conds + [if_node, _node(s["then"], f"{where}/then", ctx)],
+                     depth + 1, doc, base, path)
+            if "else" in s:
+                not_if = {"kind": "not", "params": {"schema": if_node}}
+                emit(s["else"],
+                     conds + [not_if, _node(s["else"], f"{where}/else", ctx)],
+                     depth + 1, doc, base, path)
+        for key, ds in s.get("dependentSchemas", {}).items():
+            guard = {"kind": "requiredKey", "params": {"key": key}}
+            emit(ds,
+                 conds + [guard, _node(ds, f"{where}/dependentSchemas/{key}", ctx)],
+                 depth + 1, doc, base, path)
+        for m in s.get("allOf", []):
+            spine(m, conds, depth, doc, base, path)
+        if ctx is not None and doc is not None:
+            for kw in ("$ref", "$dynamicRef"):
+                r = s.get(kw)
+                if isinstance(r, str):
+                    t, td, tb = _resolve_ref_raw(r, kw == "$dynamicRef", ctx, doc, base)
+                    spine(t, conds, depth, td, tb, path)
+
+    spine(sub, [], 0,
+          ctx.doc if ctx else None, ctx.base_uri if ctx else None, frozenset())
+    return out
 
 
 def _applications(
@@ -441,24 +551,35 @@ def _applications(
             f"additionalProperties at {where}: only `false` (closed object) is "
             "supported on map-typed columns"
         )
-    # unevaluatedProperties/Items — STATIC closure approximation of
-    # draft-2020-12 annotation flow (jsv-messages.properties:48-49): the
-    # evaluated-key / evaluated-prefix sets are unioned across this
-    # subschema, its literal `allOf` members, and its statically-resolved
-    # sibling `$ref`/`$dynamicRef` targets, transitively (all of which
-    # must validate anyway, so the union is exactly the keys networknt
-    # would mark evaluated for the conjunction) — `_evaluated_closure`.
-    # The residue that stays out of model is the genuinely DYNAMIC part:
-    # contributions from anyOf/oneOf branches and if/then (only passing
-    # branches count) — see README "Draft-2020-12 annotation boundary".
+    # unevaluatedProperties/Items — draft-2020-12 annotation flow
+    # (jsv-messages.properties:48-49) in two layers:
+    #   STATIC: evaluated-key / evaluated-prefix sets unioned across this
+    #   subschema, its literal `allOf` members, and its statically-
+    #   resolved sibling `$ref`/`$dynamicRef` targets, transitively (all
+    #   of which must validate anyway, so the union is exactly the keys
+    #   networknt would mark evaluated for the conjunction) —
+    #   `_evaluated_closure`.
+    #   DYNAMIC (r4): contributions from sibling anyOf/oneOf/if-then-else/
+    #   dependentSchemas branches, which count only on instances where
+    #   the branch passes, compile as per-row conditional contributors —
+    #   `_dynamic_contributors`. The residue that stays out of model is
+    #   runtime $dynamicRef rebinding (statically bound instead) — see
+    #   README "Draft-2020-12 annotation boundary".
     if sub.get("unevaluatedProperties") is False:
         allowed, patterns, _starts, _full = _evaluated_closure(sub, ctx, where)
-        apps.append(
-            ("unevaluatedProperties", {
-                "allowed": sorted(allowed),
-                "allowed_patterns": sorted(patterns),
-            })
-        )
+        p = {
+            "allowed": sorted(allowed),
+            "allowed_patterns": sorted(patterns),
+        }
+        contribs = [
+            {"when": c["when"], "allowed": c["allowed"],
+             "allowed_patterns": c["allowed_patterns"]}
+            for c in _dynamic_contributors(sub, ctx, where)
+            if c["allowed"] or c["allowed_patterns"]
+        ]
+        if contribs:
+            p["contributors"] = contribs
+        apps.append(("unevaluatedProperties", p))
     elif isinstance(sub.get("unevaluatedProperties"), dict):
         raise ValueError(
             f"unevaluatedProperties at {where}: only `false` is supported"
@@ -471,12 +592,18 @@ def _applications(
             )
         _allowed, _patterns, starts, full = _evaluated_closure(sub, ctx, where)
         if not full:  # a non-tuple `items` in the closure evaluates everything
-            apps.append(
-                ("unevaluatedItems", {
-                    "schema": _node(uitems, f"{where}/unevaluatedItems", ctx),
-                    "start": max(starts),
-                })
-            )
+            p = {
+                "schema": _node(uitems, f"{where}/unevaluatedItems", ctx),
+                "start": max(starts),
+            }
+            contribs = [
+                {"when": c["when"], "start": c["start"], "full": c["full"]}
+                for c in _dynamic_contributors(sub, ctx, where)
+                if c["full"] or c["start"] > max(starts)
+            ]
+            if contribs:
+                p["contributors"] = contribs
+            apps.append(("unevaluatedItems", p))
     # object keywords apply whenever present — JSON Schema applies
     # `required`/`properties` to any value that IS an object regardless
     # of a declared `type` (including type: ["object","null"] and no
@@ -618,6 +745,10 @@ def _ref_targets(node: dict[str, Any], out: set[str]) -> None:
             for v in params[holder].values():
                 if isinstance(v, dict):
                     _ref_targets(v, out)
+    for c in params.get("contributors", []):
+        for n in c.get("when", []):
+            if isinstance(n, dict):
+                _ref_targets(n, out)
 
 
 def _rewrite_refs(node: dict[str, Any], fn) -> dict[str, Any]:
@@ -648,6 +779,14 @@ def _rewrite_refs(node: dict[str, Any], fn) -> dict[str, Any]:
                 k: _rewrite_refs(v, fn) if isinstance(v, dict) else v
                 for k, v in params[holder].items()
             }
+    if isinstance(params.get("contributors"), list):
+        np["contributors"] = [
+            {**c, "when": [
+                _rewrite_refs(n, fn) if isinstance(n, dict) else n
+                for n in c.get("when", [])
+            ]}
+            for c in params["contributors"]
+        ]
     return {**node, "params": np}
 
 

@@ -54,11 +54,14 @@ def _inner_pred(schema: dict[str, Any]) -> Callable[[Column], Column]:
 # `readOnly`/`writeOnly` (:25,:35) ≡ forbidden; `unionType` (:28) ≡ type
 # with a types list; `notAllowed` (:46) ≡ false.
 #
-# BOUNDARY: these alias encodings cover the flat-rule reading of the
-# draft-2020-12 unevaluated* keywords, NOT cross-subschema annotation
-# flow ($dynamicRef, prefixes/properties contributed by sibling
-# allOf/if branches) — see README "Draft-2020-12 annotation boundary"
-# for the precise statement and per-divergence reference lines.
+# BOUNDARY: via schema_import, the unevaluated* encodings now carry
+# BOTH the static evaluated closure (sibling allOf/$ref, transitively)
+# AND dynamic `contributors` (sibling anyOf/oneOf/if-then-else/
+# dependentSchemas branches, guarded per row by their pass predicates).
+# The remaining out-of-model residue is runtime $dynamicRef REbinding
+# (the engine binds dynamic anchors statically per entry chain) — see
+# README "Draft-2020-12 annotation boundary" for the precise statement
+# and per-divergence reference lines.
 ALIASES = {
     "dependencies": "dependentRequired",
     "additionalItems": "items",
@@ -172,6 +175,30 @@ def build_pass(kind: str, value: Column, params: dict[str, Any]) -> Column:
         if "field" in params:
             arr = F.transform(value, lambda s: s[params["field"]])
         start = int(params.get("start", 0))
+        contribs = params.get("contributors", [])
+        if contribs:
+            # unevaluatedItems under dynamic annotation flow: a passing
+            # sibling anyOf/oneOf/if branch can widen the evaluated
+            # prefix (per-row greatest) or, via a non-tuple `items`,
+            # evaluate every element (keyword passes outright)
+            start_col = F.lit(start)
+            full_cond = F.lit(False)
+            for c in contribs:
+                cond = F.lit(True)
+                for n in c.get("when", []):
+                    cond = cond & _inner_pred(n)(value)
+                if c.get("full"):
+                    full_cond = full_cond | cond
+                if c.get("start"):
+                    start_col = F.greatest(
+                        start_col,
+                        F.when(cond, F.lit(int(c["start"]))).otherwise(F.lit(0)),
+                    )
+            sliced = F.slice(
+                arr, start_col + F.lit(1),
+                F.greatest(F.size(arr) - start_col, F.lit(0)),
+            )
+            return full_cond | F.forall(sliced, inner)
         if start:  # additionalItems/unevaluatedItems: skip the prefix tuple
             arr = F.slice(arr, start + 1, F.greatest(F.size(arr) - start, F.lit(0)))
         return F.forall(arr, inner)
@@ -209,17 +236,34 @@ def build_pass(kind: str, value: Column, params: dict[str, Any]) -> Column:
     if kind == "maxProperties":
         return F.size(F.map_keys(value)) <= _num(params["value"])
     if kind == "additionalProperties":
-        allowed = F.array(*[F.lit(k) for k in params["allowed"]])
-        patterns = params.get("allowed_patterns", [])
-        extras = F.array_except(F.map_keys(value), allowed)
-        if patterns:  # unevaluatedProperties: patternProperties-matched keys pass
-            # factory, not default-arg binding: pyspark dispatches HOF
-            # lambdas on parameter count, so the callable must be (k,) only
-            def _drop_matching(rx: str):
-                return lambda k: ~k.rlike(rx)
+        # factory, not default-arg binding: pyspark dispatches HOF
+        # lambdas on parameter count, so the callable must be (k,) only
+        def _drop_matching(rx: str):
+            return lambda k: ~k.rlike(rx)
 
-            for rx in patterns:
-                extras = F.filter(extras, _drop_matching(rx))
+        allowed = F.array(*[F.lit(k) for k in params["allowed"]])
+        extras = F.array_except(F.map_keys(value), allowed)
+        # unevaluatedProperties: patternProperties-matched keys pass
+        for rx in params.get("allowed_patterns", []):
+            extras = F.filter(extras, _drop_matching(rx))
+        # Dynamic contributors (draft-2020-12 annotation flow): a sibling
+        # anyOf/oneOf/if/dependentSchemas branch's evaluated keys are
+        # subtracted only on rows where the branch — and its applicator
+        # keyword as a whole — passes (the `when` conjunction). Folding
+        # sequentially keeps each qualifying branch's removal cumulative;
+        # everything stays one codegen projection, no UDFs.
+        for c in params.get("contributors", []):
+            cond = F.lit(True)
+            for n in c.get("when", []):
+                cond = cond & _inner_pred(n)(value)
+            removed = extras
+            if c.get("allowed"):
+                removed = F.array_except(
+                    removed, F.array(*[F.lit(k) for k in c["allowed"]])
+                )
+            for rx in c.get("allowed_patterns", []):
+                removed = F.filter(removed, _drop_matching(rx))
+            extras = F.when(cond, removed).otherwise(extras)
         return F.size(extras) == 0
     if kind == "propertyNames":
         return F.forall(F.map_keys(value), lambda k: k.rlike(params["regex"]))

@@ -565,6 +565,132 @@ def test_import_unevaluated_sibling_allof_union(spark):
     assert got == [(1, "m.unevaluatedProperties"), (1, "t.unevaluatedItems")]
 
 
+def test_import_unevaluated_dynamic_contributors(spark):
+    """DYNAMIC draft-2020-12 annotation flow (r4): keys contributed by
+    sibling anyOf/oneOf/if-then-else branches count as evaluated ONLY on
+    rows where the branch passes — and for oneOf, only when the keyword
+    as a whole succeeds (exactly one branch), the spec's
+    annotation-retention rule. Exhaustive over all 32 presence
+    combinations of five keys, cross-checked against an independently
+    hand-derived Python model of the evaluated-set semantics."""
+    schema = {
+        "type": "object",
+        "properties": {
+            "pm": {
+                "properties": {"id": {}},
+                "anyOf": [
+                    {"required": ["a"], "properties": {"b": {}}},
+                    {"required": ["b"], "patternProperties": {"^x": {}}},
+                ],
+                "if": {"required": ["c"]},
+                "then": {"properties": {"a": {}}},
+                "else": {"properties": {"x1": {}}},
+                "oneOf": [
+                    {"required": ["a"], "properties": {"c": {}}},
+                    {"required": ["b"], "properties": {"c": {}}},
+                ],
+                "unevaluatedProperties": False,
+            },
+        },
+    }
+    rs, defs = ruleset_from_json_schema(schema, name="dyn")
+    up = next(r for r in rs.rules if r.kind == "unevaluatedProperties")
+    assert len(up.params["contributors"]) == 6  # 2 anyOf + 2 oneOf + then + else
+
+    keys = ["a", "b", "c", "x1", "zz"]
+    rows = []
+    for d in range(32):
+        present = {k for i, k in enumerate(keys) if d >> i & 1}
+        rows.append((d, {k: "v" for k in ["id", *present]}))
+    df = spark.createDataFrame(rows, "doc_id long, pm map<string,string>")
+    got = {
+        (r.doc_id, r.rule_id)
+        for r in violations_df(df, rs, definitions=defs).collect()
+    }
+
+    expect = set()
+    for d, pm in rows:
+        a, b, c, x1, zz = (k in pm for k in keys)
+        evaluated = {"id"}
+        if a:
+            evaluated.add("b")            # anyOf branch 1 passes
+        if b:
+            evaluated |= {"x1"} & set(pm)  # anyOf branch 2: ^x pattern
+        if c:
+            evaluated.add("a")            # if passes -> then's properties
+        else:
+            evaluated.add("x1")           # if fails -> else's properties
+        if a != b:                         # oneOf exactly-one: annotations kept
+            evaluated.add("c")
+        if set(pm) - evaluated:
+            expect.add((d, "pm.unevaluatedProperties"))
+        if not (a or b):
+            expect.add((d, "pm.anyOf"))
+        if a == b:
+            expect.add((d, "pm.oneOf"))
+    assert got == expect
+    # the two load-bearing shapes must actually occur in the 32 combos:
+    # a passing else-branch rescues x1 (x1-only row is clean) ...
+    assert (0b01000, "pm.unevaluatedProperties") not in got
+    # ... and a failing oneOf orphans c even though c is present (a+b+c)
+    assert (0b00111, "pm.unevaluatedProperties") in got
+
+
+def test_import_unevaluated_items_dynamic_prefix(spark):
+    """unevaluatedItems under dynamic flow: a passing if-branch widens
+    the evaluated tuple prefix per row; a non-tuple `items: true` in a
+    passing branch evaluates everything (keyword passes outright)."""
+    schema = {
+        "type": "object",
+        "properties": {
+            "t": {
+                "allOf": [{"prefixItems": [{}, {}]}],
+                "if": {"contains": {"minimum": 5}},
+                "then": {"prefixItems": [{}, {}, {}]},
+                "unevaluatedItems": {"maximum": 3},
+            },
+        },
+    }
+    rs, defs = ruleset_from_json_schema(schema, name="dynitems")
+    ui = next(r for r in rs.rules if r.kind == "unevaluatedItems")
+    assert ui.params["start"] == 2
+    assert ui.params["contributors"] == [
+        {"when": ui.params["contributors"][0]["when"], "start": 3, "full": False}
+    ]
+    rows = [
+        (0, [1, 2, 9]),       # contains >=5 -> prefix 3 -> no remainder: pass
+        (1, [1, 2, 9, 4]),    # prefix 3, remainder [4] > 3: fail
+        (2, [1, 2, 2]),       # no >=5 -> prefix 2, remainder [2] <= 3: pass
+        (3, [1, 2, 4]),       # prefix 2, remainder [4] > 3: fail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t array<int>")
+    got = sorted(
+        r.doc_id for r in violations_df(df, rs, definitions=defs).collect()
+    )
+    assert got == [1, 3]
+
+    # full-items contributor: `items: true` in a passing then-branch
+    # evaluates every element -> keyword is a per-row no-op
+    schema2 = {
+        "type": "object",
+        "properties": {
+            "t": {
+                "if": {"contains": {"minimum": 5}},
+                "then": {"items": True},
+                "unevaluatedItems": False,
+            },
+        },
+    }
+    rs2, defs2 = ruleset_from_json_schema(schema2, name="dynfull")
+    ui2 = next(r for r in rs2.rules if r.kind == "unevaluatedItems")
+    assert ui2.params["contributors"][0]["full"] is True
+    df2 = spark.createDataFrame([(0, [9, 1]), (1, [1, 2])], "doc_id long, t array<int>")
+    got2 = sorted(
+        r.doc_id for r in violations_df(df2, rs2, definitions=defs2).collect()
+    )
+    assert got2 == [1]  # row 0 rescued by the passing branch, row 1 not
+
+
 def test_import_unevaluated_properties_schema_form_raises():
     with pytest.raises(ValueError, match="unevaluatedProperties"):
         ruleset_from_json_schema({
@@ -1036,3 +1162,92 @@ def test_import_total_under_random_dynamic_ref_graphs():
                 assert "cyclic" in str(e) or "unresolved" in str(e)
 
     run()
+
+
+def test_fuzz_dynamic_annotation_flow_vs_python_model(spark):
+    """Differential fuzz of the DYNAMIC unevaluatedProperties flow:
+    randomly composed sibling applicators (anyOf/oneOf/if-then-else/
+    dependentSchemas over presence-only branch schemas) on random key
+    subsets, checked per doc against an independent pure-Python
+    evaluator of draft-2020-12 annotation semantics (annotations count
+    iff the branch AND its applicator keyword validate). Branch bodies
+    use only `required` + trivial property/pattern subschemas, so
+    assertion failures can't mask annotation-flow divergences."""
+    import random
+
+    keys = ["a", "b", "c", "x1", "x2", "zz"]
+
+    def gen_branch(rng):
+        b = {}
+        if rng.random() < 0.9:
+            b["required"] = sorted(rng.sample(keys, rng.randint(1, 2)))
+        evs = {}
+        for k in rng.sample(keys, rng.randint(0, 3)):
+            evs[k] = {}
+        if evs:
+            b["properties"] = evs
+        if rng.random() < 0.4:
+            b["patternProperties"] = {"^x": {}}
+        return b or {"required": [rng.choice(keys)]}
+
+    def branch_pass(b, present):
+        return all(k in present for k in b.get("required", []))
+
+    def branch_evaluated(b, present):
+        ev = set(b.get("properties", {}))
+        if "^x" in str(b.get("patternProperties", {})):
+            ev |= {k for k in present if k.startswith("x")}
+        return ev
+
+    for seed in range(8):
+        rng = random.Random(1000 + seed)
+        pm = {"properties": {k: {} for k in rng.sample(keys, 2)},
+              "unevaluatedProperties": False}
+        if rng.random() < 0.8:
+            pm["anyOf"] = [gen_branch(rng) for _ in range(rng.randint(1, 3))]
+        if rng.random() < 0.8:
+            pm["oneOf"] = [gen_branch(rng) for _ in range(rng.randint(1, 3))]
+        if rng.random() < 0.8:
+            pm["if"] = {"required": sorted(rng.sample(keys, 1))}
+            if rng.random() < 0.9:
+                pm["then"] = gen_branch(rng)
+            if rng.random() < 0.9:
+                pm["else"] = gen_branch(rng)
+        if rng.random() < 0.5:
+            dk = rng.choice(keys)
+            pm["dependentSchemas"] = {dk: gen_branch(rng)}
+        schema = {"type": "object", "properties": {"pm": pm}}
+        rs, defs = ruleset_from_json_schema(schema, name=f"fuzz{seed}")
+
+        rows = [(d, {k: "v" for i, k in enumerate(keys) if d >> i & 1})
+                for d in range(64)]
+        df = spark.createDataFrame(rows, "doc_id long, pm map<string,string>")
+        got = {r.doc_id for r in violations_df(df, rs, definitions=defs).collect()
+               if r.rule_id == "pm.unevaluatedProperties"}
+
+        expect = set()
+        for d, doc in rows:
+            present = set(doc)
+            ev = set(pm["properties"])
+            for b in pm.get("anyOf", []):
+                if branch_pass(b, present):
+                    ev |= branch_evaluated(b, present)
+            one = pm.get("oneOf", [])
+            if sum(branch_pass(b, present) for b in one) == 1:
+                for b in one:
+                    if branch_pass(b, present):
+                        ev |= branch_evaluated(b, present)
+            if "if" in pm:
+                if_ok = branch_pass(pm["if"], present)
+                if if_ok:
+                    ev |= branch_evaluated(pm["if"], present)
+                    if "then" in pm and branch_pass(pm["then"], present):
+                        ev |= branch_evaluated(pm["then"], present)
+                elif "else" in pm and branch_pass(pm["else"], present):
+                    ev |= branch_evaluated(pm["else"], present)
+            for dk, ds in pm.get("dependentSchemas", {}).items():
+                if dk in present and branch_pass(ds, present):
+                    ev |= branch_evaluated(ds, present)
+            if present - ev:
+                expect.add(d)
+        assert got == expect, f"seed {seed}: {sorted(got ^ expect)}"
