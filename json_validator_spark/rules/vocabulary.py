@@ -251,19 +251,32 @@ def build_pass(kind: str, value: Column, params: dict[str, Any]) -> Column:
         # subtracted only on rows where the branch — and its applicator
         # keyword as a whole — passes (the `when` conjunction). Folding
         # sequentially keeps each qualifying branch's removal cumulative;
-        # everything stays one codegen projection, no UDFs.
-        for c in params.get("contributors", []):
+        # everything stays one projection, no UDFs. Each step is
+        # let-bound: a plain `when(cond, f(extras)).otherwise(extras)`
+        # fold embeds the prior expression TWICE per step (2^n tree for
+        # n contributors); binding the running value as a lambda variable
+        # keeps the expression linear in n.
+        from json_validator_spark.functions.text import let
+
+        def _apply_contributor(c):
             cond = F.lit(True)
             for n in c.get("when", []):
                 cond = cond & _inner_pred(n)(value)
-            removed = extras
-            if c.get("allowed"):
-                removed = F.array_except(
-                    removed, F.array(*[F.lit(k) for k in c["allowed"]])
-                )
-            for rx in c.get("allowed_patterns", []):
-                removed = F.filter(removed, _drop_matching(rx))
-            extras = F.when(cond, removed).otherwise(extras)
+
+            def step(x):
+                removed = x
+                if c.get("allowed"):
+                    removed = F.array_except(
+                        removed, F.array(*[F.lit(k) for k in c["allowed"]])
+                    )
+                for rx in c.get("allowed_patterns", []):
+                    removed = F.filter(removed, _drop_matching(rx))
+                return F.when(cond, removed).otherwise(x)
+
+            return step
+
+        for c in params.get("contributors", []):
+            extras = let(extras, _apply_contributor(c))
         return F.size(extras) == 0
     if kind == "propertyNames":
         return F.forall(F.map_keys(value), lambda k: k.rlike(params["regex"]))
