@@ -785,6 +785,38 @@ def q_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_referential_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered referential integrity (``operators/sketches``):
+    bitmap over the dimension keys splits the fact side into
+    definitely-missing (no join) and maybe-present (exact anti-join
+    verify); no false negatives ⇒ row-identical to the plain anti-join,
+    which is exactly what the oracle checks."""
+    from json_validator_spark.operators.sketches import bloom_referential_violations
+
+    orders = _load(spark, sf_dir, "orders")
+    active = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 != 0)
+    return bloom_referential_violations(
+        orders, "o_custkey", active, "c_custkey",
+        rule_id="ref.active_customer", doc_id="o_orderkey",
+        n_bits=1 << 18,
+    )
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-50 corpus tokens via per-partition Misra–Gries
+    nomination + exact recount of candidates only
+    (``sketches.heavy_hitters``). The ``exact`` certificate column is
+    recomputed independently by the oracle from the true counts: both
+    engines must agree the k-th count clears the N/(capacity+1) bound."""
+    from json_validator_spark.functions.text import tokens
+    from json_validator_spark.operators.sketches import heavy_hitters
+
+    tok = _load_spread(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    )
+    return heavy_hitters(tok, "token", k=50, capacity=4096)
+
+
 def _qty_bucket() -> "F.Column":
     """The fixed-edge l_quantity bucket shared by q_histogram and
     q_drift_psi — one definition, mirrored once in SQL
@@ -2374,6 +2406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,
         "uniqueness": q_uniqueness,
         "referential": q_referential,
+        "referential_bloom": q_referential_bloom,
+        "heavy_hitters": q_heavy_hitters,
         "histogram": q_histogram,
         "drift_psi": q_drift_psi,
         "dedup_exact": q_dedup_exact,
@@ -3636,6 +3670,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_custkey IS NOT NULL AND NOT EXISTS (
               SELECT 1 FROM customer c
               WHERE c.c_custkey % 3 <> 0 AND c.c_custkey = o.o_custkey)
+        """,
+        "referential_bloom": """
+            SELECT o_orderkey::VARCHAR AS doc_id, '/o_custkey' AS span_path,
+                   'ref.active_customer' AS rule_id, 'error' AS severity,
+                   'unresolved reference: ' || o_custkey::VARCHAR AS message
+            FROM orders o
+            WHERE o_custkey IS NOT NULL AND NOT EXISTS (
+              SELECT 1 FROM customer c
+              WHERE c.c_custkey % 3 <> 0 AND c.c_custkey = o.o_custkey)
+        """,
+        "heavy_hitters": f"""
+            WITH tok AS (
+              SELECT unnest({_DUCK_TOKS}) AS token FROM documents
+            ), freq AS (
+              SELECT token, count(*) AS n FROM tok GROUP BY 1
+            ), tot AS (
+              SELECT count(*) AS nn FROM tok
+            ), top AS (
+              SELECT row_number() OVER (ORDER BY n DESC, token)::BIGINT AS rank,
+                     token AS key, n::BIGINT AS n
+              FROM freq ORDER BY n DESC, token LIMIT 50
+            )
+            SELECT rank, key, n,
+                   ((SELECT count(*) FROM top) = 50
+                    AND (SELECT min(n) FROM top) > (SELECT nn FROM tot) / 4097.0
+                   ) AS exact
+            FROM top
         """,
         "histogram": (
             f"SELECT {bucket} AS bucket, count(*)::BIGINT AS count FROM lineitem GROUP BY 1"
