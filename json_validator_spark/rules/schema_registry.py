@@ -41,10 +41,18 @@ class SchemaRegistry:
     """
 
     def __init__(
-        self, fetcher: Callable[[str], dict[str, Any]] | None = None
+        self,
+        fetcher: Callable[[str], dict[str, Any]] | None = None,
+        allowed_uri_prefixes: "list[str] | None" = None,
     ) -> None:
         self._docs: dict[str, dict[str, Any]] = {}
         self._fetcher = fetcher
+        # authorize-then-fetch, LocalSchemaResolver.java:76-79: a cache
+        # miss builds the absolute URI and asks the ImportedUriAuthorizer
+        # BEFORE any network I/O. None = authorizer absent (every URI the
+        # fetcher can serve is allowed); a list = only URIs matching one
+        # of these prefixes may reach the fetcher.
+        self._allowed_uri_prefixes = allowed_uri_prefixes
 
     @staticmethod
     def _key(uri: str) -> str:
@@ -95,8 +103,9 @@ class SchemaRegistry:
         cls,
         paths: "list[str | Path]",
         fetcher: Callable[[str], dict[str, Any]] | None = None,
+        allowed_uri_prefixes: "list[str] | None" = None,
     ) -> "SchemaRegistry":
-        reg = cls(fetcher=fetcher)
+        reg = cls(fetcher=fetcher, allowed_uri_prefixes=allowed_uri_prefixes)
         for p in paths:
             reg.add_path(p)
         return reg
@@ -111,6 +120,14 @@ class SchemaRegistry:
         if key in self._docs:
             return self._docs[key]
         if self._fetcher is not None:
+            if self._allowed_uri_prefixes is not None and not any(
+                uri.startswith(p) for p in self._allowed_uri_prefixes
+            ):
+                raise PermissionError(
+                    f"remote $ref target {uri!r} not authorized: outside the "
+                    f"allowed URI prefixes {self._allowed_uri_prefixes!r} "
+                    "(authorize-then-fetch, LocalSchemaResolver.java:78)"
+                )
             doc = self._fetcher(uri)
             if not isinstance(doc, dict):
                 raise ValueError(f"fetcher returned a non-object schema for {uri!r}")

@@ -360,6 +360,50 @@ def test_registry_unresolvable_id_lists_inventory():
     assert "common.schema.json" in msg and "address.schema.json" in msg
 
 
+def test_registry_fetcher_authorize_then_fetch():
+    """A cache miss asks the authorizer BEFORE the fetcher
+    (LocalSchemaResolver.java:76-79): allowed prefixes fetch and cache,
+    anything else raises without the fetcher ever being called."""
+    from json_validator_spark.rules.schema_registry import SchemaRegistry
+
+    calls = []
+
+    def fake_fetcher(uri):
+        calls.append(uri)
+        return {"$id": uri, "type": "object"}
+
+    reg = SchemaRegistry(
+        fetcher=fake_fetcher,
+        allowed_uri_prefixes=["https://schemas.example.test/"],
+    )
+    reg.register(COMMON_MULTI)
+
+    # preload wins: no fetch for a registered $id, even though allowed-less
+    assert reg.resolve(COMMON_MULTI["$id"])["$id"] == COMMON_MULTI["$id"]
+    assert calls == []
+
+    # authorized miss: fetched once, then served from cache
+    uri = "https://schemas.example.test/remote.schema.json"
+    assert reg.resolve(uri)["$id"] == uri
+    assert reg.resolve(uri)["$id"] == uri
+    assert calls == [uri]
+
+    # unauthorized miss: PermissionError, fetcher NOT called
+    with pytest.raises(PermissionError) as e:
+        reg.resolve("https://evil.example.test/remote.schema.json")
+    assert "not authorized" in str(e.value)
+    assert calls == [uri]
+
+
+def test_registry_fetcher_without_authorizer_is_open():
+    from json_validator_spark.rules.schema_registry import SchemaRegistry
+
+    reg = SchemaRegistry(fetcher=lambda uri: {"$id": uri})
+    assert reg.resolve("https://anywhere.test/s.json")["$id"] == (
+        "https://anywhere.test/s.json"
+    )
+
+
 def test_import_cross_document_refs_end_to_end(spark):
     rs, defs = ruleset_from_json_schema(ROOT_MULTI, registry=_registry())
     # foreign fragments landed under their $id namespace
