@@ -112,6 +112,58 @@ def test_heavy_hitters_partition_layout_invariant_when_exact(spark):
     assert a[0]["exact"]
 
 
+def test_mg_certificate_sound_under_random_partitionings():
+    """Fuzz the certificate math end-to-end at the pandas level (the
+    Spark plan only moves these exact computations around): for random
+    value distributions, random partition splits, and random batch
+    boundaries, whenever the k-th recounted candidate clears the
+    N/(capacity+1) bound the candidate top-k MUST equal the true top-k.
+    A certificate that ever passes on a wrong answer is a soundness bug;
+    one that never passes is useless — assert it fires reasonably often
+    on skewed data."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    certified = [0]
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        data=st.lists(st.integers(min_value=0, max_value=60), min_size=30, max_size=800),
+        n_parts=st.integers(min_value=1, max_value=6),
+        cap=st.integers(min_value=4, max_value=64),
+        k=st.integers(min_value=1, max_value=8),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def run(data, n_parts, cap, k, seed):
+        rng = np.random.RandomState(seed)
+        # zipf-skew the uniform draw so certificates actually fire
+        vals = [str(v * v // 37) for v in data]
+        part_of = rng.randint(0, n_parts, size=len(vals))
+        candidates: set[str] = set()
+        total = 0
+        for p in range(n_parts):
+            pv = [v for v, pp in zip(vals, part_of) if pp == p]
+            if not pv:
+                continue
+            cut = rng.randint(1, len(pv) + 1)
+            batches = [pd.DataFrame({"__k": pv[:cut]}), pd.DataFrame({"__k": pv[cut:]})]
+            out = list(_mg_sketch_partition(iter(batches), cap))[0]
+            candidates |= set(out["__k"].dropna())
+            total += int(out.loc[out["__k"].isnull(), "n"].iloc[0])
+        assert total == len(vals)
+        counts = pd.Series(vals).value_counts()
+        recount = counts[counts.index.isin(candidates)]
+        got = sorted(recount.items(), key=lambda t: (-t[1], t[0]))[:k]
+        exact = len(got) == k and got[-1][1] > total / (cap + 1)
+        if exact:
+            certified[0] += 1
+            truth = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[:k]
+            assert got == truth
+
+    run()
+    assert certified[0] >= 10
+
+
 def test_mg_sketch_superset_guarantee():
     # any key with count > N/(capacity+1) must survive the partition sketch
     rng = np.random.RandomState(7)
