@@ -3163,11 +3163,12 @@ def oracle_sql() -> dict[str, str]:
               FROM e
             )
             SELECT user_id, event_id,
-                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_idx,
-                   user_id || '#' ||
                    (sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING))::VARCHAR AS session_id
+                                   ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx,
+                   user_id || '#' ||
+                   ((sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING))::BIGINT)::VARCHAR
+                     AS session_id
             FROM m
         """,
         # Mirrors q_running_stats_stream_parity: lifetime per-key moments
@@ -4474,7 +4475,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT stratum, n_docs, n_tokens,
                    round(tok_share, 6) AS token_share,
-                   target AS target_share,
+                   target::DOUBLE AS target_share,
                    CASE WHEN max(raw) OVER () > 0
                         THEN round(raw / max(raw) OVER (), 6)
                         ELSE 0.0 END AS keep_fraction
