@@ -1717,6 +1717,69 @@ def q_schema_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return violations_df(_load(spark, sf_dir, "documents"), rs, definitions=defs)
 
 
+def q_schema_draft4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Draft-4 dialect corner (VERDICT r04 #2): boolean
+    ``exclusiveMinimum``/``exclusiveMaximum`` — the modifier spelling the
+    reference accepts via networknt's v4 mode (dialect selected from
+    ``$schema``, ``JSONValidator.java:321-345``). ``exclusiveMinimum:
+    true`` makes the sibling ``minimum`` strict; ``exclusiveMaximum:
+    false`` keeps the sibling ``maximum`` inclusive — the oracle's
+    boundary predicates (``<= 60`` vs ``> 380``) distinguish both."""
+    from json_validator_spark.operators.row_checks import violations_df
+    from json_validator_spark.rules.schema_import import ruleset_from_json_schema
+
+    schema = {
+        "$schema": "http://json-schema.org/draft-04/schema#",
+        "type": "object",
+        "properties": {
+            "n_chars": {"type": "integer",
+                        "minimum": 60, "exclusiveMinimum": True,
+                        "maximum": 380, "exclusiveMaximum": False},
+            "source": {"type": "string", "pattern": "^src[0-2]$"},
+        },
+    }
+    rs, defs = ruleset_from_json_schema(schema, name="draft4")
+    return violations_df(_load(spark, sf_dir, "documents"), rs, definitions=defs)
+
+
+def q_schema_recursive_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2019-09 ``$recursiveRef``/``$recursiveAnchor`` (VERDICT r04 #3),
+    mapped onto the dynamic-binding machinery they were renamed into
+    (``rules/schema_import._rewrite_recursive_2019``): a library document
+    whose root declares ``$recursiveAnchor: true`` and a default cap
+    exposes the extension point via ``$recursiveRef: "#"``; the entry
+    either overrides it (stricter cap, the spec's recursive meta-schema
+    extension pattern) or inherits the library default — both sides
+    unioned with a ``side`` tag."""
+    from json_validator_spark.operators.row_checks import violations_df
+    from json_validator_spark.rules.schema_import import ruleset_from_json_schema
+    from json_validator_spark.rules.schema_registry import SchemaRegistry
+
+    lib = {
+        "$id": "https://example.test/rec-lib",
+        "$recursiveAnchor": True,
+        "maximum": 380,
+        "$defs": {"holder": {"$recursiveRef": "#"}},
+    }
+    reg = SchemaRegistry()
+    reg.register(lib)
+    ref = {"$ref": "https://example.test/rec-lib#/$defs/holder"}
+    over = {
+        "type": "object",
+        "$defs": {"strictCap": {"$recursiveAnchor": True, "maximum": 300}},
+        "properties": {"n_chars": ref},
+    }
+    plain = {"type": "object", "properties": {"n_chars": ref}}
+    docs = _load(spark, sf_dir, "documents")
+    rs_o, defs_o = ruleset_from_json_schema(over, name="rec-over", registry=reg)
+    rs_p, defs_p = ruleset_from_json_schema(plain, name="rec-plain", registry=reg)
+    a = violations_df(docs, rs_o, definitions=defs_o).withColumn(
+        "side", F.lit("override"))
+    b = violations_df(docs, rs_p, definitions=defs_p).withColumn(
+        "side", F.lit("default"))
+    return a.unionByName(b)
+
+
 def q_sample_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's SHIPPED sample schema end-to-end
     (``etc/dev/sample/sample-v1.0/sample.json`` — recursive
@@ -2454,6 +2517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_import": q_schema_import,
         "schema_import_multi": q_schema_import_multi,
         "schema_dynamic": q_schema_dynamic,
+        "schema_draft4": q_schema_draft4,
+        "schema_recursive_ref": q_schema_recursive_ref,
         "sample_schema": q_sample_schema,
         "unicode_normalize": q_unicode_normalize,
         "stratified_sample": q_stratified_sample,
@@ -4356,6 +4421,39 @@ def oracle_sql() -> dict[str, str]:
                    '[/lang] value is not in the allowed set'
             FROM documents
             WHERE lang IS NOT NULL AND lang NOT IN ('en', 'es', 'fr', 'de')
+        """,
+        # Mirrors q_schema_draft4: strict lower bound (exclusiveMinimum
+        # true => <= 60 fails), inclusive upper (exclusiveMaximum false
+        # => only > 380 fails); pattern unchanged by the dialect.
+        "schema_draft4": """
+            SELECT doc_id, '/n_chars' AS span_path,
+                   'n_chars.exclusiveMinimum' AS rule_id,
+                   'error' AS severity,
+                   '[/n_chars] constraint ''exclusiveMinimum'' violated' AS message
+            FROM documents WHERE n_chars IS NOT NULL AND n_chars <= 60
+            UNION ALL
+            SELECT doc_id, '/n_chars', 'n_chars.maximum', 'error',
+                   '[/n_chars] constraint ''maximum'' violated'
+            FROM documents WHERE n_chars IS NOT NULL AND n_chars > 380
+            UNION ALL
+            SELECT doc_id, '/source', 'source.pattern', 'error',
+                   '[/source] value does not match the required pattern'
+            FROM documents
+            WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-2]$')
+        """,
+        # Mirrors q_schema_recursive_ref: the entry override re-routes the
+        # library's $recursiveRef to the stricter cap (300); the plain
+        # entry inherits the library root's default (380).
+        "schema_recursive_ref": """
+            SELECT doc_id, '/n_chars' AS span_path, 'n_chars.$ref' AS rule_id,
+                   'error' AS severity,
+                   '[/n_chars] constraint ''maximum'' violated' AS message,
+                   'override' AS side
+            FROM documents WHERE n_chars IS NOT NULL AND n_chars > 300
+            UNION ALL
+            SELECT doc_id, '/n_chars', 'n_chars.$ref', 'error',
+                   '[/n_chars] constraint ''maximum'' violated', 'default'
+            FROM documents WHERE n_chars IS NOT NULL AND n_chars > 380
         """,
         # Mirrors q_sample_schema: the deterministic person-corpus
         # construction (chain depth = doc_id % 4) re-derived as CASE

@@ -40,6 +40,12 @@ from json_validator_spark.rules.schema_registry import SchemaRegistry
 _ANNOTATIONS = {
     "title", "description", "examples", "default", "$comment", "$schema",
     "$id", "$anchor", "$dynamicAnchor", "deprecated", "x-severity",
+    # $defs/definitions are reserved-location keywords with NO assertion
+    # semantics (2020-12 §8.2.4): when a subschema (e.g. a document root
+    # targeted by $ref/$recursiveRef) carries them, they produce no rule
+    # — their members are reachable only through refs, which resolve via
+    # _json_pointer regardless of where the holder sits.
+    "$defs", "definitions",
 }
 
 # subschema keyword -> engine kind for 1:1 scalar keywords
@@ -159,6 +165,90 @@ def _find_anchor(node: Any, name: str) -> Any:
             if hit is not None:
                 return hit
     return None
+
+
+# Reserved anchor name for the 2019-09 → 2020-12 recursive-ref rewrite.
+# Draft 2020-12 renamed $recursiveRef/$recursiveAnchor into the dynamic
+# forms (2020-12 Appendix CREF); the restricted 2019-09 semantics map
+# exactly onto a $dynamicAnchor with one implicit, spec-reserved name.
+_RECURSIVE_NAME = "__recursive2019__"
+
+
+def _rewrite_recursive_2019(doc: Any) -> Any:
+    """2019-09 ``$recursiveRef``/``$recursiveAnchor`` → the 2020-12
+    dynamic forms they became: ``$recursiveAnchor: true`` (boolean-only,
+    meaningful at the resource root) becomes ``$dynamicAnchor`` with the
+    reserved ``__recursive2019__`` name; ``$recursiveRef: "#"`` (the only
+    value 2019-09 allows) becomes ``$dynamicRef: "#__recursive2019__"``
+    when the containing document's ROOT declares the anchor — the
+    bookending precondition — and a plain ``$ref: "#"`` otherwise
+    (2019-09 §8.2.4.2: without a root anchor the recursive ref behaves
+    as a normal root reference). The entry-chain binding map then gives
+    the spec's recursive meta-schema extension pattern for free: the
+    outermost document on the $ref-discovery chain declaring the anchor
+    wins, exactly as the outermost ``$recursiveAnchor: true`` resource
+    would at runtime. The reference accepts 2019-09 schemas through
+    networknt's V201909 mode (``JSONValidator.java:321-345`` dialect
+    selection). Returns the input object unchanged (same identity) when
+    neither keyword occurs."""
+    if not isinstance(doc, dict):
+        return doc
+    root_recursive = doc.get("$recursiveAnchor") is True
+    changed = False
+
+    def walk(node: Any) -> Any:
+        nonlocal changed
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k == "$recursiveAnchor":
+                    changed = True
+                    if not isinstance(v, bool):
+                        raise ValueError(
+                            "$recursiveAnchor must be a boolean (2019-09 §8.2.4.2.2)"
+                        )
+                    if v:
+                        out["$dynamicAnchor"] = _RECURSIVE_NAME
+                    # false is the default: no-op
+                elif k == "$recursiveRef":
+                    changed = True
+                    if v != "#":
+                        raise ValueError(
+                            f"$recursiveRef value must be '#' (2019-09 "
+                            f"§8.2.4.2.1), got {v!r}"
+                        )
+                    if root_recursive:
+                        out["$dynamicRef"] = "#" + _RECURSIVE_NAME
+                    else:
+                        out["$ref"] = "#"
+                else:
+                    out[k] = walk(v)
+            return out
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    rewritten = walk(doc)
+    return rewritten if changed else doc
+
+
+class _Recursive2019Registry:
+    """Registry proxy applying ``_rewrite_recursive_2019`` to every
+    resolved document, so 2019-09 library schemas compose with a
+    2020-12 entry (and vice versa) through one binding map. Caches per
+    URI — the importer relies on resolve() returning a stable object."""
+
+    def __init__(self, inner: SchemaRegistry) -> None:
+        self._inner = inner
+        self._cache: dict[str, Any] = {}
+
+    def resolve(self, uri: str) -> dict[str, Any]:
+        if uri not in self._cache:
+            self._cache[uri] = _rewrite_recursive_2019(self._inner.resolve(uri))
+        return self._cache[uri]
+
+    def __contains__(self, uri: str) -> bool:
+        return uri in self._inner
 
 
 def _check_known(sub: dict[str, Any], where: str) -> None:
@@ -469,6 +559,34 @@ def _dynamic_contributors(
     return out
 
 
+def _normalize_draft4_bounds(sub: dict[str, Any], where: str) -> dict[str, Any]:
+    """Draft-4 spells exclusive bounds as a BOOLEAN modifier on the
+    sibling ``minimum``/``maximum`` (networknt's v4 mode accepts both
+    drafts — ``JSONValidator.java:321-345`` selects the dialect from
+    ``$schema``). Rewrite the modifier form into the draft-6+ numeric
+    form this importer compiles: ``true`` moves the sibling bound into
+    ``exclusiveMinimum/Maximum``; ``false`` is a no-op (inclusive bound
+    stays). Boolean without the sibling bound is a draft-4 schema error
+    (the spec's MUST) — raise like every other compile-time failure."""
+    fixed = None
+    for excl, bound in (("exclusiveMinimum", "minimum"),
+                        ("exclusiveMaximum", "maximum")):
+        v = sub.get(excl)
+        if not isinstance(v, bool):
+            continue
+        if bound not in sub:
+            raise ValueError(
+                f"draft-4 boolean {excl} at {where} requires a sibling {bound}"
+            )
+        if fixed is None:
+            fixed = dict(sub)
+        if v:
+            fixed[excl] = fixed.pop(bound)
+        else:
+            del fixed[excl]
+    return sub if fixed is None else fixed
+
+
 def _applications(
     sub: dict[str, Any], where: str, ctx: _ImportCtx | None = None
 ) -> list[tuple[str, dict]]:
@@ -478,6 +596,7 @@ def _applications(
     if sub is False:
         return [("notAllowed", {})]
     _check_known(sub, where)
+    sub = _normalize_draft4_bounds(sub, where)
     apps: list[tuple[str, dict]] = []
 
     if "$ref" in sub:
@@ -878,6 +997,10 @@ def ruleset_from_json_schema(
     a library's recursive ``$dynamicRef`` — compiles to the overriding
     definitions (recursion still bounded by ``max_ref_depth``)."""
     from json_validator_spark.rules.model import Combination
+
+    schema = _rewrite_recursive_2019(schema)
+    if registry is not None and not isinstance(registry, _Recursive2019Registry):
+        registry = _Recursive2019Registry(registry)
 
     _TOP_LEVEL = {"type", "properties", "required", "$defs", "definitions",
                   "dependentRequired", "allOf", "anyOf", "oneOf"} | _ANNOTATIONS

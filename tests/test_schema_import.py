@@ -1295,3 +1295,144 @@ def test_fuzz_dynamic_annotation_flow_vs_python_model(spark):
             if present - ev:
                 expect.add(d)
         assert got == expect, f"seed {seed}: {sorted(got ^ expect)}"
+
+
+# ---------------------------------------------------------------- draft-4
+
+
+def test_import_draft4_boolean_exclusive_bounds(spark):
+    """Draft-4 spells exclusive bounds as a BOOLEAN modifier on the
+    sibling minimum/maximum (networknt v4 mode, JSONValidator.java:321-345
+    dialect selection): true moves the bound to strict, false keeps it
+    inclusive. Boundary-value rows distinguish the two."""
+    schema = {
+        "$schema": "http://json-schema.org/draft-04/schema#",
+        "type": "object",
+        "properties": {
+            "lo": {"minimum": 10, "exclusiveMinimum": True},
+            "hi": {"maximum": 20, "exclusiveMaximum": False},
+            "both": {"minimum": 0, "exclusiveMinimum": False,
+                     "maximum": 5, "exclusiveMaximum": True},
+        },
+    }
+    rs, defs = ruleset_from_json_schema(schema, name="d4")
+    kinds = {r.rule_id: r.kind for r in rs.rules}
+    assert kinds == {
+        "lo.exclusiveMinimum": "exclusiveMinimum",
+        "hi.maximum": "maximum",
+        "both.minimum": "minimum",
+        "both.exclusiveMaximum": "exclusiveMaximum",
+    }
+    df = spark.createDataFrame(
+        [(0, 10, 20, 0), (1, 11, 21, 5), (2, 9, 19, -1)],
+        "doc_id long, lo long, hi long, both long",
+    )
+    got = {(r.doc_id, r.rule_id)
+           for r in violations_df(df, rs, definitions=defs).collect()}
+    assert got == {
+        (0, "lo.exclusiveMinimum"),   # 10 is NOT > 10 (strict)
+        (1, "hi.maximum"),            # 21 > 20 (inclusive bound kept)
+        (1, "both.exclusiveMaximum"), # 5 is NOT < 5 (strict)
+        (2, "lo.exclusiveMinimum"),
+        (2, "both.minimum"),          # -1 < 0 (inclusive bound kept)
+    }
+
+
+def test_import_draft4_boolean_exclusive_without_sibling_raises():
+    """Boolean form without the sibling bound is a draft-4 schema error
+    (the spec's MUST) — compile-time failure, never silence."""
+    with pytest.raises(ValueError, match="requires a sibling minimum"):
+        ruleset_from_json_schema(
+            {"type": "object",
+             "properties": {"a": {"exclusiveMinimum": True}}}
+        )
+    with pytest.raises(ValueError, match="requires a sibling maximum"):
+        ruleset_from_json_schema(
+            {"type": "object",
+             "properties": {"a": {"exclusiveMaximum": False}}}
+        )
+
+
+# ------------------------------------------------- 2019-09 $recursiveRef
+
+
+def test_import_recursive_ref_2019(spark):
+    """2019-09 $recursiveRef/$recursiveAnchor map onto the dynamic-ref
+    machinery (they are its restricted predecessor: boolean anchor, one
+    implicit name, entry-chain binding). Library root declares
+    $recursiveAnchor:true and a default cap; an entry override (declared
+    in the entry's $defs — the importer's analogue of the entry resource
+    root) re-routes the library's $recursiveRef to a stricter cap."""
+    from json_validator_spark.rules.schema_registry import SchemaRegistry
+
+    lib = {
+        "$id": "https://example.test/rec-lib",
+        "$recursiveAnchor": True,
+        "maximum": 20,
+        "$defs": {"holder": {"$recursiveRef": "#"}},
+    }
+    reg = SchemaRegistry()
+    reg.register(lib)
+    df = spark.createDataFrame([(0, 15), (1, 25)], "doc_id long, field long")
+
+    with_override = {
+        "type": "object",
+        "$defs": {"strictCap": {"$recursiveAnchor": True, "maximum": 10}},
+        "properties": {
+            "field": {"$ref": "https://example.test/rec-lib#/$defs/holder"}},
+    }
+    rs_o, defs_o = ruleset_from_json_schema(with_override, registry=reg)
+    got = {(r.doc_id, r.rule_id)
+           for r in violations_df(df, rs_o, definitions=defs_o).collect()}
+    assert got == {(0, "field.$ref"), (1, "field.$ref")}  # strict cap 10
+
+    without = {
+        "type": "object",
+        "properties": {
+            "field": {"$ref": "https://example.test/rec-lib#/$defs/holder"}},
+    }
+    rs_p, defs_p = ruleset_from_json_schema(without, registry=reg)
+    got = {(r.doc_id, r.rule_id)
+           for r in violations_df(df, rs_p, definitions=defs_p).collect()}
+    assert got == {(1, "field.$ref")}  # library default cap 20
+
+
+def test_import_recursive_ref_without_root_anchor_is_plain_ref(spark):
+    """Bookending precondition: a $recursiveRef in a document whose root
+    does NOT declare $recursiveAnchor behaves as a plain $ref '#' to the
+    document root (whose $defs, a pure reserved-location keyword, emits
+    no rule)."""
+    from json_validator_spark.rules.schema_registry import SchemaRegistry
+
+    lib = {
+        "$id": "https://example.test/rec-plain",
+        "maximum": 20,
+        "$defs": {"holder": {"$recursiveRef": "#"}},
+    }
+    reg = SchemaRegistry()
+    reg.register(lib)
+    entry = {
+        "type": "object",
+        # an entry-side recursive anchor that must NOT capture the ref
+        "$defs": {"decoy": {"$recursiveAnchor": True, "maximum": 1}},
+        "properties": {
+            "field": {"$ref": "https://example.test/rec-plain#/$defs/holder"}},
+    }
+    rs, defs = ruleset_from_json_schema(entry, registry=reg)
+    df = spark.createDataFrame([(0, 15), (1, 25)], "doc_id long, field long")
+    got = {(r.doc_id, r.rule_id)
+           for r in violations_df(df, rs, definitions=defs).collect()}
+    assert got == {(1, "field.$ref")}  # root cap 20, decoy ignored
+
+
+def test_import_recursive_ref_error_shapes():
+    with pytest.raises(ValueError, match="must be '#'"):
+        ruleset_from_json_schema(
+            {"type": "object",
+             "properties": {"f": {"$recursiveRef": "#/$defs/x"}}}
+        )
+    with pytest.raises(ValueError, match="must be a boolean"):
+        ruleset_from_json_schema(
+            {"type": "object",
+             "properties": {"f": {"$recursiveAnchor": "yes"}}}
+        )
