@@ -115,10 +115,21 @@ def cmd_validate(args: argparse.Namespace) -> int:
         if args.rules:
             raise SystemExit("--rules and --schema are mutually exclusive")
         registry = None
-        if args.shared_schemas:
-            from json_validator_spark.rules.schema_registry import SchemaRegistry
+        if args.shared_schemas or args.schema_fetch_prefix:
+            from json_validator_spark.rules.schema_registry import (
+                SchemaRegistry,
+                http_fetcher,
+            )
 
-            registry = SchemaRegistry.from_paths(args.shared_schemas)
+            fetcher = (
+                http_fetcher(args.schema_fetch_prefix)
+                if args.schema_fetch_prefix else None
+            )
+            registry = SchemaRegistry.from_paths(
+                args.shared_schemas or [],
+                fetcher=fetcher,
+                allowed_uri_prefixes=args.schema_fetch_prefix,
+            )
         with open(args.schema) as f:
             ruleset, definitions = ruleset_from_json_schema(
                 json.load(f), registry=registry, max_ref_depth=args.max_ref_depth
@@ -256,6 +267,13 @@ def main(argv: list[str] | None = None) -> int:
         help="file or directory preloaded into the $id->document registry "
         "for cross-document $ref (the reference's validator.schemaFile.* "
         "shared-schema config); repeatable",
+    )
+    v.add_argument(
+        "--schema-fetch-prefix", action="append", default=None,
+        help="authorize remote $ref fetching (stdlib HTTP, JSON-only, "
+        "timeout + size cap) for URIs under this prefix — the reference's "
+        "ImportedUriAuthorizer allowlist (LocalSchemaResolver.java:76-79); "
+        "repeatable; preloaded --shared-schemas always win (local-first)",
     )
     v.add_argument(
         "--max-ref-depth", type=int, default=None,

@@ -139,3 +139,65 @@ class SchemaRegistry:
             f"(known $ids: {', '.join(known)}) and no remote fetcher is "
             "configured (offline mode — the reference's restricted resolution)"
         )
+
+
+def http_fetcher(
+    allowed_uri_prefixes: "list[str]",
+    *,
+    timeout_s: float = 10.0,
+    max_bytes: int = 4 << 20,
+) -> Callable[[str], dict[str, Any]]:
+    """Opt-in stdlib remote-``$ref`` fetcher — the out-of-box half of
+    the reference's resolution the offline registry deliberately lacks
+    (``LocalSchemaResolver.java:71-85`` cache-miss network fetch, gated
+    by the ``ImportedUriAuthorizer`` at ``:76-79``). Only constructible
+    with a NON-EMPTY explicit prefix allowlist: the fetcher re-checks
+    the prefix itself (defense in depth — the registry's
+    authorize-then-fetch gate is the primary check), enforces a
+    wall-clock timeout and a response size cap, requires http(s), and
+    accepts only a JSON object body. Driver-side, config-scale: one
+    fetch per distinct URI, cached by ``SchemaRegistry.resolve``.
+
+    Use::
+
+        reg = SchemaRegistry(
+            fetcher=http_fetcher(prefixes), allowed_uri_prefixes=prefixes)
+    """
+    prefixes = list(allowed_uri_prefixes or [])
+    if not prefixes:
+        raise ValueError(
+            "http_fetcher requires an explicit non-empty allowed_uri_prefixes "
+            "list (the ImportedUriAuthorizer contract — no open-ended fetching)"
+        )
+    for p in prefixes:
+        if not (p.startswith("http://") or p.startswith("https://")):
+            raise ValueError(
+                f"allowed URI prefix {p!r} must start with http:// or https://"
+            )
+
+    def fetch(uri: str) -> dict[str, Any]:
+        import urllib.request
+
+        if not any(uri.startswith(p) for p in prefixes):
+            raise PermissionError(
+                f"remote $ref target {uri!r} not authorized: outside the "
+                f"allowed URI prefixes {prefixes!r} "
+                "(authorize-then-fetch, LocalSchemaResolver.java:78)"
+            )
+        req = urllib.request.Request(
+            uri, headers={"Accept": "application/json"})
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            body = resp.read(max_bytes + 1)
+        if len(body) > max_bytes:
+            raise ValueError(
+                f"remote schema {uri!r} exceeds the {max_bytes}-byte size cap"
+            )
+        try:
+            doc = json.loads(body)
+        except json.JSONDecodeError as e:
+            raise ValueError(f"remote schema {uri!r} is not valid JSON: {e}") from e
+        if not isinstance(doc, dict):
+            raise ValueError(f"remote schema {uri!r} is not a JSON object")
+        return doc
+
+    return fetch

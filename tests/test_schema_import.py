@@ -1436,3 +1436,152 @@ def test_import_recursive_ref_error_shapes():
             {"type": "object",
              "properties": {"f": {"$recursiveAnchor": "yes"}}}
         )
+
+
+# ------------------------------------------------------ remote fetcher
+
+
+@pytest.fixture()
+def _local_http():
+    """Loopback HTTP server serving canned schema bytes and counting
+    hits per path — no external network involved."""
+    import http.server
+    import threading
+
+    hits: dict[str, int] = {}
+    docs: dict[str, bytes] = {}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            hits[self.path] = hits.get(self.path, 0) + 1
+            body = docs.get(self.path)
+            if body is None:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}", docs, hits
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_http_fetcher_authorized_fetches_and_caches_once(_local_http, spark):
+    import json as _json
+
+    from json_validator_spark.rules.schema_registry import (
+        SchemaRegistry,
+        http_fetcher,
+    )
+
+    base, docs, hits = _local_http
+    lib_id = f"{base}/common.schema.json"
+    docs["/common.schema.json"] = _json.dumps(
+        {"$id": lib_id, "$defs": {"cap": {"maximum": 10}}}
+    ).encode()
+    prefixes = [base + "/"]
+    reg = SchemaRegistry(
+        fetcher=http_fetcher(prefixes), allowed_uri_prefixes=prefixes)
+    entry = {
+        "type": "object",
+        "properties": {"n": {"$ref": f"{lib_id}#/$defs/cap"}},
+    }
+    rs, defs = ruleset_from_json_schema(entry, registry=reg)
+    df = spark.createDataFrame([(0, 5), (1, 15)], "doc_id long, n long")
+    got = {(r.doc_id, r.rule_id)
+           for r in violations_df(df, rs, definitions=defs).collect()}
+    assert got == {(1, "n.$ref")}
+    # second import: resolve() serves the cached document, no new hit
+    ruleset_from_json_schema(entry, registry=reg)
+    assert hits["/common.schema.json"] == 1
+
+
+def test_http_fetcher_unauthorized_prefix_raises(_local_http):
+    from json_validator_spark.rules.schema_registry import (
+        SchemaRegistry,
+        http_fetcher,
+    )
+
+    base, docs, hits = _local_http
+    prefixes = [base + "/allowed/"]
+    reg = SchemaRegistry(
+        fetcher=http_fetcher(prefixes), allowed_uri_prefixes=prefixes)
+    with pytest.raises(PermissionError, match="not authorized"):
+        ruleset_from_json_schema(
+            {"type": "object",
+             "properties": {"n": {"$ref": f"{base}/other/x.json#/$defs/cap"}}},
+            registry=reg,
+        )
+    assert hits == {}  # authorize-THEN-fetch: denial precedes any request
+
+
+def test_http_fetcher_rejects_non_json_and_preload_wins(_local_http):
+    from json_validator_spark.rules.schema_registry import (
+        SchemaRegistry,
+        http_fetcher,
+    )
+
+    base, docs, hits = _local_http
+    docs["/junk.json"] = b"not json {"
+    prefixes = [base + "/"]
+    reg = SchemaRegistry(
+        fetcher=http_fetcher(prefixes), allowed_uri_prefixes=prefixes)
+    with pytest.raises(ValueError, match="not valid JSON"):
+        reg.resolve(f"{base}/junk.json")
+    # preloaded documents win over the fetcher (local-first resolution)
+    local_id = f"{base}/local.json"
+    reg.register({"$id": local_id, "maximum": 3})
+    assert reg.resolve(local_id)["maximum"] == 3
+    assert "/local.json" not in hits
+
+
+def test_http_fetcher_constructor_requires_explicit_allowlist():
+    from json_validator_spark.rules.schema_registry import http_fetcher
+
+    with pytest.raises(ValueError, match="non-empty allowed_uri_prefixes"):
+        http_fetcher([])
+    with pytest.raises(ValueError, match="http:// or https://"):
+        http_fetcher(["ftp://example.test/"])
+
+
+def test_cli_schema_fetch_prefix_end_to_end(tmp_path, _local_http, spark):
+    """--schema-fetch-prefix authorizes remote $ref fetching for the
+    given prefix only; the fetched library resolves through the same
+    registry path as preloaded shared schemas."""
+    import json as _json
+
+    from json_validator_spark.cli import main
+
+    base, docs, hits = _local_http
+    lib_id = f"{base}/lib.json"
+    docs["/lib.json"] = _json.dumps(
+        {"$id": lib_id, "$defs": {"cap": {"maximum": 100}}}
+    ).encode()
+    (tmp_path / "docs.jsonl").write_text(
+        '{"doc_id": 1, "n": 10}\n{"doc_id": 2, "n": 300}\n')
+    (tmp_path / "schema.json").write_text(_json.dumps({
+        "type": "object",
+        "properties": {"n": {"$ref": f"{lib_id}#/$defs/cap"}},
+    }))
+    out = str(tmp_path / "out")
+    rc = main([
+        "validate", "--input", str(tmp_path / "docs.jsonl"), "--output", out,
+        "--input-format", "jsonl", "--input-schema", "doc_id long, n long",
+        "--schema", str(tmp_path / "schema.json"),
+        "--schema-fetch-prefix", base + "/",
+    ])
+    assert rc == 0
+    got = {(r["doc_id"], r["rule_id"])
+           for r in spark.read.parquet(f"{out}/violations").collect()}
+    assert got == {("2", "n.$ref")}
+    assert hits["/lib.json"] == 1
