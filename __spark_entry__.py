@@ -1780,6 +1780,79 @@ def q_schema_recursive_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+def q_plugin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plugin fan-out + merge (VERDICT r04 #8, previously pytest-only):
+    two deterministic 'plugin' violation frames — the
+    ``extra_violations`` hook, mirroring the reference's configured
+    plugin validators whose TAR reports merge into the schema pass
+    (``JSONValidator.java:193-219``) — union into ``validate_run``'s
+    stream, and the returned ``doc_verdicts_merged`` counters count
+    plugin items alongside built-in rule errors exactly like the
+    merged-TAR report (``:443-459``)."""
+    from json_validator_spark.plans.pipeline import validate_run
+    from json_validator_spark.rules.model import Rule, RuleSet
+
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    rs = RuleSet(
+        name="plugin-host",
+        rules=(
+            Rule("cap.n_chars", "/n_chars", "maximum", {"value": 380}),
+            Rule("srcpat.source", "/source", "pattern", {"regex": "^src[0-2]$"},
+                 severity="warning"),
+        ),
+    )
+    plug_scan = docs.filter(d % 10 == 0).select(
+        "doc_id",
+        F.lit("/").alias("span_path"),
+        F.lit("plugin.scan").alias("rule_id"),
+        F.lit("error").alias("severity"),
+        F.lit("external plugin finding").alias("message"),
+    )
+    plug_note = docs.filter(d % 7 == 0).select(
+        "doc_id",
+        F.lit("/").alias("span_path"),
+        F.lit("plugin.note").alias("rule_id"),
+        F.lit("warning").alias("severity"),
+        F.lit("external plugin note").alias("message"),
+    )
+    res = validate_run(
+        spark, docs, rs, check_uniqueness=False,
+        extra_violations=[plug_scan, plug_note],
+    )
+    return res.doc_verdicts_merged
+
+
+def q_detail_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-interpolated detailed messages (VERDICT r04 #6):
+    ``violations_df(..., detail=True)`` appends the reference's
+    ``Expected {1} but found {0}`` information
+    (``jsv-messages.properties:27``, ``JSONValidator.java:461-465``
+    detailed items) to the value-free template — scalar bound, pattern,
+    and a required/absent case over a derived nullable column. The
+    template prefix and rule_id identity are untouched, so
+    ``aggregate_report`` is bit-identical in both modes (pytest
+    ``test_detail_messages_leave_aggregate_unchanged``)."""
+    from json_validator_spark.operators.row_checks import violations_df
+    from json_validator_spark.rules.model import Rule, RuleSet
+
+    d = F.col("doc_id")
+    frame = _load(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "source",
+        F.when(d % 6 == 0, F.lit(None).cast("string"))
+        .otherwise(F.coalesce(F.col("lang"), F.lit("und"))).alias("lang_opt"),
+    )
+    rs = RuleSet(
+        name="detail",
+        rules=(
+            Rule("cap.n_chars", "/n_chars", "maximum", {"value": 380}),
+            Rule("srcpat.source", "/source", "pattern", {"regex": "^src[0-2]$"}),
+            Rule("req.lang_opt", "/lang_opt", "required", {}),
+        ),
+    )
+    return violations_df(frame, rs, detail=True)
+
+
 def q_sample_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's SHIPPED sample schema end-to-end
     (``etc/dev/sample/sample-v1.0/sample.json`` — recursive
@@ -2519,6 +2592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_dynamic": q_schema_dynamic,
         "schema_draft4": q_schema_draft4,
         "schema_recursive_ref": q_schema_recursive_ref,
+        "detail_messages": q_detail_messages,
+        "plugin_merge": q_plugin_merge,
         "sample_schema": q_sample_schema,
         "unicode_normalize": q_unicode_normalize,
         "stratified_sample": q_stratified_sample,
@@ -4454,6 +4529,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, '/n_chars', 'n_chars.$ref', 'error',
                    '[/n_chars] constraint ''maximum'' violated', 'default'
             FROM documents WHERE n_chars IS NOT NULL AND n_chars > 380
+        """,
+        # Mirrors q_plugin_merge: built-in rule violations UNIONed with
+        # the two deterministic plugin streams, per-doc counters via the
+        # same left-join-back shape (clean docs keep SUCCESS rows).
+        "plugin_merge": """
+            WITH viol AS (
+              SELECT doc_id, 'error' AS severity FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 380
+              UNION ALL
+              SELECT doc_id, 'warning' FROM documents
+              WHERE source IS NOT NULL
+                AND NOT regexp_matches(source, '^src[0-2]$')
+              UNION ALL
+              SELECT doc_id, 'error' FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id, 'warning' FROM documents WHERE doc_id % 7 = 0
+            ), counts AS (
+              SELECT doc_id,
+                     sum((severity = 'error')::INT)::BIGINT AS n_errors,
+                     sum((severity = 'warning')::INT)::BIGINT AS n_warnings
+              FROM viol GROUP BY doc_id
+            )
+            SELECT d.doc_id::VARCHAR AS doc_id,
+                   coalesce(c.n_errors, 0)::BIGINT AS n_errors,
+                   coalesce(c.n_warnings, 0)::BIGINT AS n_warnings,
+                   CASE WHEN coalesce(c.n_errors, 0) = 0
+                        THEN 'SUCCESS' ELSE 'FAILURE' END AS result
+            FROM documents d LEFT JOIN counts c ON c.doc_id = d.doc_id
+        """,
+        # Mirrors q_detail_messages: the interpolated suffix recomputed
+        # from the raw columns ('(absent)' for the derived-null required
+        # case); templates quote rules/messages.py 'en' verbatim.
+        "detail_messages": """
+            SELECT doc_id, '/n_chars' AS span_path, 'cap.n_chars' AS rule_id,
+                   'error' AS severity,
+                   '[/n_chars] constraint ''maximum'' violated (expected maximum 380, found '
+                     || n_chars::VARCHAR || ')' AS message
+            FROM documents WHERE n_chars IS NOT NULL AND n_chars > 380
+            UNION ALL
+            SELECT doc_id, '/source', 'srcpat.source', 'error',
+                   '[/source] value does not match the required pattern (expected pattern ^src[0-2]$, found '
+                     || source || ')'
+            FROM documents
+            WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-2]$')
+            UNION ALL
+            SELECT doc_id, '/lang_opt', 'req.lang_opt', 'error',
+                   '[/lang_opt] required value is missing (expected required, found (absent))'
+            FROM documents WHERE doc_id % 6 = 0
         """,
         # Mirrors q_sample_schema: the deterministic person-corpus
         # construction (chain depth = doc_id % 4) re-derived as CASE

@@ -68,12 +68,21 @@ def main() -> None:
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
 
     def timed(name, fn):
-        best, out = None, None
+        best, out, samples = None, None, []
         for _ in range(max(repeats, 1)):
             t0 = time.perf_counter()
             out = fn()
             dt = time.perf_counter() - t0
+            samples.append(dt)
             best = dt if best is None else min(best, dt)
+        # Adaptive third sample (VERDICT r04 #7 bench-noise discipline):
+        # two samples >25% apart mean at least one caught a host load
+        # spike — one more draw makes the min a load-spike-free estimate
+        # with high probability instead of a coin flip.
+        if len(samples) == 2 and max(samples) > 1.25 * min(samples):
+            t0 = time.perf_counter()
+            out = fn()
+            best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         return out
 

@@ -36,7 +36,9 @@ from json_validator_spark.rules.model import Combination, Rule, RuleSet, RuleSet
 
 
 def _branch_violations(
-    rules: list[Rule], definitions: dict[str, dict[str, Any]] | None
+    rules: list[Rule],
+    definitions: dict[str, dict[str, Any]] | None,
+    detail: bool = False,
 ) -> Column:
     """All of one branch's violations as ONE array Column.
 
@@ -63,7 +65,7 @@ def _branch_violations(
         # on parameter count, so the callable must be exactly (s, i)
         def per_span(s: Column, i: Column) -> Column:
             return F.array_compact(
-                F.array(*[span_violation_expr(r, s, i) for r in group])
+                F.array(*[span_violation_expr(r, s, i, detail) for r in group])
             )
 
         return per_span
@@ -77,7 +79,10 @@ def _branch_violations(
                 F.flatten(F.transform(F.col(spans_col), per_span)),
             ).otherwise(F.array().cast(VIOLATION_ARRAY_TYPE))
         )
-    arrays.extend(compile_rule(r).violations() for r in norm if r.level == "doc")
+    arrays.extend(
+        compile_rule(r, detail=detail).violations()
+        for r in norm if r.level == "doc"
+    )
     return _concat_arrays(arrays)
 
 def _concat_arrays(arrays: list[Column]) -> Column:
@@ -113,6 +118,7 @@ def _tag_branch(arr: Column, branch_idx: int) -> Column:
 def _combine(
     ruleset: RuleSet,
     definitions: dict[str, dict[str, Any]] | None = None,
+    detail: bool = False,
 ) -> tuple[Column, Column, Column]:
     """One rule set's combination algebra → ``(final violations array,
     doc_pass, n_branches_passed)`` Columns."""
@@ -127,7 +133,7 @@ def _combine(
     branch_viols: list[Column] = []
     branch_pass: list[Column] = []
     for b in branches:
-        viols = _branch_violations(ruleset.branch(b), definitions)
+        viols = _branch_violations(ruleset.branch(b), definitions, detail)
         branch_viols.append(viols)
         branch_pass.append(
             F.size(F.filter(viols, lambda v: v["severity"] == "error")) == 0
@@ -186,6 +192,7 @@ def with_violations(
     df: DataFrame,
     ruleset: RuleSet | RuleSetGroup,
     definitions: dict[str, dict[str, Any]] | None = None,
+    detail: bool = False,
 ) -> DataFrame:
     """Append ``violations array<struct>``, ``doc_pass boolean`` and
     ``n_branches_passed int`` to ``df`` — still un-exploded, still narrow.
@@ -199,7 +206,7 @@ def with_violations(
         finals: list[Column] = []
         passes: list[Column] = []
         for g in ruleset.groups:
-            f_g, p_g, _ = _combine(g, definitions)
+            f_g, p_g, _ = _combine(g, definitions, detail)
             finals.append(f_g)
             passes.append(p_g)
         final = _concat_arrays(finals)
@@ -208,7 +215,7 @@ def with_violations(
             doc_pass = doc_pass & p
         n_passed = sum((p.cast("int") for p in passes), start=F.lit(0))
     else:
-        final, doc_pass, n_passed = _combine(ruleset, definitions)
+        final, doc_pass, n_passed = _combine(ruleset, definitions, detail)
 
     return df.withColumns(
         {
@@ -224,10 +231,11 @@ def violations_df(
     ruleset: RuleSet | RuleSetGroup,
     definitions: dict[str, dict[str, Any]] | None = None,
     doc_id: str = "doc_id",
+    detail: bool = False,
 ) -> DataFrame:
     """Exploded violation rows ``(doc_id, span_path, rule_id, severity,
     message)`` — the reference's report items (``JSONValidator.java:461-465``)."""
-    vdf = with_violations(df, ruleset, definitions)
+    vdf = with_violations(df, ruleset, definitions, detail=detail)
     # explode_outer + isNotNull, NOT plain explode: the optimizer guards a
     # non-outer Generate with a size(violations)>0 pre-filter, and because
     # higher-order functions are CodegenFallback (no cross-reference CSE)

@@ -37,6 +37,46 @@ def _message(rule: Rule) -> str:
     return f"[{rule.target}] {message_for(rule.kind)}"
 
 
+def _expected_text(rule: Rule) -> str:
+    """Plan-constant rendering of the constraint's expectation — the
+    ``{1}`` slot of the reference's ``Expected {1} but found {0}``
+    (``jsv-messages.properties:27``). Short, deterministic, derived from
+    the rule params only."""
+    p = rule.params
+    if "value" in p:
+        return f"{rule.kind} {p['value']}"
+    if "regex" in p:
+        return f"pattern {p['regex']}"
+    if "values" in p:
+        return "one of " + ", ".join(str(x) for x in p["values"])
+    if "format" in p:
+        return f"format {p['format']}"
+    if "type" in p:
+        return f"type {p['type']}"
+    if "types" in p:
+        return "type in " + ", ".join(str(t) for t in p["types"])
+    return rule.kind
+
+
+def _message_col(rule: Rule, value: Column, detail: bool) -> Column:
+    """The violation ``message`` Column. Value-free plan constant by
+    default; with ``detail=True`` the reference's interpolated form is
+    appended — ``… (expected <constraint>, found <actual>)``, catalog
+    slots ``jsv-messages.properties:27`` — for detailed-report
+    consumers. The template stays the prefix and ``rule_id`` stays the
+    grouping identity, so ``aggregate_report`` (rule_id × severity) is
+    bit-identical in both modes."""
+    msg = F.lit(_message(rule))
+    if not detail:
+        return msg
+    found = F.when(value.isNull(), F.lit("(absent)")).otherwise(
+        value.cast("string")
+    )
+    return F.concat(
+        msg, F.lit(f" (expected {_expected_text(rule)}, found "), found, F.lit(")")
+    )
+
+
 # ----------------------------------------------------------------------
 # $ref resolution (SchemaResolutionState.java:30-56 analogue)
 # ----------------------------------------------------------------------
@@ -170,11 +210,12 @@ def _uses_python_predicate(kind: str, params: dict[str, Any]) -> bool:
 def compile_rule(
     rule: Rule,
     definitions: dict[str, dict[str, Any]] | None = None,
+    detail: bool = False,
 ) -> CompiledRule:
     r = normalize_rule(rule, definitions)
     if r.level == "span":
-        return _compile_span_rule(r)
-    return _compile_doc_rule(r)
+        return _compile_span_rule(r, detail)
+    return _compile_doc_rule(r, detail)
 
 
 def _null_wrapped(kind: str, value: Column, params: dict[str, Any]) -> Column:
@@ -203,9 +244,8 @@ def _pointer_value(target: str) -> Column:
     return col
 
 
-def _compile_doc_rule(rule: Rule) -> CompiledRule:
+def _compile_doc_rule(rule: Rule, detail: bool = False) -> CompiledRule:
     value = _doc_value(rule)
-    msg = _message(rule)
 
     def pass_flag() -> Column:
         if rule.kind == "dependentRequired":
@@ -226,7 +266,7 @@ def _compile_doc_rule(rule: Rule) -> CompiledRule:
             F.lit(rule.target).alias("span_path"),
             F.lit(rule.rule_id).alias("rule_id"),
             F.lit(rule.severity).alias("severity"),
-            F.lit(msg).alias("message"),
+            _message_col(rule, value, detail).alias("message"),
         )
         return F.when(~pass_flag(), F.array(v)).otherwise(
             F.lit(None).cast(VIOLATION_ARRAY_TYPE)
@@ -252,30 +292,30 @@ def _per_span_ok(rule: Rule, s: Column) -> Column:
     return ok
 
 
-def span_violation_expr(rule: Rule, s: Column, i: Column) -> Column:
+def span_violation_expr(
+    rule: Rule, s: Column, i: Column, detail: bool = False
+) -> Column:
     """``when(span fails rule, violation struct)`` over an EXPLODED span:
     ``s`` is the span struct value, ``i`` its position. Pure scalar
     expressions — stays inside whole-stage codegen, unlike the
     higher-order-function array path (HOFs are CodegenFallback and run
     interpreted)."""
-    msg = _message(rule)
     v = F.struct(
         F.concat(
             F.lit(f"/{rule.column}/"), i.cast("string"), F.lit(f"/{rule.span_field}")
         ).alias("span_path"),
         F.lit(rule.rule_id).alias("rule_id"),
         F.lit(rule.severity).alias("severity"),
-        F.lit(msg).alias("message"),
+        _message_col(rule, s[rule.span_field], detail).alias("message"),
     )
     return F.when(~_per_span_ok(rule, s), v).otherwise(
         F.lit(None).cast(f"struct<{VIOLATION_FIELDS}>")
     )
 
 
-def _compile_span_rule(rule: Rule) -> CompiledRule:
+def _compile_span_rule(rule: Rule, detail: bool = False) -> CompiledRule:
     spans_col = rule.column  # e.g. "spans"
     fld = rule.span_field
-    msg = _message(rule)
 
     def per_span_ok(s: Column) -> Column:
         return _per_span_ok(rule, s)
@@ -288,7 +328,7 @@ def _compile_span_rule(rule: Rule) -> CompiledRule:
                 ).alias("span_path"),
                 F.lit(rule.rule_id).alias("rule_id"),
                 F.lit(rule.severity).alias("severity"),
-                F.lit(msg).alias("message"),
+                _message_col(rule, s[fld], detail).alias("message"),
             )
             return F.when(~per_span_ok(s), v).otherwise(
                 F.lit(None).cast(f"struct<{VIOLATION_FIELDS}>")

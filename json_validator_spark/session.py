@@ -52,6 +52,17 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    # Automatic shuffle sizing (VERDICT r04 #5): reduce stages START wide
+    # and AQE coalesces them to the 64 MB advisory target, so
+    # data-per-partition stays roughly constant as the corpus grows —
+    # the minhash 10x probe's fixed-64-partition 822 MB/task figure was
+    # the failure mode this removes. 8x the base partition count gives a
+    # 10x corpus room to stay near the advisory size before the cap
+    # binds; small stages coalesce back down, so tiny inputs pay nothing.
+    conf["spark.sql.adaptive.coalescePartitions.initialPartitionNum"] = str(
+        max(8 * shuffle_partitions, 256)
+    )
+    conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = "64m"
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

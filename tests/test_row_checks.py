@@ -451,3 +451,53 @@ def test_dependent_required_nested_pointer(spark):
     # d2: lang present, translated missing → violation
     # d3: meta struct present but lang NULL → no dependency triggered
     assert got == {("d2", "dep")}
+
+
+def test_detail_messages_interpolate_values(spark):
+    """detail=True appends the reference's expected/found information
+    (jsv-messages.properties:27 'Expected {1} but found {0}') to the
+    value-free template, for doc rules and span rules alike."""
+    df = spark.createDataFrame(
+        [
+            (1, 500, "zz", [("text", "x"), ("media", None)]),
+            (2, 10, "en", [("text", "ok")]),
+        ],
+        "doc_id long, n long, lang string, "
+        "spans array<struct<kind string, text string>>",
+    )
+    rs = RuleSet(rules=(
+        Rule("cap", "/n", "maximum", {"value": 100}),
+        Rule("lang", "/lang", "enum", {"values": ["en", "es"]}),
+        Rule("span.text", "/spans/*/text", "required", {}),
+    ))
+    got = {(r.doc_id, r.rule_id): r.message
+           for r in violations_df(df, rs, detail=True).collect()}
+    assert got == {
+        (1, "cap"): "[/n] constraint 'maximum' violated "
+                    "(expected maximum 100, found 500)",
+        (1, "lang"): "[/lang] value is not in the allowed set "
+                     "(expected one of en, es, found zz)",
+        (1, "span.text"): "[/spans/*/text] required value is missing "
+                          "(expected required, found (absent))",
+    }
+    # default mode is unchanged: value-free plan constants
+    plain = {r.message for r in violations_df(df, rs).collect()}
+    assert plain == {
+        "[/n] constraint 'maximum' violated",
+        "[/lang] value is not in the allowed set",
+        "[/spans/*/text] required value is missing",
+    }
+
+
+def test_detail_messages_leave_aggregate_unchanged(spark):
+    """The rollup groups on rule_id x severity (the location-free
+    message identity, JSONValidator.java:466-481): interpolated detail
+    must not perturb it."""
+    from json_validator_spark.operators.report import aggregate_report
+
+    df = spark.createDataFrame(
+        [(i, i * 37 % 500) for i in range(200)], "doc_id long, n long")
+    rs = RuleSet(rules=(Rule("cap", "/n", "maximum", {"value": 250}),))
+    plain = rows_set(aggregate_report(violations_df(df, rs)))
+    detail = rows_set(aggregate_report(violations_df(df, rs, detail=True)))
+    assert plain == detail and plain
