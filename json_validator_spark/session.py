@@ -63,6 +63,14 @@ def get_spark(
         max(8 * shuffle_partitions, 256)
     )
     conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = "64m"
+    # Row-heavy/byte-light exchanges (shingle postings, banded keys)
+    # compress ~100x, so the default 1 MB coalesce floor concentrates
+    # tens of millions of rows into a handful of tasks (the minhash 10x
+    # probe's 810 MB/task stage was AQE coalescing a posting join to 7
+    # partitions). A 64 KB floor keeps post-coalesce partition count
+    # proportional to bytes — hence rows — so per-task memory stays flat
+    # as the corpus grows; tiny exchanges still collapse to one task.
+    conf["spark.sql.adaptive.coalescePartitions.minPartitionSize"] = "64k"
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
