@@ -789,3 +789,20 @@ def test_cli_format_pdf(tmp_path, spark):
     text = b"\n".join(streams)
     assert b"(Result: FAILURE) Tj" in text
     assert b"required value is missing) Tj" in text
+
+
+def test_session_factory_automatic_shuffle_sizing(spark):
+    """The r5 automatic-sizing contract (BENCH.md round 5): reduce
+    stages start wide (initialPartitionNum = 8x base) and the coalesce
+    floor is 64k so row-heavy/byte-light exchanges keep partition count
+    proportional to bytes instead of collapsing to a handful of tasks."""
+    base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+    assert int(
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    ) == max(8 * base, 256)
+    assert spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize") == "64k"
+    assert spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes") == "64m"
