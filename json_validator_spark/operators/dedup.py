@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from json_validator_spark.functions.text import hash_long, seq1, shingles, tokens
+from json_validator_spark.session import size_shuffle_for
 
 
 # ----------------------------------------------------------------------
@@ -58,7 +59,14 @@ def exact_duplicates(
 def doc_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """``(doc_id, shingle)`` — distinct k-token shingles per doc."""
+    """``(doc_id, shingle)`` — distinct k-token shingles per doc.
+
+    The shingle explosion feeds every near-dup pipeline's heaviest
+    exchange (minhash partial-min groupBy, jaccard/containment posting
+    joins), so the AQE wide start is sized to the input here —
+    ``session.size_shuffle_for`` — keeping per-task rows flat as the
+    corpus grows (the r4 10x-probe remedy, data-proportional form)."""
+    size_shuffle_for(df.sparkSession, df)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(tokens(F.col(text_col)), k)).alias("shingle"),

@@ -19,6 +19,7 @@ from json_validator_spark.operators import report as rpt
 from json_validator_spark.operators import set_checks as sc
 from json_validator_spark.operators.row_checks import with_violations
 from json_validator_spark.rules.model import RuleSet, RuleSetGroup
+from json_validator_spark.session import size_shuffle_for
 
 
 def salted_repartition(df: DataFrame, n: int, key: str = "doc_id", salt_buckets: int = 16) -> DataFrame:
@@ -84,6 +85,10 @@ def validate_run(
     message)`` and is unioned into the violation stream, so plugin
     findings flow through verdicts / aggregate / metrics identically to
     built-in rules."""
+    # Data-proportional wide start for the run's shuffles (uniqueness
+    # groupBy, stats agg): input_bytes/64MB initial partitions, floored
+    # at the session base — see session.size_shuffle_for.
+    size_shuffle_for(spark, docs)
     if repartition_to:
         docs = salted_repartition(docs, repartition_to, key=doc_id)
 

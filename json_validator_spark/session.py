@@ -52,16 +52,6 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
-    # Automatic shuffle sizing (VERDICT r04 #5): reduce stages START wide
-    # and AQE coalesces them to the 64 MB advisory target, so
-    # data-per-partition stays roughly constant as the corpus grows —
-    # the minhash 10x probe's fixed-64-partition 822 MB/task figure was
-    # the failure mode this removes. 8x the base partition count gives a
-    # 10x corpus room to stay near the advisory size before the cap
-    # binds; small stages coalesce back down, so tiny inputs pay nothing.
-    conf["spark.sql.adaptive.coalescePartitions.initialPartitionNum"] = str(
-        max(8 * shuffle_partitions, 256)
-    )
     conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = "64m"
     # Row-heavy/byte-light exchanges (shingle postings, banded keys)
     # compress ~100x, so the default 1 MB coalesce floor concentrates
@@ -76,3 +66,61 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def size_shuffle_for(
+    spark: SparkSession,
+    df,
+    advisory_bytes: int = 64 << 20,
+    cap: int = 32768,
+    max_stats: int = 512,
+) -> int:
+    """Automatic shuffle sizing (VERDICT r04 #5), data-proportional form.
+
+    Sets AQE's ``coalescePartitions.initialPartitionNum`` so reduce
+    stages START as wide as the *input* warrants — ``max(base shuffle
+    partitions, input_bytes / advisory)`` — and AQE coalesces back down
+    to the 64 MB advisory at runtime. Data-per-partition therefore stays
+    roughly constant as the corpus grows (the minhash 10x probe's
+    fixed-64-partition 822 MB/task figure was the failure mode this
+    removes), while a bench-scale corpus whose scan is smaller than
+    ``base × advisory`` keeps the base width and pays ZERO extra
+    scheduling / shuffle-block overhead (a blanket 8x wide start
+    measured ~15-35% slower on the 16M-doc flagship at 32 cores —
+    BENCH.md round 5).
+
+    Source bytes come from the DataFrame's own input files via the
+    Hadoop FileSystem (works for file:/hdfs:/s3a:); with more than
+    ``max_stats`` files the sizes are sampled and extrapolated, so the
+    driver cost is bounded at any corpus size. Frames with no file
+    inputs (in-memory/synthetic) keep the base width.
+
+    The conf is set on the session (AQE reads it at execution time, so
+    a per-plan scope is impossible); concurrent queries on the same
+    session share it — the same sharing every AQE knob has.
+    """
+    base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    total = 0
+    if files:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        step = max(1, len(files) // max_stats)
+        sampled = files[::step]
+        got = 0
+        for f in sampled:
+            try:
+                p = jvm.org.apache.hadoop.fs.Path(f)
+                fs = p.getFileSystem(hconf)
+                got += fs.getFileStatus(p).getLen()
+            except Exception:
+                pass
+        total = int(got * (len(files) / max(1, len(sampled))))
+    initial = max(base, min(total // advisory_bytes, cap))
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", str(initial)
+    )
+    return initial

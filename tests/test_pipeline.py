@@ -791,18 +791,51 @@ def test_cli_format_pdf(tmp_path, spark):
     assert b"required value is missing) Tj" in text
 
 
-def test_session_factory_automatic_shuffle_sizing(spark):
-    """The r5 automatic-sizing contract (BENCH.md round 5): reduce
-    stages start wide (initialPartitionNum = 8x base) and the coalesce
-    floor is 64k so row-heavy/byte-light exchanges keep partition count
-    proportional to bytes instead of collapsing to a handful of tasks."""
+def test_session_factory_automatic_shuffle_sizing(spark, tmp_path):
+    """The r5 automatic-sizing contract (BENCH.md round 5), data-
+    proportional form: the factory pins the 64k coalesce floor (row-heavy
+    /byte-light exchanges keep task count proportional to bytes) and the
+    64 MB advisory; the WIDE START is sized per input by
+    ``session.size_shuffle_for`` — ``max(base, input_bytes/advisory)`` —
+    so a bench-scale corpus keeps the base width (zero overhead) while a
+    grown corpus starts proportionally wider (a blanket 8x start
+    measured 15-35% slower on the 16M-doc flagship at 32 cores)."""
+    from json_validator_spark.session import size_shuffle_for
+
     base = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
-    assert int(
-        spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
-    ) == max(8 * base, 256)
     assert spark.conf.get(
         "spark.sql.adaptive.coalescePartitions.minPartitionSize") == "64k"
     assert spark.conf.get(
         "spark.sql.adaptive.advisoryPartitionSizeInBytes") == "64m"
+
+    path = str(tmp_path / "sized")
+    spark.range(0, 50_000).selectExpr(
+        "id", "repeat(uuid(), 4) AS pad"
+    ).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+
+    # small input at the real 64 MB advisory → stays at the base width
+    assert size_shuffle_for(spark, df) == base
+    assert int(spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum")) == base
+
+    # same input with a tiny advisory emulates corpus >> advisory×base:
+    # the wide start scales with bytes (and is what AQE then coalesces)
+    total = sum(
+        f.stat().st_size
+        for f in __import__("pathlib").Path(path).glob("*.parquet")
+    )
+    advisory = 4096
+    expect = max(base, total // advisory)
+    assert size_shuffle_for(spark, df, advisory_bytes=advisory) == expect
+    assert int(spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum")) == expect
+
+    # frames with no file inputs (synthetic) keep the base width
+    assert size_shuffle_for(spark, spark.range(10).toDF("id")) == base
+    # the cap bounds the width for any corpus size
+    assert size_shuffle_for(spark, df, advisory_bytes=1, cap=97) == 97
+    # leave the shared session at the base width for later tests
+    assert size_shuffle_for(spark, df) == base

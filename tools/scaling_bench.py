@@ -105,7 +105,7 @@ def run_level(cores: int) -> dict:
 
     once()  # warm-up, discarded
     times, n_viol = [], 0
-    for _ in range(2):
+    for _ in range(int(os.environ.get("BENCH_RUNS", "2"))):
         t, n_viol = once()
         times.append(t)
     spark.stop()
