@@ -14,6 +14,15 @@ from pyspark.sql import SparkSession
 # At cluster scale shuffle partitions should be ~2-3x total cores and
 # large enough that a partition of the biggest shuffle fits in executor
 # memory; AQE coalescing shrinks small stages back down at runtime.
+# Compiled rule sets codegen into ONE big method per projection; past
+# ~8000 bytecodes HotSpot's DontCompileHugeMethods default leaves that
+# method INTERPRETED — the 16M-doc flagship measured 36.6 s vs 50.6 s
+# at 32 cores (28%) with the limit lifted, identical violations. Spark
+# can't split expression-internal code below the threshold (the rule
+# union is one expression tree), so lift the limit instead: the method
+# is hot by construction and C2-compiling it once per executor is noise.
+_JVM_FLAGS = "-XX:-DontCompileHugeMethods"
+
 _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -63,6 +72,13 @@ def get_spark(
     conf["spark.sql.adaptive.coalescePartitions.minPartitionSize"] = "64k"
     if extra_conf:
         conf.update(extra_conf)
+    # _JVM_FLAGS prepend (driver covers local[N]; executor covers real
+    # clusters) — user-supplied options from extra_conf are kept after
+    # ours so an explicit +DontCompileHugeMethods still wins.
+    for k in ("spark.driver.extraJavaOptions", "spark.executor.extraJavaOptions"):
+        user = conf.get(k, "")
+        if _JVM_FLAGS not in user:
+            conf[k] = f"{_JVM_FLAGS} {user}".strip()
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
