@@ -15,7 +15,18 @@ sustained all-core load, so e.g. 8→32 pinned cores may top out near
 reports BOTH the raw engine efficiency and the platform-normalized one
 (engine speedup / platform speedup).
 
-Env: BENCH_DOCS (default 200000), LEVELS (default "8,32").
+Each leg records the host's 1-minute load average immediately before
+its calibration and after its last timed run: on this shared sandbox
+the co-tenant load drifts 0-30 on a minutes scale, and a pinned-8-core
+leg reporting load >> 8 is direct evidence the wall-clock includes
+someone else's cycles. QUIET_LOAD (default off; e.g. QUIET_LOAD=2.0)
+makes the orchestrator sleep before EACH pair until the 1-minute load
+falls below the threshold (QUIET_TIMEOUT seconds cap, default 1800, it
+then launches anyway and the per-leg telemetry shows the contention).
+
+Env: BENCH_DOCS (default 200000), LEVELS (default "8,32"),
+     BENCH_RUNS (timed runs per leg, default 2), N_PAIRS (default 3),
+     QUIET_LOAD / QUIET_TIMEOUT (see above).
 Usage: python tools/scaling_bench.py            # orchestrates both levels
        python tools/scaling_bench.py gen|<N>    # internal sub-invocations
 """
@@ -51,6 +62,11 @@ def gen_corpus() -> None:
     spark.stop()
 
 
+def _load1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
 def run_level(cores: int) -> dict:
     from pyspark.sql import functions as F
 
@@ -59,6 +75,7 @@ def run_level(cores: int) -> dict:
     from json_validator_spark.session import get_spark
     from json_validator_spark.sources.synth import synth_media_catalog
 
+    load_before = _load1()
     spark = get_spark(
         app_name=f"scale-{cores}", master=f"local[{cores}]",
         shuffle_partitions=2 * cores,
@@ -108,6 +125,7 @@ def run_level(cores: int) -> dict:
     for _ in range(int(os.environ.get("BENCH_RUNS", "2"))):
         t, n_viol = once()
         times.append(t)
+    load_after = _load1()
     spark.stop()
     best = min(times)
     return {
@@ -118,6 +136,11 @@ def run_level(cores: int) -> dict:
         "n_violations": n_viol,
         "calib_sec": round(calib_sec, 3),
         "calib_str_sec": round(calib_str_sec, 3),
+        # 1-min load averages bracketing the leg; this JVM is pinned to
+        # `cores` CPUs, so load_after >> cores means co-tenant cycles
+        # inflated the wall-clock (contention telemetry, not a result)
+        "load1_before": round(load_before, 2),
+        "load1_after": round(load_after, 2),
     }
 
 
@@ -140,11 +163,26 @@ def main() -> None:
         )
         return json.loads(out.stdout.strip().splitlines()[-1])
 
+    def wait_quiet() -> None:
+        # Optional quiet-window gate: sleep until the 1-minute load is
+        # below QUIET_LOAD (co-tenant idle), capped at QUIET_TIMEOUT —
+        # after the cap the pair launches anyway and its per-leg load
+        # telemetry records the contention instead of hiding it.
+        thr = os.environ.get("QUIET_LOAD")
+        if not thr:
+            return
+        deadline = time.time() + float(os.environ.get("QUIET_TIMEOUT", "1800"))
+        while _load1() >= float(thr) and time.time() < deadline:
+            time.sleep(20)
+
     # PAIRED interleaved measurement: the shared host's ambient load
     # drifts on a minutes scale, so two levels measured far apart are
     # not comparable. Back-to-back (lo, hi) pairs cancel the drift; the
     # median of per-pair ratios is the reported speedup.
-    pairs = [(one(LEVELS[0]), one(LEVELS[1])) for _ in range(N_PAIRS)]
+    pairs = []
+    for _ in range(N_PAIRS):
+        wait_quiet()
+        pairs.append((one(LEVELS[0]), one(LEVELS[1])))
     ratio = LEVELS[1] / LEVELS[0]
     engine_speedups = [h["docs_per_sec"] / l["docs_per_sec"] for l, h in pairs]
     platform_speedups = [l["calib_sec"] / h["calib_sec"] for l, h in pairs]
