@@ -48,6 +48,13 @@ def main() -> None:
     from json_validator_spark.session import get_spark
     from json_validator_spark.sources.synth import synth_documents, synth_media_catalog
 
+    # 1-min load average before we spin up: on this shared sandbox the
+    # co-tenant load swings 0-30, and a nonzero figure here is the
+    # context for an inflated single-shot headline (telemetry, not a
+    # result — the engine numbers are min-of-N within the run).
+    with open("/proc/loadavg") as f:
+        load1_before = float(f.read().split()[0])
+
     spark = get_spark(
         app_name="jvs-bench",
         master=f"local[{cpus}]",
@@ -163,6 +170,10 @@ def main() -> None:
                 "n_violations": n_viol,
                 "docs_per_sec": round(n_docs / timings["validate_synth"], 1),
                 "cpus": cpus,
+                "load1_before": round(load1_before, 2),
+                "load1_after": round(
+                    float(open("/proc/loadavg").read().split()[0]), 2
+                ),
             }
         )
     )
