@@ -67,6 +67,21 @@ def _load1() -> float:
         return float(f.read().split()[0])
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from the aggregate /proc/stat cpu line.
+
+    Steal is time the hypervisor ran OTHER tenants while this VM's vCPUs
+    were runnable — the direct measurement of co-tenant contention that
+    the load average (which only sees this VM's own runqueue) cannot
+    show. A leg reporting steal_pct >> 0 had its wall-clock inflated by
+    the host, not by the engine."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def run_level(cores: int) -> dict:
     from pyspark.sql import functions as F
 
@@ -76,6 +91,7 @@ def run_level(cores: int) -> dict:
     from json_validator_spark.sources.synth import synth_media_catalog
 
     load_before = _load1()
+    steal0, total0 = _cpu_jiffies()
     spark = get_spark(
         app_name=f"scale-{cores}", master=f"local[{cores}]",
         shuffle_partitions=2 * cores,
@@ -126,6 +142,10 @@ def run_level(cores: int) -> dict:
         t, n_viol = once()
         times.append(t)
     load_after = _load1()
+    steal1, total1 = _cpu_jiffies()
+    steal_pct = (
+        100.0 * (steal1 - steal0) / (total1 - total0) if total1 > total0 else 0.0
+    )
     spark.stop()
     best = min(times)
     return {
@@ -139,6 +159,9 @@ def run_level(cores: int) -> dict:
         # 1-min load averages bracketing the leg; this JVM is pinned to
         # `cores` CPUs, so load_after >> cores means co-tenant cycles
         # inflated the wall-clock (contention telemetry, not a result)
+        # Hypervisor steal % across the whole leg (warm-ups included):
+        # direct co-tenant-contention evidence, see _cpu_jiffies.
+        "steal_pct": round(steal_pct, 2),
         "load1_before": round(load_before, 2),
         "load1_after": round(load_after, 2),
     }
