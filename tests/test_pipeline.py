@@ -845,3 +845,33 @@ def test_session_factory_automatic_shuffle_sizing(spark, tmp_path):
     assert size_shuffle_for(spark, df, advisory_bytes=1, cap=97) == 97
     # leave the shared session at the base width for later tests
     assert size_shuffle_for(spark, df) == base
+
+
+def test_horizontal_partition_union_equals_full_run(spark):
+    """The executor-scaling layout invariant (tools/executor_scaling.py):
+    splitting the corpus into hash-disjoint shards on xxhash64(doc_id)
+    and validating each shard independently must yield EXACTLY the full
+    run's violation multiset — uniqueness and referential included,
+    because equal doc_ids co-locate under the hash split (the same
+    shuffle layout a 4-executor cluster gives each executor). This is
+    the correctness half of the N-vs-4N executor evidence."""
+    docs = synth_documents(spark, N_DOCS)
+    cat = synth_media_catalog(spark)
+    full = validate_run(spark, docs, corpus_ruleset(), media_catalog=cat)
+    full_set = _viol_set(full)
+    assert len(full_set) > 0
+    bucket = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(4))
+    shard_union: set = set()
+    shard_sizes = []
+    for i in range(4):
+        shard = docs.filter(bucket == i)
+        res = validate_run(spark, shard, corpus_ruleset(), media_catalog=cat)
+        viols = _viol_set(res)
+        shard_sizes.append(len(viols))
+        assert shard_union.isdisjoint(viols)  # hash shards share no doc
+        shard_union |= viols
+    assert all(n > 0 for n in shard_sizes)  # every shard exercises rules
+    # the synthetic corpus plants cross-file duplicate doc_ids; the split
+    # must keep each duplicate group in ONE shard for this to hold
+    assert {v[2] for v in full_set} == {v[2] for v in shard_union}
+    assert shard_union == full_set
