@@ -85,7 +85,18 @@ def gen_inputs() -> None:
     done = os.path.join(QUARTERS, "_DONE")
     if os.path.exists(done):
         return
-    spark = get_spark(app_name="exec-gen", master="local[32]", shuffle_partitions=64)
+    # 32 concurrent write tasks each sort their rows by the partition
+    # column before writing (FileFormatWriter's dynamic-partition path);
+    # at 64M docs those sorts overflow the default 8g driver heap. Give
+    # the one-off gen JVM a bigger heap AND allow 4 concurrent open
+    # writers per task so the sort is skipped entirely.
+    spark = get_spark(
+        app_name="exec-gen", master="local[32]", shuffle_partitions=64,
+        extra_conf={
+            "spark.driver.memory": "48g",
+            "spark.sql.maxConcurrentOutputFileWriters": "8",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     if not os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
         synth_documents(spark, N_DOCS, partitions=128).write.mode(
@@ -93,10 +104,13 @@ def gen_inputs() -> None:
         ).parquet(CORPUS)
     docs = spark.read.parquet(CORPUS)
     bucket = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(N_EXEC))
-    for i in range(N_EXEC):
-        docs.filter(bucket == i).repartition(32).write.mode("overwrite").parquet(
-            os.path.join(QUARTERS, f"q{i}")
-        )
+    # Shuffle-free split: ONE scan, each task streams its rows into the
+    # four partition dirs (q=0..3). A repartition here would sort-shuffle
+    # the whole corpus through one heap and OOM at 64M docs; the split is
+    # a routing decision, not a re-layout, so no shuffle is needed.
+    docs.withColumn("q", bucket).write.mode("overwrite").partitionBy("q").parquet(
+        QUARTERS
+    )
     spark.stop()
     with open(done, "w") as f:
         f.write("ok")
@@ -158,7 +172,7 @@ def quarter(i: int, pair: int) -> None:
     from json_validator_spark.plans.pipeline import validate_run
     from json_validator_spark.sources.synth import synth_media_catalog
 
-    path = os.path.join(QUARTERS, f"q{i}")
+    path = os.path.join(QUARTERS, f"q={i}")
 
     def once() -> tuple[float, int]:
         docs = spark.read.parquet(path)
