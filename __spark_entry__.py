@@ -1742,6 +1742,42 @@ def q_schema_draft4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return violations_df(_load(spark, sf_dir, "documents"), rs, definitions=defs)
 
 
+def q_schema_draft4_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Draft-4's ``id`` keyword — no ``$`` (draft-4 core §7.2, renamed
+    ``$id`` in draft-6; networknt's V4 mode resolves both,
+    ``JSONValidator.java:321-345``): the dialect pre-pass
+    (``rules/schema_import._rewrite_draft4_id``) renames it in schema
+    positions only, so a property literally NAMED ``id`` is untouched.
+    Exercises all three ``id`` roles at once: document registration key
+    (a draft-4 library registered by ``id`` and cross-referenced), root
+    base URI, and plain-name anchor (``id: "#cap"`` targeted by
+    ``$ref: "#cap"``)."""
+    from json_validator_spark.operators.row_checks import violations_df
+    from json_validator_spark.rules.schema_import import ruleset_from_json_schema
+    from json_validator_spark.rules.schema_registry import SchemaRegistry
+
+    d4 = "http://json-schema.org/draft-04/schema#"
+    lib = {
+        "$schema": d4,
+        "id": "https://example.test/d4-reg-lib",
+        "definitions": {"srcpat": {"pattern": "^src[0-2]$"}},
+    }
+    reg = SchemaRegistry()
+    reg.register(lib)
+    schema = {
+        "$schema": d4,
+        "id": "https://example.test/d4-entry",
+        "type": "object",
+        "definitions": {"cap": {"id": "#cap", "maximum": 380}},
+        "properties": {
+            "n_chars": {"$ref": "#cap"},
+            "source": {"$ref": "https://example.test/d4-reg-lib#/definitions/srcpat"},
+        },
+    }
+    rs, defs = ruleset_from_json_schema(schema, name="d4id", registry=reg)
+    return violations_df(_load(spark, sf_dir, "documents"), rs, definitions=defs)
+
+
 def q_schema_recursive_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2019-09 ``$recursiveRef``/``$recursiveAnchor`` (VERDICT r04 #3),
     mapped onto the dynamic-binding machinery they were renamed into
@@ -2591,6 +2627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_import_multi": q_schema_import_multi,
         "schema_dynamic": q_schema_dynamic,
         "schema_draft4": q_schema_draft4,
+        "schema_draft4_id": q_schema_draft4_id,
         "schema_recursive_ref": q_schema_recursive_ref,
         "detail_messages": q_detail_messages,
         "plugin_merge": q_plugin_merge,
@@ -4512,6 +4549,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE n_chars IS NOT NULL AND n_chars > 380
             UNION ALL
             SELECT doc_id, '/source', 'source.pattern', 'error',
+                   '[/source] value does not match the required pattern'
+            FROM documents
+            WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-2]$')
+        """,
+        # Mirrors q_schema_draft4_id: the dialect pre-pass makes draft-4
+        # `id` behave exactly like `$id`, so the compiled rules are the
+        # plain inlined-$ref forms (cap 380 on n_chars, library pattern
+        # on source) — rule_id keeps the .$ref spelling.
+        "schema_draft4_id": """
+            SELECT doc_id, '/n_chars' AS span_path,
+                   'n_chars.$ref' AS rule_id, 'error' AS severity,
+                   '[/n_chars] constraint ''maximum'' violated' AS message
+            FROM documents WHERE n_chars IS NOT NULL AND n_chars > 380
+            UNION ALL
+            SELECT doc_id, '/source', 'source.$ref', 'error',
                    '[/source] value does not match the required pattern'
             FROM documents
             WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-2]$')

@@ -232,9 +232,89 @@ def _rewrite_recursive_2019(doc: Any) -> Any:
     return rewritten if changed else doc
 
 
+# Keyword positions for the dialect-aware walk in _rewrite_draft4_id:
+# values that ARE schemas, maps WHOSE VALUES are schemas (keys are
+# user-controlled names — never rewritten), lists of schemas, and
+# keywords whose values are DATA (never walked). Anything else passes
+# through untouched; a draft-4 `id` hiding under an unlisted keyword
+# stays `id` and _check_known raises — strict beats silent.
+_SUBSCHEMA_KEYWORDS = {
+    "items", "additionalItems", "additionalProperties", "propertyNames",
+    "contains", "if", "then", "else", "not",
+    "unevaluatedItems", "unevaluatedProperties",
+}
+_SCHEMA_MAP_KEYWORDS = {
+    "properties", "patternProperties", "dependentSchemas", "$defs", "definitions",
+}
+_SCHEMA_LIST_KEYWORDS = {"allOf", "anyOf", "oneOf", "prefixItems"}
+_DATA_KEYWORDS = {"enum", "const", "default", "examples"}
+
+
+def _is_draft4(doc: Any) -> bool:
+    s = doc.get("$schema") if isinstance(doc, dict) else None
+    return isinstance(s, str) and "draft-04" in s
+
+
+def _rewrite_draft4_id(doc: Any) -> Any:
+    """Draft-4 spells the base-URI/anchor keyword ``id`` — no ``$``
+    (draft-4 core §7.2; renamed ``$id`` in draft-6). networknt's V4 mode
+    resolves it like ``$id`` (the reference selects that mode from
+    ``$schema``, ``JSONValidator.java:321-345``); without this rewrite a
+    draft-4 document registering itself by ``id`` or declaring
+    ``id: "#name"`` anchors would fail ``_check_known``. Applied ONLY
+    when the document root declares the draft-4 dialect, and only in
+    schema positions — a PROPERTY literally named ``id`` (ubiquitous in
+    real data) lives as a KEY of ``properties``/``patternProperties``
+    maps, which the walk never renames. Returns the input object
+    unchanged (same identity) for non-draft-4 documents."""
+    if not _is_draft4(doc):
+        return doc
+    changed = False
+
+    def walk(node: Any) -> Any:  # node sits in a SCHEMA position
+        nonlocal changed
+        if isinstance(node, list):  # draft-4 tuple `items`
+            return [walk(v) for v in node]
+        if not isinstance(node, dict):
+            return node
+        out: dict[str, Any] = {}
+        for k, v in node.items():
+            if k == "id" and isinstance(v, str):
+                changed = True
+                out["$id"] = v
+            elif k in _SCHEMA_MAP_KEYWORDS and isinstance(v, dict):
+                out[k] = {name: walk(sub) for name, sub in v.items()}
+            elif k == "dependencies" and isinstance(v, dict):
+                # per-name value: list of required names (data) | schema
+                out[k] = {
+                    name: walk(sub) if isinstance(sub, (dict, bool)) else sub
+                    for name, sub in v.items()
+                }
+            elif k in _SUBSCHEMA_KEYWORDS:
+                out[k] = walk(v)
+            elif k in _SCHEMA_LIST_KEYWORDS and isinstance(v, list):
+                out[k] = [walk(x) for x in v]
+            elif k in _DATA_KEYWORDS:
+                out[k] = v
+            else:
+                out[k] = v
+        return out
+
+    rewritten = walk(doc)
+    return rewritten if changed else doc
+
+
+def _rewrite_dialects(doc: Any) -> Any:
+    """All dialect-normalizing pre-passes, oldest first: draft-4 ``id``
+    → ``$id``, then 2019-09 ``$recursiveRef``/``$recursiveAnchor`` →
+    the 2020-12 dynamic forms. Identity-preserving when nothing
+    matches."""
+    return _rewrite_recursive_2019(_rewrite_draft4_id(doc))
+
+
 class _Recursive2019Registry:
-    """Registry proxy applying ``_rewrite_recursive_2019`` to every
-    resolved document, so 2019-09 library schemas compose with a
+    """Registry proxy applying ``_rewrite_dialects`` to every resolved
+    document, so draft-4 / 2019-09 library schemas compose with a
     2020-12 entry (and vice versa) through one binding map. Caches per
     URI — the importer relies on resolve() returning a stable object."""
 
@@ -244,7 +324,7 @@ class _Recursive2019Registry:
 
     def resolve(self, uri: str) -> dict[str, Any]:
         if uri not in self._cache:
-            self._cache[uri] = _rewrite_recursive_2019(self._inner.resolve(uri))
+            self._cache[uri] = _rewrite_dialects(self._inner.resolve(uri))
         return self._cache[uri]
 
     def __contains__(self, uri: str) -> bool:
@@ -998,7 +1078,7 @@ def ruleset_from_json_schema(
     definitions (recursion still bounded by ``max_ref_depth``)."""
     from json_validator_spark.rules.model import Combination
 
-    schema = _rewrite_recursive_2019(schema)
+    schema = _rewrite_dialects(schema)
     if registry is not None and not isinstance(registry, _Recursive2019Registry):
         registry = _Recursive2019Registry(registry)
 

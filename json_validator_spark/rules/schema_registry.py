@@ -60,13 +60,31 @@ class SchemaRegistry:
         # "https://x/s.json" and "https://x/s.json#" hit the same entry
         return uri if uri.endswith("#") else uri + "#"
 
-    def register(self, schema: dict[str, Any]) -> str:
-        """Preload one schema document; returns its normalized ``$id``.
-        A document without ``$id`` is un-addressable and raises (the
-        reference skips such files with a warning at directory scan —
-        ``add_path`` does that; an explicit register is a hard error)."""
+    @staticmethod
+    def _doc_id(schema: dict[str, Any]) -> "str | None":
+        """The document's self-declared identifier: ``$id`` (draft-6+),
+        or draft-4's ``id`` when the root ``$schema`` declares that
+        dialect (networknt's V4 mode resolves ``id`` the same way —
+        the importer rewrites it to ``$id`` at compile,
+        ``schema_import._rewrite_draft4_id``)."""
         sid = schema.get("$id")
-        if not isinstance(sid, str) or not sid:
+        if isinstance(sid, str) and sid:
+            return sid
+        s = schema.get("$schema")
+        if isinstance(s, str) and "draft-04" in s:
+            sid = schema.get("id")
+            if isinstance(sid, str) and sid:
+                return sid
+        return None
+
+    def register(self, schema: dict[str, Any]) -> str:
+        """Preload one schema document; returns its normalized ``$id``
+        (draft-4 documents may declare it as ``id``). A document without
+        one is un-addressable and raises (the reference skips such files
+        with a warning at directory scan — ``add_path`` does that; an
+        explicit register is a hard error)."""
+        sid = self._doc_id(schema)
+        if sid is None:
             raise ValueError("schema document has no $id — cannot register")
         self._docs[self._key(sid)] = schema
         return self._key(sid)
@@ -94,7 +112,7 @@ class SchemaRegistry:
                 doc = json.loads(f.read_text())
             except (OSError, json.JSONDecodeError) as e:
                 raise ValueError(f"unreadable shared schema [{f}]: {e}") from e
-            if isinstance(doc, dict) and isinstance(doc.get("$id"), str):
+            if isinstance(doc, dict) and self._doc_id(doc) is not None:
                 out.append(self.register(doc))
         return out
 

@@ -1585,3 +1585,116 @@ def test_cli_schema_fetch_prefix_end_to_end(tmp_path, _local_http, spark):
            for r in spark.read.parquet(f"{out}/violations").collect()}
     assert got == {("2", "n.$ref")}
     assert hits["/lib.json"] == 1
+
+
+# ------------------------------------------------- draft-4 `id` keyword
+
+
+def test_import_draft4_id_keyword(spark):
+    """Draft-4 spells the base-URI/anchor keyword `id` (renamed `$id`
+    in draft-6; networknt V4 resolves both — JSONValidator.java:321-345
+    dialect selection). Root `id` + subschema `id: "#addr"` anchor +
+    `$ref: "#addr"` compile exactly like the draft-6+ spellings."""
+    schema = {
+        "$schema": "http://json-schema.org/draft-04/schema#",
+        "id": "https://example.test/d4-root",
+        "type": "object",
+        "definitions": {"cap": {"id": "#cap", "maximum": 100}},
+        "properties": {"n": {"$ref": "#cap"}},
+    }
+    rs, defs = ruleset_from_json_schema(schema, name="d4id")
+    df = spark.createDataFrame(
+        [(0, 10), (1, 300)], "doc_id long, n long"
+    )
+    got = {(r["doc_id"], r["rule_id"])
+           for r in violations_df(df, rs, definitions=defs).collect()}
+    assert got == {(1, "n.$ref")}
+
+
+def test_import_draft4_id_property_name_not_rewritten(spark):
+    """A property literally NAMED `id` (ubiquitous in real data) is a
+    KEY of the `properties` map, not a keyword — the dialect rewrite
+    must leave it alone and its subschema must still compile."""
+    schema = {
+        "$schema": "http://json-schema.org/draft-04/schema#",
+        "type": "object",
+        "properties": {"id": {"type": "string", "pattern": "^u-"}},
+        "required": ["id"],
+    }
+    rs, defs = ruleset_from_json_schema(schema, name="d4prop")
+    assert {r.rule_id for r in rs.rules} == {
+        "id.type", "id.pattern", "id.required"}
+    df = spark.createDataFrame(
+        [(0, "u-1"), (1, "x-1"), (2, None)], "doc_id long, id string"
+    )
+    got = {(r["doc_id"], r["rule_id"])
+           for r in violations_df(df, rs, definitions=defs).collect()}
+    assert got == {(1, "id.pattern"), (2, "id.required")}
+
+
+def test_import_draft4_id_requires_declared_dialect():
+    """Without the draft-4 `$schema`, a bare `id` keyword stays unknown
+    — the engine refuses rather than guessing the dialect."""
+    with pytest.raises(ValueError, match="unsupported JSON-Schema keyword"):
+        ruleset_from_json_schema(
+            {"type": "object",
+             "properties": {"n": {"id": "#x", "maximum": 5}}}
+        )
+
+
+def test_registry_accepts_draft4_id_document(spark):
+    """A draft-4 library document registers by its `id` and is
+    cross-referenced from a 2020-12 entry schema — the registry keys
+    draft-4 docs by `id` (LocalSchemaCache keys by whatever identifier
+    the document declares) and the dialect proxy rewrites it to `$id`
+    at resolve time."""
+    from json_validator_spark.rules.schema_registry import SchemaRegistry
+
+    lib = {
+        "$schema": "http://json-schema.org/draft-04/schema#",
+        "id": "https://example.test/d4-lib",
+        "definitions": {
+            "bounded": {"minimum": 0, "exclusiveMinimum": False,
+                        "maximum": 50, "exclusiveMaximum": True},
+        },
+    }
+    reg = SchemaRegistry()
+    key = reg.register(lib)
+    assert key == "https://example.test/d4-lib#"
+    entry = {
+        "type": "object",
+        "properties": {
+            "n": {"$ref": "https://example.test/d4-lib#/definitions/bounded"},
+        },
+    }
+    rs, defs = ruleset_from_json_schema(entry, name="d4x", registry=reg)
+    df = spark.createDataFrame(
+        [(0, 0), (1, 50), (2, -1)], "doc_id long, n long"
+    )
+    got = {(r["doc_id"], r["rule_id"])
+           for r in violations_df(df, rs, definitions=defs).collect()}
+    # 50 fails the strict max (draft-4 boolean modifier honored through
+    # the registry path); 0 passes the inclusive min; -1 fails it.
+    assert got == {(1, "n.$ref"), (2, "n.$ref")}
+
+
+def test_registry_add_path_draft4_id(tmp_path):
+    """Directory scan registers draft-4 files by `id` exactly like
+    draft-6+ files by `$id` (LocalSchemaCache.java:99-132)."""
+    import json as _json
+
+    from json_validator_spark.rules.schema_registry import SchemaRegistry
+
+    (tmp_path / "d4.json").write_text(_json.dumps({
+        "$schema": "http://json-schema.org/draft-04/schema#",
+        "id": "https://example.test/scanned-d4",
+        "definitions": {"cap": {"maximum": 9}},
+    }))
+    (tmp_path / "modern.json").write_text(_json.dumps({
+        "$id": "https://example.test/scanned-new",
+        "$defs": {"cap": {"maximum": 9}},
+    }))
+    (tmp_path / "anon.json").write_text("{}")  # no id: skipped, no error
+    reg = SchemaRegistry.from_paths([tmp_path])
+    assert "https://example.test/scanned-d4" in reg
+    assert "https://example.test/scanned-new" in reg
