@@ -2204,8 +2204,12 @@ def q_keyword_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(d % 3 == 1, d.cast("string"))
         .otherwise(F.lit("maybe")).alias("s_tok"),
         F.when(d % 9 == 0, F.lit("!!!!")).otherwise(F.lit("QUJD")).alias("b64"),
-        F.when(d % 8 == 0, F.lit("not a media type"))
-        .otherwise(F.lit("text/plain")).alias("mt"),
+        # contentMediaType fixture: base64-wrapped JSON content.
+        # %8==0 -> valid base64 of a NON-JSON payload ("hello"),
+        # %8==4 -> broken transport encoding, else base64 of {"a":1}.
+        F.when(d % 8 == 0, F.lit("aGVsbG8="))
+        .when(d % 8 == 4, F.lit("!not base64!"))
+        .otherwise(F.lit("eyJhIjoxfQ==")).alias("mt"),
         F.when(d % 21 == 0, F.lit("x")).alias("ro"),
         F.when(d % 19 == 0, F.lit("x")).alias("junk"),
     )
@@ -2236,7 +2240,8 @@ def q_keyword_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
                  {"schema": {"kind": "maximum", "params": {"value": 60}}}),
             Rule("ref.n_chars", "/n_chars", "$ref", {"ref": "cap_ref"}),
             Rule("contentencoding.b64", "/b64", "contentEncoding", {}),
-            Rule("contentmediatype.mt", "/mt", "contentMediaType", {}),
+            Rule("contentmediatype.mt", "/mt", "contentMediaType",
+                 {"media_type": "application/json", "encoding": "base64"}),
             Rule("readonly.ro", "/ro", "readOnly", {}),
             Rule("dependencies.lang", "/lang", "dependencies",
                  {"if_target": "/source"}),
@@ -3020,7 +3025,7 @@ FROM documents WHERE doc_id % 9 = 0
 UNION ALL
 SELECT doc_id, '/mt', 'contentmediatype.mt', 'error',
        '[/mt] constraint ''contentMediaType'' violated'
-FROM documents WHERE doc_id % 8 = 0
+FROM documents WHERE doc_id % 8 = 0 OR doc_id % 8 = 4
 UNION ALL
 SELECT doc_id, '/ro', 'readonly.ro', 'error',
        '[/ro] value must not be present'

@@ -46,6 +46,14 @@ _ANNOTATIONS = {
     # — their members are reachable only through refs, which resolve via
     # _json_pointer regardless of where the holder sits.
     "$defs", "definitions",
+    # contentSchema (2019-09+ §8.8.3) is annotation-ONLY by spec — unlike
+    # contentEncoding, which this engine cheaply asserts JVM-side, an
+    # assertion here would mean decode + re-parse + recursive validate
+    # per row; networknt (the reference's validator) also ignores it by
+    # default. $vocabulary is meta-schema machinery (2020-12 §8.1) — it
+    # appears at the root of registered library/meta documents and
+    # selects keyword vocabularies, which this importer fixes statically.
+    "contentSchema", "$vocabulary",
 }
 
 # subschema keyword -> engine kind for 1:1 scalar keywords
@@ -62,7 +70,7 @@ _SCALAR_KEYWORDS = {
     "minLength": ("minLength", lambda v: {"value": v}),
     "maxLength": ("maxLength", lambda v: {"value": v}),
     "contentEncoding": ("contentEncoding", lambda v: {"encoding": v}),
-    "contentMediaType": ("contentMediaType", lambda v: {}),
+    "contentMediaType": ("contentMediaType", lambda v: {"media_type": v}),
     "minItems": ("minItems", lambda v: {"value": v}),
     "maxItems": ("maxItems", lambda v: {"value": v}),
     "minProperties": ("minProperties", lambda v: {"value": v}),
@@ -687,7 +695,15 @@ def _applications(
 
     for kw, (kind, to_params) in _SCALAR_KEYWORDS.items():
         if kw in sub:
-            apps.append((kind, to_params(sub[kw])))
+            p = to_params(sub[kw])
+            # contentMediaType describes the DECODED content when a
+            # sibling contentEncoding is present (2019-09 §8.8.2) — the
+            # check needs the transport encoding to decode first.
+            if kw == "contentMediaType" and isinstance(
+                sub.get("contentEncoding"), str
+            ):
+                p["encoding"] = sub["contentEncoding"]
+            apps.append((kind, p))
 
     t = sub.get("type")
     if t is not None and t not in ("object", "array"):

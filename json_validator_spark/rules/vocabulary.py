@@ -132,7 +132,24 @@ def build_pass(kind: str, value: Column, params: dict[str, Any]) -> Column:
             return value.rlike(r"^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$")
         return F.lit(True)
     if kind == "contentMediaType":
-        return format_pass(value, "media-type")
+        # Declares the media type of the string's (decoded) CONTENT
+        # (draft-7 §8.4 / 2019-09 §8.8.2) — NOT an assertion that the
+        # value is a media-type literal. JSON types are verifiable
+        # JVM-side (try_parse_json, whole-stage codegen); other media
+        # types pass — the spec's MAY-validate, and the reference's
+        # networknt validator doesn't decode content either. A sibling
+        # contentEncoding (injected by the importer) decodes first;
+        # undecodable transport means the content can't conform.
+        mt = str(params.get("media_type") or "").lower()
+        if not (mt == "application/json" or mt.endswith("+json")):
+            return F.lit(True)
+        if params.get("encoding") == "base64":
+            b64_ok = value.rlike(
+                r"^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+            )
+            decoded = F.when(b64_ok, F.unbase64(value).cast("string"))
+            return b64_ok & F.try_parse_json(decoded).isNotNull()
+        return F.try_parse_json(value).isNotNull()
 
     # --- type (:27,:28) -------------------------------------------------
     if kind == "type":

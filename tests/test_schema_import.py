@@ -1698,3 +1698,41 @@ def test_registry_add_path_draft4_id(tmp_path):
     reg = SchemaRegistry.from_paths([tmp_path])
     assert "https://example.test/scanned-d4" in reg
     assert "https://example.test/scanned-new" in reg
+
+
+def test_content_schema_and_vocabulary_are_annotations(spark):
+    """contentSchema is annotation-ONLY by spec (2019-09+ §8.8.3; the
+    reference's networknt validator ignores it by default) and
+    $vocabulary is meta-schema machinery — both must compile as no-ops
+    next to keywords that DO assert, not raise as unknown."""
+    schema = {
+        "$vocabulary": {"https://json-schema.org/draft/2020-12/vocab/core": True},
+        "type": "object",
+        "properties": {
+            "payload": {
+                "type": "string",
+                "contentEncoding": "base64",
+                "contentMediaType": "application/json",
+                "contentSchema": {"type": "object"},
+            },
+        },
+    }
+    rs, defs = ruleset_from_json_schema(schema, name="content")
+    kinds = {r.kind for r in rs.rules}
+    assert "contentEncoding" in kinds        # still asserted
+    assert not any("contentSchema" in r.rule_id for r in rs.rules)
+    # contentMediaType checks the DECODED content parses as JSON:
+    # doc 0 = base64 of {"a":1} (clean), doc 1 = broken transport
+    # encoding (both content checks fail), doc 2 = base64 of "hello"
+    # (valid transport, content is not JSON).
+    df = spark.createDataFrame(
+        [(0, "eyJhIjoxfQ=="), (1, "not base64!!"), (2, "aGVsbG8=")],
+        "doc_id long, payload string",
+    )
+    got = {(r["doc_id"], r["rule_id"])
+           for r in violations_df(df, rs, definitions=defs).collect()}
+    assert got == {
+        (1, "payload.contentEncoding"),
+        (1, "payload.contentMediaType"),
+        (2, "payload.contentMediaType"),
+    }
