@@ -65,8 +65,12 @@ def doc_shingles(
     exchange (minhash partial-min groupBy, jaccard/containment posting
     joins), so the AQE wide start is sized to the input here —
     ``session.size_shuffle_for`` — keeping per-task rows flat as the
-    corpus grows (the r4 10x-probe remedy, data-proportional form)."""
-    size_shuffle_for(df.sparkSession, df)
+    corpus grows (the r4 10x-probe remedy, data-proportional form).
+    The 64 KB coalesce floor is scoped HERE, not session-wide: posting
+    exchanges compress ~100x, so the 1 MB default floor would coalesce
+    tens of millions of rows into a handful of tasks, while validation's
+    byte-dense stages need the 1 MB default (session.py A/B note)."""
+    size_shuffle_for(df.sparkSession, df, min_partition_size="64k")
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(tokens(F.col(text_col)), k)).alias("shingle"),

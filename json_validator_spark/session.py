@@ -62,14 +62,17 @@ def get_spark(
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = "64m"
-    # Row-heavy/byte-light exchanges (shingle postings, banded keys)
-    # compress ~100x, so the default 1 MB coalesce floor concentrates
-    # tens of millions of rows into a handful of tasks (the minhash 10x
-    # probe's 810 MB/task stage was AQE coalescing a posting join to 7
-    # partitions). A 64 KB floor keeps post-coalesce partition count
-    # proportional to bytes — hence rows — so per-task memory stays flat
-    # as the corpus grows; tiny exchanges still collapse to one task.
-    conf["spark.sql.adaptive.coalescePartitions.minPartitionSize"] = "64k"
+    # Coalesce floor stays at Spark's 1 MB default (pinned explicitly):
+    # a session-wide 64 KB floor — the first cut of the minhash 10x-probe
+    # remedy — kept validation's post-shuffle stages fragmented into
+    # hundreds of tiny tasks and measured the 1M-doc flagship at
+    # 5.9-16.9 s vs 5.1-7.7 s with the default floor (A/B, round 5).
+    # Row-heavy/byte-light exchanges (shingle postings, banded keys —
+    # ~100x compression, where the 1 MB floor concentrated tens of
+    # millions of rows into a handful of tasks) get their 64 KB floor
+    # PER PIPELINE via size_shuffle_for(min_partition_size=...) at the
+    # shingle entry point instead.
+    conf["spark.sql.adaptive.coalescePartitions.minPartitionSize"] = "1m"
     if extra_conf:
         conf.update(extra_conf)
     # _JVM_FLAGS prepend (driver covers local[N]; executor covers real
@@ -90,6 +93,7 @@ def size_shuffle_for(
     advisory_bytes: int = 64 << 20,
     cap: int = 32768,
     max_stats: int = 512,
+    min_partition_size: str = "1m",
 ) -> int:
     """Automatic shuffle sizing (VERDICT r04 #5), data-proportional form.
 
@@ -111,9 +115,19 @@ def size_shuffle_for(
     driver cost is bounded at any corpus size. Frames with no file
     inputs (in-memory/synthetic) keep the base width.
 
-    The conf is set on the session (AQE reads it at execution time, so
-    a per-plan scope is impossible); concurrent queries on the same
-    session share it — the same sharing every AQE knob has.
+    ``min_partition_size`` sets the AQE coalesce floor for the caller's
+    pipeline: the 1 MB default suits byte-dense exchanges (validation's
+    rule/uniqueness stages, where a smaller floor fragments reduce
+    stages into tiny tasks); shingle/banded pipelines pass ``"64k"``
+    because their exchanges compress ~100x and the 1 MB floor would
+    concentrate tens of millions of rows into a handful of tasks (the
+    minhash 10x probe's 810 MB/task stage).
+
+    The confs are set on the session (AQE reads them at execution time,
+    so a per-plan scope is impossible); concurrent queries on the same
+    session share them — the same sharing every AQE knob has. Each
+    pipeline entry point calls this right before its own actions, so
+    sequential workloads each execute under their own sizing.
     """
     base = int(spark.conf.get("spark.sql.shuffle.partitions"))
     try:
@@ -138,5 +152,9 @@ def size_shuffle_for(
     initial = max(base, min(total // advisory_bytes, cap))
     spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum", str(initial)
+    )
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        min_partition_size,
     )
     return initial

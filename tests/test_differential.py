@@ -418,3 +418,70 @@ def test_differential_snapshot_diff(spark):
             for r in snapshot_diff(old_df, new_df).collect()
         }
         assert got == expected, f"trial {trial}"
+
+
+def test_differential_content_keywords(spark):
+    """contentEncoding / contentMediaType vs an independent Python
+    interpreter (base64 + json stdlib): the engine's JVM-side pass
+    (base64 grammar, unbase64 → try_parse_json) must agree with the
+    spec-written evaluation — decoded CONTENT parses as the declared
+    media type (draft-7 §8.4 / 2019-09 §8.8.2), undecodable transport
+    fails, non-JSON media types never assert."""
+    import base64 as b64mod
+    import json as jsonmod
+
+    decoded_pool = [
+        '{"a":1}', "[1,2]", "123", "true", '"txt"',  # valid JSON values
+        "hello", "not json", "", "{broken", "a b c",  # invalid
+    ]
+    payloads = [b64mod.b64encode(p.encode()).decode() for p in decoded_pool]
+    payloads += ["!not base64!", "QUJ", "ABCD", "MTIz", "QUJD=", "", "== =="]
+    raw_pool = decoded_pool + ["  {\"k\": false} ", "nan", "[1,", "0.5e3"]
+
+    rows = [
+        (i * len(raw_pool) + j, p, r)
+        for i, p in enumerate(payloads)
+        for j, r in enumerate(raw_pool)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload string, raw string")
+    rs = RuleSet(rules=(
+        Rule("ce", "/payload", "contentEncoding", {"encoding": "base64"}),
+        Rule("cmt", "/payload", "contentMediaType",
+             {"media_type": "application/json", "encoding": "base64"}),
+        Rule("cmt_raw", "/raw", "contentMediaType",
+             {"media_type": "application/json"}),
+        Rule("cmt_plain", "/payload", "contentMediaType",
+             {"media_type": "text/plain", "encoding": "base64"}),
+    ))
+    got = {(r["doc_id"], r["rule_id"])
+           for r in violations_df(df, rs).collect()}
+
+    b64_grammar = re.compile(
+        r"([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?")
+
+    def is_json(s: str) -> bool:
+        try:
+            jsonmod.loads(s)
+            return True
+        except Exception:
+            return False
+
+    def b64_json_ok(s: str) -> bool:
+        if not b64_grammar.fullmatch(s):
+            return False
+        try:
+            decoded = b64mod.b64decode(s).decode("utf-8")
+        except Exception:
+            return False
+        return is_json(decoded)
+
+    want = set()
+    for i, p, r in rows:
+        if not b64_grammar.fullmatch(p):
+            want.add((i, "ce"))
+        if not b64_json_ok(p):
+            want.add((i, "cmt"))
+        if not is_json(r):
+            want.add((i, "cmt_raw"))
+        # text/plain: never asserted — no cmt_plain rows expected
+    assert got == want

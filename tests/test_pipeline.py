@@ -793,20 +793,23 @@ def test_cli_format_pdf(tmp_path, spark):
 
 def test_session_factory_automatic_shuffle_sizing(spark, tmp_path):
     """The r5 automatic-sizing contract (BENCH.md round 5), data-
-    proportional form: the factory pins the 64k coalesce floor (row-heavy
-    /byte-light exchanges keep task count proportional to bytes) and the
-    64 MB advisory; the WIDE START is sized per input by
-    ``session.size_shuffle_for`` — ``max(base, input_bytes/advisory)`` —
-    so a bench-scale corpus keeps the base width (zero overhead) while a
-    grown corpus starts proportionally wider (a blanket 8x start
-    measured 15-35% slower on the 16M-doc flagship at 32 cores)."""
+    proportional form: the factory keeps Spark's 1 MB coalesce floor
+    (a session-wide 64k floor fragmented validation's byte-dense reduce
+    stages — 1M-doc flagship A/B, session.py note) and the 64 MB
+    advisory; the WIDE START is sized per input by
+    ``session.size_shuffle_for`` — ``max(base, input_bytes/advisory)``
+    — so a bench-scale corpus keeps the base width (zero overhead)
+    while a grown corpus starts proportionally wider (a blanket 8x
+    start measured 15-35% slower on the 16M-doc flagship at 32 cores).
+    Shingle pipelines scope their 64k floor per call via
+    ``min_partition_size`` (doc_shingles)."""
     from json_validator_spark.session import size_shuffle_for
 
     base = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
     assert spark.conf.get(
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize") == "64k"
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize") == "1m"
     assert spark.conf.get(
         "spark.sql.adaptive.advisoryPartitionSizeInBytes") == "64m"
     # Huge-method JIT: the codegen'd rule projection exceeds HotSpot's
@@ -843,8 +846,15 @@ def test_session_factory_automatic_shuffle_sizing(spark, tmp_path):
     assert size_shuffle_for(spark, spark.range(10).toDF("id")) == base
     # the cap bounds the width for any corpus size
     assert size_shuffle_for(spark, df, advisory_bytes=1, cap=97) == 97
+    # per-pipeline floor scoping: a shingle-style call sets 64k, the
+    # next default call restores the 1 MB validation floor
+    size_shuffle_for(spark, df, min_partition_size="64k")
+    assert spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize") == "64k"
     # leave the shared session at the base width for later tests
     assert size_shuffle_for(spark, df) == base
+    assert spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize") == "1m"
 
 
 def test_horizontal_partition_union_equals_full_run(spark):
