@@ -1353,6 +1353,91 @@ def test_import_draft4_boolean_exclusive_without_sibling_raises():
         )
 
 
+def test_differential_draft4_boolean_bounds_fuzz(spark):
+    """Differential fuzz of the draft-4 boolean-modifier rewrite: random
+    bound configurations, boundary-adjacent values, and the expectation
+    computed independently from the draft-4 spec text (§5.1.2/§5.1.3:
+    exclusiveMinimum=true means x > minimum MUST hold, false/absent
+    means x >= minimum). Exact integer bounds so boundary equality is
+    never a float question. Any divergence between the importer+engine
+    and the spec-written predicate fails the property."""
+    import random
+
+    rng = random.Random(0xD4)
+    cols = ["a", "b", "c"]
+    for trial in range(10):
+        props: dict = {}
+        spec: dict = {}
+        for c in cols:
+            m = rng.randint(-20, 20) if rng.random() < 0.8 else None
+            mx = rng.randint(-20, 20) if rng.random() < 0.8 else None
+            if m is not None and mx is not None and mx < m:
+                m, mx = mx, m
+            node: dict = {}
+            em = emx = None
+            if m is not None:
+                node["minimum"] = m
+                if rng.random() < 0.7:
+                    em = rng.random() < 0.5
+                    node["exclusiveMinimum"] = em
+            if mx is not None:
+                node["maximum"] = mx
+                if rng.random() < 0.7:
+                    emx = rng.random() < 0.5
+                    node["exclusiveMaximum"] = emx
+            if node:
+                props[c] = node
+                spec[c] = (m, bool(em), mx, bool(emx))
+        if not props:
+            continue
+        schema = {
+            "$schema": "http://json-schema.org/draft-04/schema#",
+            "type": "object",
+            "properties": props,
+        }
+        rs, defs = ruleset_from_json_schema(schema, name=f"d4f{trial}")
+
+        def candidates(c):
+            pool = [None, rng.randint(-25, 25)]
+            if c in spec:
+                m, _, mx, _ = spec[c]
+                for b in (m, mx):
+                    if b is not None:
+                        pool += [b - 1, b, b + 1]
+            return pool
+
+        rows = []
+        for i in range(12):
+            rows.append(tuple([i] + [rng.choice(candidates(c)) for c in cols]))
+        df = spark.createDataFrame(
+            rows, "doc_id long, a long, b long, c long")
+
+        want = set()
+        for row in rows:
+            d = row[0]
+            for ci, c in enumerate(cols):
+                if c not in spec:
+                    continue
+                x = row[1 + ci]
+                if x is None:  # null passes numeric keywords
+                    continue
+                m, em, mx, emx = spec[c]
+                if m is not None:
+                    if em and not (x > m):
+                        want.add((d, f"{c}.exclusiveMinimum"))
+                    elif not em and x < m:
+                        want.add((d, f"{c}.minimum"))
+                if mx is not None:
+                    if emx and not (x < mx):
+                        want.add((d, f"{c}.exclusiveMaximum"))
+                    elif not emx and x > mx:
+                        want.add((d, f"{c}.maximum"))
+
+        got = {(r.doc_id, r.rule_id)
+               for r in violations_df(df, rs, definitions=defs).collect()}
+        assert got == want, f"trial {trial}: {sorted(got ^ want)}"
+
+
 # ------------------------------------------------- 2019-09 $recursiveRef
 
 
