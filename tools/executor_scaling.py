@@ -70,6 +70,61 @@ def _steal_jiffies() -> tuple[int, int]:
     return (vals[7] if len(vals) > 7 else 0), sum(vals)
 
 
+def _platform_probe() -> dict:
+    """The host's OWN 8→32-core string-workload scaling, measured right
+    now — the resource-profile-matched ceiling for the engine's pairs.
+
+    The round-5 red-window forensics showed steal% and load1 alone
+    cannot attribute a sub-0.8 pair: co-tenant MEMORY-BANDWIDTH pressure
+    inflates full-width legs without registering as either (measured
+    ceilings 2.51-2.84x in contended morning windows vs >=3.2x in the
+    quiet evening windows that produced 0.94/0.91). Recording the
+    ceiling per pair makes every result self-attributing: an engine
+    pair can only be judged against what the hardware offered during
+    it. ~40 s per pair (two tiny pinned JVMs), negligible next to the
+    ~15 min legs."""
+    out = {}
+    for cores in (8, 32):
+        res = subprocess.run(
+            ["taskset", "-c", f"0-{cores - 1}",
+             sys.executable, "-u", __file__, "calib", str(cores)],
+            capture_output=True, text=True, check=True,
+        )
+        out[f"string_sec_{cores}"] = json.loads(
+            res.stdout.strip().splitlines()[-1])["string_sec"]
+    ceiling = out["string_sec_8"] / out["string_sec_32"]
+    out["string_ceiling_speedup"] = round(ceiling, 3)
+    out["string_ceiling_efficiency"] = round(ceiling / 4.0, 3)
+    return out
+
+
+def calib(cores: int) -> None:
+    """Internal: one pinned JVM, the scaling_bench string calibration
+    (md5 over ~64-byte strings — validation's resource profile)."""
+    from pyspark.sql import functions as F
+
+    from json_validator_spark.session import get_spark
+
+    rows = 800_000_000 // 12
+    spark = get_spark(
+        app_name=f"exec-calib-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=2 * cores,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.range(0, rows, numPartitions=4 * cores)
+    expr = F.max(
+        F.md5(F.concat(F.lpad(F.col("id").cast("string"), 24, "x"),
+                       F.reverse(F.col("id").cast("string")),
+                       F.lit("abcdefghijklmnopqrstuvwxyz0123456789")))
+    )
+    df.select(expr).collect()  # warm-up
+    t0 = time.perf_counter()
+    df.select(expr).collect()
+    spark.stop()
+    print(json.dumps({"cores": cores,
+                      "string_sec": round(time.perf_counter() - t0, 2)}))
+
+
 def gen_inputs() -> None:
     """Materialize the corpus and its 4 hash-disjoint quarters once.
 
@@ -212,6 +267,7 @@ def main() -> None:
     pairs = []
     for p in range(N_PAIRS):
         load0 = _load1()
+        probe = _platform_probe()
         s0, t0 = _steal_jiffies()
         solo_out = subprocess.run(
             ["taskset", "-c", f"0-{CORES_PER - 1}",
@@ -257,6 +313,7 @@ def main() -> None:
             "steal_pct_solo": round(100.0 * (s1 - s0) / (t1 - t0), 2) if t1 > t0 else 0.0,
             "steal_pct_4n": round(100.0 * (s2 - s1) / (t2 - t1), 2) if t2 > t1 else 0.0,
             "load1": [round(load0, 2), round(load_mid, 2), round(load_end, 2)],
+            "platform_probe": probe,
         })
     print(json.dumps({
         "n_docs": N_DOCS,
@@ -277,5 +334,7 @@ if __name__ == "__main__":
         solo()
     elif len(sys.argv) > 1 and sys.argv[1] == "quarter":
         quarter(int(sys.argv[2]), sys.argv[3])
+    elif len(sys.argv) > 1 and sys.argv[1] == "calib":
+        calib(int(sys.argv[2]))
     else:
         main()
