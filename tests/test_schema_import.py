@@ -1208,6 +1208,81 @@ def test_import_total_under_random_dynamic_ref_graphs():
     run()
 
 
+def test_import_total_under_random_recursive_ref_graphs():
+    """The 2019-09 twin of the dynamic-ref graph fuzz: for ANY placement
+    of ``$recursiveAnchor`` (true/false — false means no anchor) and
+    ``$recursiveRef: "#"`` across three documents, plus mixtures with
+    plain ``$ref`` and the 2020-12 dynamic forms they rewrite into,
+    import either compiles or raises a clean ValueError/KeyError — never
+    hangs — and whatever compiles normalizes (or names the cycle)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from json_validator_spark.rules.compiler import normalize_rule
+    from json_validator_spark.rules.schema_registry import SchemaRegistry
+
+    ids = ["https://r.test/a.json", "https://r.test/b.json"]
+    def_names = ["d0", "d1", "d2"]
+    ref_targets = (
+        [f"#/$defs/{n}" for n in def_names]
+        + [f"{i}#/$defs/{n}" for i in ids for n in def_names]
+        + ids
+    )
+    leaf = st.sampled_from([{"minLength": 1}, {"maximum": 10}, True])
+
+    def with_anchor(pair):
+        anchor, body = pair
+        out = dict(body) if isinstance(body, dict) else {}
+        if anchor is not None:
+            out["$recursiveAnchor"] = anchor
+        return out
+
+    anchor_vals = st.sampled_from([True, False, None])
+    node = st.one_of(
+        st.tuples(anchor_vals, leaf).map(with_anchor),
+        st.sampled_from(ref_targets).map(lambda t: {"$ref": t}),
+        anchor_vals.map(lambda a: with_anchor((a, {"$recursiveRef": "#"}))),
+        st.sampled_from(ref_targets).map(
+            lambda t: {"allOf": [{"$ref": t}, {"$recursiveRef": "#"}]}
+        ),
+    )
+    root_anchor = st.sampled_from([True, False, None])
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        defs_a=st.lists(node, min_size=3, max_size=3),
+        defs_b=st.lists(node, min_size=3, max_size=3),
+        root_defs=st.lists(node, min_size=3, max_size=3),
+        prop=node,
+        anc_a=root_anchor, anc_b=root_anchor, anc_root=root_anchor,
+        depth=st.sampled_from([None, 1, 2]),
+    )
+    def run(defs_a, defs_b, root_defs, prop, anc_a, anc_b, anc_root, depth):
+        def doc(i, defs, anc):
+            d = {"$id": i, "$defs": dict(zip(def_names, defs))}
+            if anc is not None:
+                d["$recursiveAnchor"] = anc
+            return d
+
+        reg = SchemaRegistry()
+        reg.register(doc(ids[0], defs_a, anc_a))
+        reg.register(doc(ids[1], defs_b, anc_b))
+        root = doc("https://r.test/root.json", root_defs, anc_root)
+        root["type"] = "object"
+        root["properties"] = {"p": prop}
+        try:
+            rs, d = ruleset_from_json_schema(root, registry=reg, max_ref_depth=depth)
+        except (ValueError, KeyError):
+            return  # clean refusal (bad shape / missing target / depth)
+        for r in rs.rules:
+            try:
+                normalize_rule(r, d)
+            except ValueError as e:
+                assert "cyclic" in str(e) or "unresolved" in str(e)
+
+    run()
+
+
 def test_fuzz_dynamic_annotation_flow_vs_python_model(spark):
     """Differential fuzz of the DYNAMIC unevaluatedProperties flow:
     randomly composed sibling applicators (anyOf/oneOf/if-then-else/
