@@ -1,0 +1,337 @@
+"""Random-JSON-Schema differential fuzz: importer + compiler + executor
+vs an independent spec-based evaluator.
+
+``test_differential.py`` fuzzes fixed rule sets over random documents;
+this file closes the remaining gap by fuzzing the SCHEMAS themselves:
+hypothesis draws random 2020-12 schema documents from a bounded,
+type-consistent keyword grammar (numeric bounds / multipleOf / const /
+enum / combinators / if-then-else on a number column, length + pattern
+keywords on a string column, items / contains / uniqueItems on an array
+column, plus top-level required / dependentRequired), imports each
+through ``ruleset_from_json_schema``, and checks the engine's violation
+set against a from-the-spec Python evaluator on a deterministic
+document grid. Divergence in ANY keyword interaction fails with the
+offending (schema, doc) pair.
+
+All drawn schemas are merged into one RuleSet per chunk (rule_ids
+prefixed ``s<i>.``) so the whole fuzz costs a handful of Spark jobs —
+the same many-rules-one-pass shape the engine runs in production
+(reference semantics per keyword: ``JSONValidator.java:381-397``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import replace
+
+from json_validator_spark.operators.row_checks import violations_df
+from json_validator_spark.rules.model import RuleSet
+from json_validator_spark.rules.schema_import import ruleset_from_json_schema
+
+DDL = "doc_id long, a double, b string, c array<long>"
+
+A_VALUES = [None, -3.0, -1.0, 0.0, 1.0, 2.0, 2.5, 4.0, 4.5]
+B_VALUES = [None, "", "x", "yy", "ab", "xy", "zzz", "xyxy"]
+C_VALUES = [None, [], [1], [2, 3], [0, 0], [5, 2, 2, 1], [3, 3, 3, 3], [0, 1, 2, 3]]
+
+PATTERNS = ["x", "^y", "b$", "^[xy]+$", "x.y"]
+B_POOL = ["", "x", "yy", "ab", "xy", "zz"]
+
+
+def _doc_grid() -> list[tuple]:
+    """Deterministic 144-doc grid over the three columns' value spaces."""
+    rows, doc_id = [], 0
+    for ia, a in enumerate(A_VALUES):
+        for ib, b in enumerate(B_VALUES):
+            for ic, c in enumerate(C_VALUES):
+                if (ia + ib + ic) % 4:
+                    continue
+                rows.append((doc_id, a, b, c))
+                doc_id += 1
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Independent evaluator — written from draft 2020-12, not from engine code.
+# Engine contract divergence from raw JSON Schema: a NULL column value is
+# ABSENT (all value keywords pass; only required/dependentRequired fire).
+# ---------------------------------------------------------------------------
+
+
+def _eval(sub: dict, val) -> bool:
+    for k, p in sub.items():
+        if k in ("type", "minContains", "maxContains", "then", "else"):
+            ok = True
+        elif k == "minimum":
+            ok = val >= p
+        elif k == "maximum":
+            ok = val <= p
+        elif k == "exclusiveMinimum":
+            ok = val > p
+        elif k == "exclusiveMaximum":
+            ok = val < p
+        elif k == "multipleOf":
+            ok = (val % p) == 0
+        elif k == "const":
+            ok = val == p
+        elif k == "enum":
+            ok = val in p
+        elif k == "minLength":
+            ok = len(val) >= p
+        elif k == "maxLength":
+            ok = len(val) <= p
+        elif k == "pattern":
+            ok = re.search(p, val) is not None
+        elif k == "minItems":
+            ok = len(val) >= p
+        elif k == "maxItems":
+            ok = len(val) <= p
+        elif k == "uniqueItems":
+            ok = (not p) or len(set(val)) == len(val)
+        elif k == "items":
+            ok = all(_eval(p, x) for x in val)
+        elif k == "contains":
+            cnt = sum(1 for x in val if _eval(p, x))
+            lo, hi = sub.get("minContains", 1), sub.get("maxContains")
+            ok = cnt >= lo and (hi is None or cnt <= hi)
+        elif k == "allOf":
+            ok = all(_eval(s, val) for s in p)
+        elif k == "anyOf":
+            ok = any(_eval(s, val) for s in p)
+        elif k == "oneOf":
+            ok = sum(bool(_eval(s, val)) for s in p) == 1
+        elif k == "not":
+            ok = not _eval(p, val)
+        elif k == "if":
+            br = sub.get("then") if _eval(p, val) else sub.get("else")
+            ok = br is None or _eval(br, val)
+        else:  # pragma: no cover - grammar and evaluator out of sync
+            raise AssertionError(f"evaluator does not know keyword {k!r}")
+        if not ok:
+            return False
+    return True
+
+
+def _expected(schema: dict, doc: dict) -> set[str]:
+    """rule_id suffixes (``<prop>.<keyword>``) the engine must emit."""
+    fails: set[str] = set()
+    for p in schema.get("required", []):
+        if doc[p] is None:
+            fails.add(f"{p}.required")
+    for x, ys in schema.get("dependentRequired", {}).items():
+        if doc[x] is not None:
+            for y in ys:
+                if doc[y] is None:
+                    fails.add(f"{y}.dependentRequired")
+    for p, sch in schema.get("properties", {}).items():
+        val = doc[p]
+        if val is None:
+            continue
+        saw_ite = False
+        for k, par in sch.items():
+            if k == "type" or k in ("minContains", "maxContains"):
+                continue
+            if k in ("if", "then", "else"):
+                if not saw_ite:
+                    saw_ite = True
+                    br = sch.get("then") if _eval(sch["if"], val) else sch.get("else")
+                    if br is not None and not _eval(br, val):
+                        fails.add(f"{p}.ifThenElse")
+                continue
+            if k == "contains":
+                cnt = sum(1 for x in val if _eval(par, x))
+                lo, hi = sch.get("minContains", 1), sch.get("maxContains")
+                if cnt < lo or (hi is not None and cnt > hi):
+                    fails.add(f"{p}.contains")
+                continue
+            if not _eval({k: par}, val):
+                fails.add(f"{p}.{k}")
+    return fails
+
+
+# ---------------------------------------------------------------------------
+# Schema grammar (hypothesis)
+# ---------------------------------------------------------------------------
+
+
+def _random_schemas(n: int) -> list[dict]:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ints = st.integers(-3, 6)
+
+    @st.composite
+    def num_leaf(draw):
+        opts = {
+            "minimum": ints,
+            "maximum": ints,
+            "exclusiveMinimum": ints,
+            "exclusiveMaximum": ints,
+            "multipleOf": st.integers(1, 3),
+            "const": ints,
+            "enum": st.lists(ints, min_size=1, max_size=3, unique=True),
+        }
+        keys = draw(
+            st.lists(st.sampled_from(sorted(opts)), min_size=1, max_size=2, unique=True)
+        )
+        return {k: draw(opts[k]) for k in keys}
+
+    @st.composite
+    def a_schema(draw):
+        sch = {"type": "number"}
+        simple = {
+            "minimum": ints,
+            "maximum": ints,
+            "exclusiveMinimum": ints,
+            "exclusiveMaximum": ints,
+            "multipleOf": st.integers(1, 3),
+            "const": ints,
+            "enum": st.lists(ints, min_size=1, max_size=3, unique=True),
+        }
+        menu = sorted(simple) + ["not", "allOf", "anyOf", "oneOf", "ifThenElse"]
+        for k in draw(st.lists(st.sampled_from(menu), max_size=4, unique=True)):
+            if k == "not":
+                sch["not"] = draw(num_leaf())
+            elif k in ("allOf", "anyOf", "oneOf"):
+                sch[k] = [draw(num_leaf()), draw(num_leaf())]
+            elif k == "ifThenElse":
+                sch["if"] = draw(num_leaf())
+                sch["then"] = draw(num_leaf())
+                sch["else"] = draw(num_leaf())
+            else:
+                sch[k] = draw(simple[k])
+        return sch
+
+    @st.composite
+    def b_schema(draw):
+        sch = {"type": "string"}
+        simple = {
+            "minLength": st.integers(0, 4),
+            "maxLength": st.integers(0, 4),
+            "pattern": st.sampled_from(PATTERNS),
+            "const": st.sampled_from(B_POOL),
+            "enum": st.lists(st.sampled_from(B_POOL), min_size=1, max_size=3, unique=True),
+        }
+        for k in draw(st.lists(st.sampled_from(sorted(simple)), max_size=3, unique=True)):
+            sch[k] = draw(simple[k])
+        return sch
+
+    @st.composite
+    def c_schema(draw):
+        sch = {"type": "array"}
+        for k in draw(
+            st.lists(
+                st.sampled_from(
+                    ["minItems", "maxItems", "uniqueItems", "items", "contains"]
+                ),
+                max_size=3,
+                unique=True,
+            )
+        ):
+            if k == "uniqueItems":
+                sch[k] = True
+            elif k == "items":
+                sch[k] = draw(num_leaf())
+            elif k == "contains":
+                sch[k] = draw(num_leaf())
+                if draw(st.booleans()):
+                    sch["minContains"] = draw(st.integers(0, 3))
+                if draw(st.booleans()):
+                    sch["maxContains"] = draw(st.integers(0, 3))
+            else:
+                sch[k] = draw(st.integers(0, 4))
+        return sch
+
+    @st.composite
+    def whole(draw):
+        sch = {
+            "$schema": "https://json-schema.org/draft/2020-12/schema",
+            "type": "object",
+            "properties": {
+                "a": draw(a_schema()),
+                "b": draw(b_schema()),
+                "c": draw(c_schema()),
+            },
+        }
+        req = draw(
+            st.lists(st.sampled_from(["a", "b", "c"]), max_size=2, unique=True)
+        )
+        if req:
+            sch["required"] = req
+        if draw(st.booleans()):
+            x, y = draw(st.sampled_from([("a", "b"), ("b", "c"), ("c", "a")]))
+            sch["dependentRequired"] = {x: [y]}
+        return sch
+
+    acc: list[dict] = []
+
+    @settings(max_examples=n, deadline=None)
+    @given(whole())
+    def collect(s):
+        acc.append(s)
+
+    collect()
+    return acc
+
+
+# Pinned seed schema: fails loudly with a readable diff if the importer's
+# rule naming (required / dependentRequired / ifThenElse / contains fold)
+# ever changes, before the fuzz produces an opaque mismatch.
+SEED_SCHEMA = {
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "type": "object",
+    "required": ["b"],
+    "dependentRequired": {"b": ["a"]},
+    "properties": {
+        "a": {
+            "type": "number",
+            "if": {"minimum": 2},
+            "then": {"multipleOf": 2},
+            "else": {"maximum": 0},
+            "oneOf": [{"minimum": 0}, {"minimum": 2}],
+        },
+        "b": {"type": "string", "pattern": "x"},
+        "c": {"type": "array", "contains": {"minimum": 2}, "minContains": 1, "maxContains": 2},
+    },
+}
+
+
+def _run_chunk(spark, schemas: list[dict], docs: list[tuple]) -> None:
+    merged = []
+    for i, sch in enumerate(schemas):
+        rs, defs = ruleset_from_json_schema(sch, name=f"fz{i}")
+        assert isinstance(rs, RuleSet), "grammar emits plain object schemas only"
+        assert not defs
+        merged.extend(replace(r, rule_id=f"s{i}.{r.rule_id}") for r in rs.rules)
+    ruleset = RuleSet(rules=tuple(merged), name="fuzz")
+
+    df = spark.createDataFrame(docs, DDL)
+    got = {
+        (r["doc_id"], r["rule_id"])
+        for r in violations_df(df, ruleset, definitions={}).collect()
+    }
+
+    want = set()
+    for doc_id, a, b, c in docs:
+        doc = {"a": a, "b": b, "c": c}
+        for i, sch in enumerate(schemas):
+            want.update((doc_id, f"s{i}.{rid}") for rid in _expected(sch, doc))
+
+    if got != want:
+        extra, missing = sorted(got - want), sorted(want - got)
+        by_doc = {d: r for d, r in (extra + missing)[:5]}
+        raise AssertionError(
+            f"engine/spec divergence: {len(extra)} extra, {len(missing)} missing; "
+            f"first={((extra + missing)[:5])}; docs={by_doc}; schemas={schemas}"
+        )
+
+
+def test_seed_schema_naming_and_semantics(spark):
+    _run_chunk(spark, [SEED_SCHEMA], _doc_grid())
+
+
+def test_random_schema_differential(spark):
+    docs = _doc_grid()
+    schemas = _random_schemas(24)
+    for lo in range(0, len(schemas), 6):
+        _run_chunk(spark, schemas[lo : lo + 6], docs)
