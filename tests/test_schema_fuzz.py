@@ -274,6 +274,122 @@ def _random_schemas(n: int) -> list[dict]:
     return acc
 
 
+def _random_combination_schemas(n: int) -> list[dict]:
+    """Random top-level ``anyOf``/``oneOf`` schema-set documents — the
+    reference's ALL/ANY/ONE_OF combination approach
+    (``JSONValidator.java:252-296``) drawn as data."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ints = st.integers(-3, 6)
+
+    @st.composite
+    def a_leaf(draw):
+        sch = {"type": "number"}
+        opts = {"minimum": ints, "maximum": ints, "multipleOf": st.integers(1, 3)}
+        for k in draw(st.lists(st.sampled_from(sorted(opts)), max_size=2, unique=True)):
+            sch[k] = draw(opts[k])
+        return sch
+
+    @st.composite
+    def b_leaf(draw):
+        sch = {"type": "string"}
+        opts = {
+            "minLength": st.integers(0, 4),
+            "maxLength": st.integers(0, 4),
+            "pattern": st.sampled_from(PATTERNS),
+        }
+        for k in draw(st.lists(st.sampled_from(sorted(opts)), max_size=2, unique=True)):
+            sch[k] = draw(opts[k])
+        return sch
+
+    @st.composite
+    def c_leaf(draw):
+        sch = {"type": "array"}
+        opts = {"minItems": st.integers(0, 4), "maxItems": st.integers(0, 4)}
+        for k in draw(st.lists(st.sampled_from(sorted(opts)), max_size=2, unique=True)):
+            sch[k] = draw(opts[k])
+        return sch
+
+    leaves = {"a": a_leaf, "b": b_leaf, "c": c_leaf}
+
+    @st.composite
+    def branch(draw):
+        chosen = draw(
+            st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=2, unique=True)
+        )
+        out = {
+            "type": "object",
+            "properties": {p: draw(leaves[p]()) for p in chosen},
+        }
+        req = draw(st.lists(st.sampled_from(chosen), max_size=2, unique=True))
+        if req:
+            out["required"] = req
+        return out
+
+    @st.composite
+    def whole(draw):
+        kind = draw(st.sampled_from(["anyOf", "oneOf"]))
+        return {
+            "$schema": "https://json-schema.org/draft/2020-12/schema",
+            "type": "object",
+            "properties": {"a": draw(a_leaf())},
+            kind: [draw(branch()) for _ in range(draw(st.integers(2, 3)))],
+        }
+
+    acc: list[dict] = []
+
+    @settings(max_examples=n, deadline=None)
+    @given(whole())
+    def collect(s):
+        acc.append(s)
+
+    collect()
+    return acc
+
+
+def _expected_combination(schema: dict, doc: dict) -> set[str]:
+    """Expected rule_ids for a top-level anyOf/oneOf schema document,
+    from the probed report contract: branch errors are suppressed when
+    the combination holds; on a 0-pass doc a ``combination.any`` /
+    ``combination.oneOf`` header row plus ``<kind><i>.``-prefixed branch
+    errors appear; a >1-pass ONE_OF doc gets the single
+    ``combination.oneOf.multiple`` header."""
+    kind = "anyOf" if "anyOf" in schema else "oneOf"
+    main = {k: v for k, v in schema.items() if k not in ("anyOf", "oneOf")}
+    fails = _expected(main, doc)
+    branch_fails = [_expected(br, doc) for br in schema[kind]]
+    npass = sum(1 for bf in branch_fails if not bf)
+    if npass == 0:
+        fails.add("combination.any" if kind == "anyOf" else "combination.oneOf")
+        for i, bf in enumerate(branch_fails):
+            fails.update(f"{kind}{i}.{rid}" for rid in bf)
+    elif kind == "oneOf" and npass > 1:
+        fails.add("combination.oneOf.multiple")
+    return fails
+
+
+def test_random_combination_differential(spark):
+    docs = [r for i, r in enumerate(_doc_grid()) if i % 2 == 0]
+    df = spark.createDataFrame(docs, DDL)
+    for sch in _random_combination_schemas(10):
+        rs, defs = ruleset_from_json_schema(sch, name="fzc")
+        got = {
+            (r["doc_id"], r["rule_id"])
+            for r in violations_df(df, rs, definitions=defs).collect()
+        }
+        want = set()
+        for doc_id, a, b, c in docs:
+            want.update(
+                (doc_id, rid)
+                for rid in _expected_combination(sch, {"a": a, "b": b, "c": c})
+            )
+        assert got == want, (
+            f"combination divergence: extra={sorted(got - want)[:6]} "
+            f"missing={sorted(want - got)[:6]} schema={sch}"
+        )
+
+
 # Pinned seed schema: fails loudly with a readable diff if the importer's
 # rule naming (required / dependentRequired / ifThenElse / contains fold)
 # ever changes, before the fuzz produces an opaque mismatch.
