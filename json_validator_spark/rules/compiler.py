@@ -238,6 +238,11 @@ def _pointer_value(target: str) -> Column:
     ``_doc_value`` (nested fields + positional F.get), for guards and
     dependency targets that are NOT the rule's own target."""
     parts = target.strip("/").split("/")
+    if parts == [""]:
+        # document-root target ("/"): no single column carries "the whole
+        # row" — only the constant kinds (true/false branch anchors) may
+        # anchor here, and their predicates ignore the value
+        return F.lit(None).cast("string")
     col: Column = F.col(parts[0])
     for p in parts[1:]:
         col = col[p] if not p.isdigit() else F.get(col, int(p))

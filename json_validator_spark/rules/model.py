@@ -134,6 +134,7 @@ class RuleSet:
 
     def columns_touched(self) -> set[str]:
         cols = {r.column for r in self.rules}
+        cols.discard("")  # root-anchored ("/") rules touch no column
         for r in self.rules:
             dep = r.params.get("if_target")
             if dep:

@@ -1170,8 +1170,23 @@ def ruleset_from_json_schema(
     rules = []
     for i, member in enumerate(schema[combo_kw]):
         _require_object_member(member, f"#/{combo_kw}/{i}")
+        n_before = len(rules)
         add_object_schema(member, f"#/{combo_kw}/{i}",
                           ruleset=f"branch{i}", prefix=f"{combo_kw}{i}.")
+        if len(rules) == n_before:
+            # An all-annotation / object-array-type-only member compiles
+            # to zero rules, but the branch must still EXIST in the
+            # combination algebra: networknt counts an always-pass branch
+            # as a match (``JSONValidator.java:259-278``), so a oneOf
+            # with two permissive members is "matches more than one
+            # configured schema", not a degenerate single-branch ALL, and
+            # an anyOf with a permissive member always matches. Anchor
+            # the branch label with the vocabulary's never-firing `true`
+            # rule at the document root.
+            rules.append(
+                Rule(f"{combo_kw}{i}.true", "/", "true", {},
+                     severity="error", ruleset=f"branch{i}")
+            )
     branches = RuleSet(
         rules=tuple(rules),
         combination=Combination.ANY if combo_kw == "anyOf" else Combination.ONE_OF,

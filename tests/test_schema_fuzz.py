@@ -28,26 +28,38 @@ from json_validator_spark.operators.row_checks import violations_df
 from json_validator_spark.rules.model import RuleSet
 from json_validator_spark.rules.schema_import import ruleset_from_json_schema
 
-DDL = "doc_id long, a double, b string, c array<long>"
+DDL = "doc_id long, a double, b string, c array<long>, m map<string,string>"
 
 A_VALUES = [None, -3.0, -1.0, 0.0, 1.0, 2.0, 2.5, 4.0, 4.5]
 B_VALUES = [None, "", "x", "yy", "ab", "xy", "zzz", "xyxy"]
 C_VALUES = [None, [], [1], [2, 3], [0, 0], [5, 2, 2, 1], [3, 3, 3, 3], [0, 1, 2, 3]]
+M_VALUES = [
+    None,
+    {},
+    {"k": "v1"},
+    {"K": "1", "j": "2"},
+    {"xq": "bad"},
+    {"k": "1", "xv": "vv", "j": "2"},
+    {"j": "v"},
+]
 
 PATTERNS = ["x", "^y", "b$", "^[xy]+$", "x.y"]
 B_POOL = ["", "x", "yy", "ab", "xy", "zz"]
+KEY_PATTERNS = ["^[a-z]+$", "^[kj]", "q$"]
+VAL_PATTERNS = ["^v", "1"]
 
 
 def _doc_grid() -> list[tuple]:
-    """Deterministic 144-doc grid over the three columns' value spaces."""
+    """Deterministic ~230-doc grid over the four columns' value spaces."""
     rows, doc_id = [], 0
     for ia, a in enumerate(A_VALUES):
         for ib, b in enumerate(B_VALUES):
             for ic, c in enumerate(C_VALUES):
-                if (ia + ib + ic) % 4:
-                    continue
-                rows.append((doc_id, a, b, c))
-                doc_id += 1
+                for im, m in enumerate(M_VALUES):
+                    if (ia + ib + ic + im) % 7 or (ia + 2 * ib + 3 * ic + im) % 3:
+                        continue
+                    rows.append((doc_id, a, b, c, m))
+                    doc_id += 1
     return rows
 
 
@@ -58,10 +70,28 @@ def _doc_grid() -> list[tuple]:
 # ---------------------------------------------------------------------------
 
 
-def _eval(sub: dict, val) -> bool:
+def _eval(sub: dict, val, root: dict | None = None) -> bool:
     for k, p in sub.items():
         if k in ("type", "minContains", "maxContains", "then", "else"):
             ok = True
+        elif k == "$ref":
+            name = p.rsplit("/", 1)[-1]
+            ok = _eval((root or {}).get("$defs", {})[name], val, root)
+        elif k == "minProperties":
+            ok = len(val) >= p
+        elif k == "maxProperties":
+            ok = len(val) <= p
+        elif k == "propertyNames":
+            ok = all(re.search(p["pattern"], key) for key in val)
+        elif k == "patternProperties":
+            ok = all(
+                _eval(vsch, v, root)
+                for key_re, vsch in p.items()
+                for key, v in val.items()
+                if re.search(key_re, key)
+            )
+        elif k == "required" and isinstance(val, dict):
+            ok = all(key in val for key in p)
         elif k == "minimum":
             ok = val >= p
         elif k == "maximum":
@@ -134,17 +164,25 @@ def _expected(schema: dict, doc: dict) -> set[str]:
             if k in ("if", "then", "else"):
                 if not saw_ite:
                     saw_ite = True
-                    br = sch.get("then") if _eval(sch["if"], val) else sch.get("else")
-                    if br is not None and not _eval(br, val):
+                    cond = _eval(sch["if"], val, schema)
+                    br = sch.get("then") if cond else sch.get("else")
+                    if br is not None and not _eval(br, val, schema):
                         fails.add(f"{p}.ifThenElse")
                 continue
             if k == "contains":
-                cnt = sum(1 for x in val if _eval(par, x))
+                cnt = sum(1 for x in val if _eval(par, x, schema))
                 lo, hi = sch.get("minContains", 1), sch.get("maxContains")
                 if cnt < lo or (hi is not None and cnt > hi):
                     fails.add(f"{p}.contains")
                 continue
-            if not _eval({k: par}, val):
+            if k == "required":
+                # map-typed property: one requiredKey rule per listed key,
+                # importer-numbered `<p>.requiredKey[, .1, .2 ...]`
+                for i, key in enumerate(par):
+                    if key not in val:
+                        fails.add(f"{p}.requiredKey" + (f".{i}" if i else ""))
+                continue
+            if not _eval({k: par}, val, schema):
                 fails.add(f"{p}.{k}")
     return fails
 
@@ -188,7 +226,7 @@ def _random_schemas(n: int) -> list[dict]:
             "const": ints,
             "enum": st.lists(ints, min_size=1, max_size=3, unique=True),
         }
-        menu = sorted(simple) + ["not", "allOf", "anyOf", "oneOf", "ifThenElse"]
+        menu = sorted(simple) + ["not", "allOf", "anyOf", "oneOf", "ifThenElse", "$ref"]
         for k in draw(st.lists(st.sampled_from(menu), max_size=4, unique=True)):
             if k == "not":
                 sch["not"] = draw(num_leaf())
@@ -198,8 +236,44 @@ def _random_schemas(n: int) -> list[dict]:
                 sch["if"] = draw(num_leaf())
                 sch["then"] = draw(num_leaf())
                 sch["else"] = draw(num_leaf())
+            elif k == "$ref":
+                sch["$ref"] = "#/$defs/d0"
             else:
                 sch[k] = draw(simple[k])
+        return sch
+
+    @st.composite
+    def m_schema(draw):
+        sch = {"type": "object"}
+        for k in draw(
+            st.lists(
+                st.sampled_from(
+                    [
+                        "minProperties",
+                        "maxProperties",
+                        "propertyNames",
+                        "patternProperties",
+                        "required",
+                    ]
+                ),
+                max_size=3,
+                unique=True,
+            )
+        ):
+            if k == "propertyNames":
+                sch[k] = {"pattern": draw(st.sampled_from(KEY_PATTERNS))}
+            elif k == "patternProperties":
+                sch[k] = {
+                    draw(st.sampled_from(["^x", "^k"])): {
+                        "pattern": draw(st.sampled_from(VAL_PATTERNS))
+                    }
+                }
+            elif k == "required":
+                sch[k] = draw(
+                    st.lists(st.sampled_from(["k", "j"]), min_size=1, max_size=2, unique=True)
+                )
+            else:
+                sch[k] = draw(st.integers(0, 3))
         return sch
 
     @st.composite
@@ -251,15 +325,18 @@ def _random_schemas(n: int) -> list[dict]:
                 "a": draw(a_schema()),
                 "b": draw(b_schema()),
                 "c": draw(c_schema()),
+                "m": draw(m_schema()),
             },
         }
+        if "$ref" in sch["properties"]["a"]:
+            sch["$defs"] = {"d0": draw(num_leaf())}
         req = draw(
-            st.lists(st.sampled_from(["a", "b", "c"]), max_size=2, unique=True)
+            st.lists(st.sampled_from(["a", "b", "c", "m"]), max_size=2, unique=True)
         )
         if req:
             sch["required"] = req
         if draw(st.booleans()):
-            x, y = draw(st.sampled_from([("a", "b"), ("b", "c"), ("c", "a")]))
+            x, y = draw(st.sampled_from([("a", "b"), ("b", "c"), ("c", "a"), ("m", "a")]))
             sch["dependentRequired"] = {x: [y]}
         return sch
 
@@ -379,10 +456,10 @@ def test_random_combination_differential(spark):
             for r in violations_df(df, rs, definitions=defs).collect()
         }
         want = set()
-        for doc_id, a, b, c in docs:
+        for doc_id, a, b, c, m in docs:
             want.update(
                 (doc_id, rid)
-                for rid in _expected_combination(sch, {"a": a, "b": b, "c": c})
+                for rid in _expected_combination(sch, {"a": a, "b": b, "c": c, "m": m})
             )
         assert got == want, (
             f"combination divergence: extra={sorted(got - want)[:6]} "
@@ -413,23 +490,27 @@ SEED_SCHEMA = {
 
 
 def _run_chunk(spark, schemas: list[dict], docs: list[tuple]) -> None:
-    merged = []
+    merged, merged_defs = [], {}
     for i, sch in enumerate(schemas):
         rs, defs = ruleset_from_json_schema(sch, name=f"fz{i}")
         assert isinstance(rs, RuleSet), "grammar emits plain object schemas only"
-        assert not defs
-        merged.extend(replace(r, rule_id=f"s{i}.{r.rule_id}") for r in rs.rules)
+        # namespace each schema's definitions so chunks merge cleanly
+        merged_defs.update({f"s{i}:{k}": v for k, v in defs.items()})
+        for r in rs.rules:
+            if r.kind == "$ref":
+                r = replace(r, params={**r.params, "ref": f"s{i}:{r.params['ref']}"})
+            merged.append(replace(r, rule_id=f"s{i}.{r.rule_id}"))
     ruleset = RuleSet(rules=tuple(merged), name="fuzz")
 
     df = spark.createDataFrame(docs, DDL)
     got = {
         (r["doc_id"], r["rule_id"])
-        for r in violations_df(df, ruleset, definitions={}).collect()
+        for r in violations_df(df, ruleset, definitions=merged_defs).collect()
     }
 
     want = set()
-    for doc_id, a, b, c in docs:
-        doc = {"a": a, "b": b, "c": c}
+    for doc_id, a, b, c, m in docs:
+        doc = {"a": a, "b": b, "c": c, "m": m}
         for i, sch in enumerate(schemas):
             want.update((doc_id, f"s{i}.{rid}") for rid in _expected(sch, doc))
 

@@ -150,6 +150,46 @@ def test_import_top_level_oneof_branches(spark):
     assert got == {0: True, 1: False, 2: False}
 
 
+def test_import_permissive_combination_branch_still_counts(spark):
+    """A member that compiles to ZERO rules (annotation-only, or only
+    object/array `type` keywords the typed-table model checks
+    structurally) must still exist as a branch: networknt counts an
+    always-pass member as a match (``JSONValidator.java:259-278``), so a
+    two-permissive-member oneOf is 'matches more than one configured
+    schema' for every doc, and a failing anyOf doc is rescued by a
+    permissive member. Regression: such branches used to vanish,
+    degrading the combination to a single-branch ALL."""
+    from json_validator_spark.operators.row_checks import violations_df
+
+    df = spark.createDataFrame(
+        [(0, "x"), (1, None)], "doc_id long, b string"
+    )
+
+    one, defs1 = ruleset_from_json_schema({
+        "type": "object",
+        "properties": {"b": {"type": "string"}},
+        "oneOf": [
+            {"type": "object", "properties": {"b": {}}},
+            {"type": "object"},
+        ],
+    })
+    got = {
+        (r["doc_id"], r["rule_id"])
+        for r in violations_df(df, one, definitions=defs1).collect()
+    }
+    assert got == {(0, "combination.oneOf.multiple"), (1, "combination.oneOf.multiple")}
+
+    any_, defs2 = ruleset_from_json_schema({
+        "type": "object",
+        "properties": {"b": {"type": "string"}},
+        "anyOf": [
+            {"type": "object", "properties": {"b": {"pattern": "^z"}}, "required": ["b"]},
+            {"type": "object"},
+        ],
+    })
+    assert violations_df(df, any_, definitions=defs2).count() == 0
+
+
 def test_import_top_level_unknown_constraint_raises():
     with pytest.raises(ValueError, match="unsupported top-level keyword"):
         ruleset_from_json_schema(
