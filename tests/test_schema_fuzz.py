@@ -388,17 +388,30 @@ def _random_combination_schemas(n: int) -> list[dict]:
             sch[k] = draw(opts[k])
         return sch
 
-    leaves = {"a": a_leaf, "b": b_leaf, "c": c_leaf}
+    @st.composite
+    def m_leaf(draw):
+        sch = {"type": "object"}
+        opts = {"minProperties": st.integers(0, 3), "maxProperties": st.integers(0, 3)}
+        for k in draw(st.lists(st.sampled_from(sorted(opts)), max_size=2, unique=True)):
+            sch[k] = draw(opts[k])
+        return sch
+
+    leaves = {"a": a_leaf, "b": b_leaf, "c": c_leaf, "m": m_leaf}
 
     @st.composite
     def branch(draw):
+        # max_size=2 with min_size=0: empty = a permissive always-pass
+        # member (regression: these must still count as matches)
         chosen = draw(
-            st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=2, unique=True)
+            st.lists(st.sampled_from(["a", "b", "c", "m"]), max_size=2, unique=True)
         )
         out = {
             "type": "object",
             "properties": {p: draw(leaves[p]()) for p in chosen},
         }
+        if not chosen:
+            del out["properties"]
+            return out
         req = draw(st.lists(st.sampled_from(chosen), max_size=2, unique=True))
         if req:
             out["required"] = req
