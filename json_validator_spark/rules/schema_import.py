@@ -312,12 +312,60 @@ def _rewrite_draft4_id(doc: Any) -> Any:
     return rewritten if changed else doc
 
 
+def _rewrite_dependencies(doc: Any) -> Any:
+    """Draft-4/7 ``dependencies`` → the 2019-09 split spellings this
+    importer compiles: array values become ``dependentRequired``
+    entries, schema values ``dependentSchemas`` entries (2019-09 core
+    changelog; networknt's v4/v7 modes accept the legacy keyword —
+    ``JSONValidator.java:321-345`` selects those modes from
+    ``$schema``). The keyword was REMOVED in 2019-09, so the rewrite is
+    unambiguous in every dialect and applied unconditionally, at every
+    schema position (top level included). Identity-preserving when the
+    keyword is absent."""
+    changed = False
+
+    def walk(node: Any) -> Any:  # node sits in a SCHEMA position
+        nonlocal changed
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        if not isinstance(node, dict):
+            return node
+        out: dict[str, Any] = {}
+        pending_req: dict[str, Any] = {}
+        pending_sch: dict[str, Any] = {}
+        for k, v in node.items():
+            if k == "dependencies" and isinstance(v, dict):
+                changed = True
+                for name, sub in v.items():
+                    if isinstance(sub, list):
+                        pending_req[name] = sub
+                    else:
+                        pending_sch[name] = walk(sub)
+            elif k in _SCHEMA_MAP_KEYWORDS and isinstance(v, dict):
+                out[k] = {name: walk(sub) for name, sub in v.items()}
+            elif k in _SUBSCHEMA_KEYWORDS:
+                out[k] = walk(v)
+            elif k in _SCHEMA_LIST_KEYWORDS and isinstance(v, list):
+                out[k] = [walk(x) for x in v]
+            else:
+                out[k] = v
+        if pending_req:
+            out["dependentRequired"] = {**pending_req, **out.get("dependentRequired", {})}
+        if pending_sch:
+            out["dependentSchemas"] = {**pending_sch, **out.get("dependentSchemas", {})}
+        return out
+
+    rewritten = walk(doc)
+    return rewritten if changed else doc
+
+
 def _rewrite_dialects(doc: Any) -> Any:
     """All dialect-normalizing pre-passes, oldest first: draft-4 ``id``
-    → ``$id``, then 2019-09 ``$recursiveRef``/``$recursiveAnchor`` →
-    the 2020-12 dynamic forms. Identity-preserving when nothing
-    matches."""
-    return _rewrite_recursive_2019(_rewrite_draft4_id(doc))
+    → ``$id``, draft-4/7 ``dependencies`` → ``dependentRequired``/
+    ``dependentSchemas``, then 2019-09 ``$recursiveRef``/
+    ``$recursiveAnchor`` → the 2020-12 dynamic forms.
+    Identity-preserving when nothing matches."""
+    return _rewrite_recursive_2019(_rewrite_dependencies(_rewrite_draft4_id(doc)))
 
 
 class _Recursive2019Registry:

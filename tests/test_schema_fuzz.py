@@ -540,6 +540,184 @@ def test_seed_schema_naming_and_semantics(spark):
     _run_chunk(spark, [SEED_SCHEMA], _doc_grid())
 
 
+# ---------------------------------------------------------------------------
+# Metamorphic cross-dialect fuzz: a 2020-12 schema and its mechanical
+# draft-4 downgrade (boolean exclusive bounds, `dependencies`,
+# `definitions`) must produce IDENTICAL violations — the reference
+# accepts both dialects through networknt's multi-draft mode
+# (JSONValidator.java:321-345) with the same outcomes.
+# ---------------------------------------------------------------------------
+
+
+def _random_common_schemas(n: int) -> list[dict]:
+    """Random schemas restricted to the draft-4-expressible keyword
+    subset, spelled in 2020-12 form."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ints = st.integers(-3, 6)
+
+    @st.composite
+    def num_leaf(draw):
+        sch = {}
+        side = draw(st.sampled_from(["none", "min", "xmin", "max", "xmax", "both"]))
+        if side in ("min", "both"):
+            sch["minimum"] = draw(ints)
+        if side == "xmin":
+            sch["exclusiveMinimum"] = draw(ints)
+        if side in ("max", "both"):
+            sch["maximum"] = draw(ints)
+        if side == "xmax":
+            sch["exclusiveMaximum"] = draw(ints)
+        if draw(st.booleans()):
+            sch["multipleOf"] = draw(st.integers(1, 3))
+        return sch
+
+    @st.composite
+    def whole(draw):
+        a = {"type": "number", **draw(num_leaf())}
+        defs = None
+        if draw(st.booleans()):
+            defs = draw(num_leaf()) or {"minimum": 0}
+            a = {"type": "number", "$ref": "#/$defs/d0"}
+        b = {"type": "string"}
+        for k in draw(
+            st.lists(
+                st.sampled_from(["minLength", "maxLength", "pattern", "enum"]),
+                max_size=2,
+                unique=True,
+            )
+        ):
+            if k == "pattern":
+                b[k] = draw(st.sampled_from(PATTERNS))
+            elif k == "enum":
+                b[k] = draw(
+                    st.lists(st.sampled_from(B_POOL), min_size=1, max_size=3, unique=True)
+                )
+            else:
+                b[k] = draw(st.integers(0, 4))
+        c = {"type": "array"}
+        for k in draw(
+            st.lists(
+                st.sampled_from(["minItems", "maxItems", "uniqueItems", "items"]),
+                max_size=2,
+                unique=True,
+            )
+        ):
+            if k == "uniqueItems":
+                c[k] = True
+            elif k == "items":
+                c[k] = draw(num_leaf()) or {"minimum": 0}
+            else:
+                c[k] = draw(st.integers(0, 4))
+        m = {"type": "object"}
+        for k in draw(
+            st.lists(
+                st.sampled_from(["minProperties", "maxProperties", "required"]),
+                max_size=2,
+                unique=True,
+            )
+        ):
+            if k == "required":
+                m[k] = draw(
+                    st.lists(st.sampled_from(["k", "j"]), min_size=1, max_size=2, unique=True)
+                )
+            else:
+                m[k] = draw(st.integers(0, 3))
+        sch = {
+            "$schema": "https://json-schema.org/draft/2020-12/schema",
+            "type": "object",
+            "properties": {"a": a, "b": b, "c": c, "m": m},
+        }
+        if defs is not None:
+            sch["$defs"] = {"d0": defs}
+        req = draw(st.lists(st.sampled_from(["a", "b", "c", "m"]), max_size=2, unique=True))
+        if req:
+            sch["required"] = req
+        if draw(st.booleans()):
+            x, y = draw(st.sampled_from([("a", "b"), ("b", "c"), ("m", "a")]))
+            sch["dependentRequired"] = {x: [y]}
+        return sch
+
+    acc: list[dict] = []
+
+    @settings(max_examples=n, deadline=None)
+    @given(whole())
+    def collect(s):
+        acc.append(s)
+
+    collect()
+    return acc
+
+
+def _downgrade_draft4(node):
+    """Mechanical 2020-12 → draft-4 respelling (deep copy)."""
+    if isinstance(node, list):
+        return [_downgrade_draft4(x) for x in node]
+    if not isinstance(node, dict):
+        return node
+    out = {}
+    for k, v in node.items():
+        if k == "$schema":
+            out[k] = "http://json-schema.org/draft-04/schema#"
+        elif k == "exclusiveMinimum" and isinstance(v, (int, float)) and not isinstance(v, bool):
+            out["minimum"] = v
+            out["exclusiveMinimum"] = True
+        elif k == "exclusiveMaximum" and isinstance(v, (int, float)) and not isinstance(v, bool):
+            out["maximum"] = v
+            out["exclusiveMaximum"] = True
+        elif k == "dependentRequired":
+            out["dependencies"] = _downgrade_draft4(v)
+        elif k == "$defs":
+            out["definitions"] = _downgrade_draft4(v)
+        elif k == "$ref":
+            out[k] = v.replace("#/$defs/", "#/definitions/")
+        else:
+            out[k] = _downgrade_draft4(v)
+    return out
+
+
+def test_draft4_downgrade_metamorphic(spark):
+    """Each random schema is imported twice — 2020-12 spelling and its
+    draft-4 downgrade — and both runs must match the independent
+    evaluator's violations for the ORIGINAL (same semantics, different
+    spelling)."""
+    docs = _doc_grid()
+    schemas = _random_common_schemas(12)
+    merged, merged_defs = [], {}
+    tags = []
+    for i, sch in enumerate(schemas):
+        for tag, doc in (("n", sch), ("o", _downgrade_draft4(sch))):
+            rs, defs = ruleset_from_json_schema(doc, name=f"x{i}{tag}")
+            assert isinstance(rs, RuleSet)
+            ns = f"s{i}{tag}"
+            merged_defs.update({f"{ns}:{k}": v for k, v in defs.items()})
+            for r in rs.rules:
+                if r.kind == "$ref":
+                    r = replace(r, params={**r.params, "ref": f"{ns}:{r.params['ref']}"})
+                merged.append(replace(r, rule_id=f"{ns}.{r.rule_id}"))
+            tags.append(ns)
+    ruleset = RuleSet(rules=tuple(merged), name="dialect-fuzz")
+
+    df = spark.createDataFrame(docs, DDL)
+    got = {
+        (r["doc_id"], r["rule_id"])
+        for r in violations_df(df, ruleset, definitions=merged_defs).collect()
+    }
+
+    want = set()
+    for doc_id, a, b, c, m in docs:
+        doc = {"a": a, "b": b, "c": c, "m": m}
+        for i, sch in enumerate(schemas):
+            for rid in _expected(sch, doc):
+                want.add((doc_id, f"s{i}n.{rid}"))
+                want.add((doc_id, f"s{i}o.{rid}"))
+    assert got == want, (
+        f"dialect divergence: extra={sorted(got - want)[:6]} "
+        f"missing={sorted(want - got)[:6]}"
+    )
+
+
 def test_random_schema_differential(spark):
     docs = _doc_grid()
     schemas = _random_schemas(24)
