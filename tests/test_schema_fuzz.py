@@ -723,3 +723,23 @@ def test_random_schema_differential(spark):
     schemas = _random_schemas(24)
     for lo in range(0, len(schemas), 6):
         _run_chunk(spark, schemas[lo : lo + 6], docs)
+
+
+def test_detail_mode_is_identity_invariant(spark):
+    """``detail=True`` appends expected/found text to messages but must
+    not change WHICH violations fire (rule identity, path, severity) —
+    the invariant that keeps the aggregate rollup exact
+    (``JSONValidator.java:466-481`` groups on severity|message-template).
+    Checked under random schemas, not just the pinned oracle row."""
+    docs = _doc_grid()
+    df = spark.createDataFrame(docs, DDL)
+    for sch in _random_schemas(6):
+        rs, defs = ruleset_from_json_schema(sch, name="fzd")
+        key = lambda r: (r["doc_id"], r["span_path"], r["rule_id"], r["severity"])
+        plain = sorted(map(key, violations_df(df, rs, definitions=defs).collect()))
+        detailed = violations_df(df, rs, definitions=defs, detail=True).collect()
+        assert sorted(map(key, detailed)) == plain
+        assert all(
+            "(expected " in r["message"] or r["message"].startswith("[/")
+            for r in detailed
+        )
