@@ -1101,6 +1101,56 @@ def _unroll_definitions(
     return out
 
 
+def _is_element_object_items(items: Any) -> bool:
+    """True when an ``items`` subschema describes array elements as
+    OBJECTS with named members — the form that must compile to per-field
+    span rules (struct-typed elements) rather than the scalar/map inner
+    predicate."""
+    return isinstance(items, dict) and (
+        "properties" in items or isinstance(items.get("required"), list)
+    )
+
+
+def _add_element_object_rules(
+    add_span, prop: str, sub: dict, sev: str, ruleset: str, prefix: str,
+    where: str, ctx,
+) -> dict:
+    """Emit span rules for an element-object ``items`` schema and return
+    the property subschema with ``items`` stripped (the array-level
+    keywords — minItems, uniqueItems… — still flow through
+    ``_applications``). Element-object keywords outside
+    required/properties would need whole-element semantics the
+    struct-element path doesn't model — refuse rather than mis-compile."""
+    items = sub["items"]
+    extra = set(items) - ({"type", "properties", "required"} | _ANNOTATIONS)
+    if extra:
+        raise ValueError(
+            f"items at {where}: element-object form supports type/properties/"
+            f"required only, got {sorted(extra)} (strict beats silent)"
+        )
+    if items.get("type", "object") != "object":
+        raise ValueError(
+            f"items at {where}: element-object form requires type 'object'"
+        )
+    for f in items.get("required", []):
+        add_span(prop, f, "required", {}, "error", ruleset, prefix)
+    for f, fsub in items.get("properties", {}).items():
+        if not isinstance(fsub, (dict, bool)):
+            raise ValueError(
+                f"items property {f!r} at {where}: subschema must be an "
+                "object or boolean"
+            )
+        fsev = fsub.get("x-severity", sev) if isinstance(fsub, dict) else sev
+        for kind, params in _applications(
+            fsub if isinstance(fsub, dict) else {},
+            f"{where}/items/properties/{f}", ctx,
+        ):
+            add_span(prop, f, kind, params, fsev, ruleset, prefix)
+        if fsub is False:
+            add_span(prop, f, "forbidden", {}, "error", ruleset, prefix)
+    return {k: v for k, v in sub.items() if k != "items"}
+
+
 def ruleset_from_json_schema(
     schema: dict[str, Any],
     name: str = "imported",
@@ -1183,6 +1233,16 @@ def ruleset_from_json_schema(
                  severity=severity, ruleset=ruleset)
         )
 
+    def add_span(prop: str, fld: str, kind: str, params: dict, severity: str,
+                 ruleset: str = "default", prefix: str = "") -> None:
+        base = f"{prefix}{prop}.items.{fld}.{kind}"
+        n = seen.get(base, 0)
+        seen[base] = n + 1
+        rules.append(
+            Rule(base if n == 0 else f"{base}.{n}", f"/{prop}/*/{fld}", kind,
+                 params, severity=severity, ruleset=ruleset)
+        )
+
     def add_object_schema(obj: dict[str, Any], where: str,
                           ruleset: str = "default", prefix: str = "") -> None:
         for prop in obj.get("required", []):
@@ -1195,6 +1255,20 @@ def ruleset_from_json_schema(
             if not isinstance(sub, (dict, bool)):
                 raise ValueError(f"property {prop!r}: subschema must be an object or boolean")
             sev = sub.get("x-severity", "error") if isinstance(sub, dict) else "error"
+            if isinstance(sub, dict) and _is_element_object_items(sub.get("items")):
+                # `items` describing array ELEMENTS as objects (the
+                # spans-shaped `array<struct>` columns of the input
+                # table, or `array<map>`): compile to the engine's
+                # native per-field SPAN rules (`/prop/*/field` — indexed
+                # JSON-pointer locations, `compiler._compile_span_rule`)
+                # instead of the map-oriented inner-items predicate,
+                # which cannot evaluate struct elements. networknt
+                # reports the same nested paths per element
+                # (`JSONValidator.java:461-465` location strings).
+                sub = _add_element_object_rules(
+                    add_span, prop, sub, sev, ruleset, prefix,
+                    f"{where}/properties/{prop}", ctx,
+                )
             for kind, params in _applications(
                 sub if isinstance(sub, dict) else {}, f"{where}/properties/{prop}", ctx
             ):

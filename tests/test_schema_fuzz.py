@@ -725,6 +725,142 @@ def test_random_schema_differential(spark):
         _run_chunk(spark, schemas[lo : lo + 6], docs)
 
 
+SPAN_DDL = (
+    "doc_id long, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+SPAN_KINDS = [None, "text", "media", "imge"]
+SPAN_TEXTS = [None, "", "x", "yy"]
+SPAN_OFFSETS = [None, -2, 0, 1, 3, 7]
+
+
+def _span_doc_grid() -> list[tuple]:
+    """~50 deterministic docs whose spans sweep the field value spaces."""
+    rows, doc_id = [], 0
+    pool = [
+        (k, t, None, o)
+        for ik, k in enumerate(SPAN_KINDS)
+        for it, t in enumerate(SPAN_TEXTS)
+        for io, o in enumerate(SPAN_OFFSETS)
+        if (ik + it + io) % 3 == 0
+    ]
+    rows.append((0, None))
+    rows.append((1, []))
+    for i in range(0, len(pool) - 2, 2):
+        rows.append((i // 2 + 2, [pool[i], pool[i + 1]]))
+    return rows
+
+
+def _random_span_schemas(n: int) -> list[dict]:
+    """Random element-object `items` schemas over the spans table shape."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def field_leaf(draw, field):
+        if field == "offset":
+            opts = {
+                "minimum": st.integers(-3, 6),
+                "maximum": st.integers(-3, 6),
+                "multipleOf": st.integers(1, 3),
+            }
+        else:
+            opts = {
+                "pattern": st.sampled_from(PATTERNS),
+                "enum": st.lists(
+                    st.sampled_from(["text", "media", "x", "yy"]),
+                    min_size=1, max_size=2, unique=True,
+                ),
+                "minLength": st.integers(0, 3),
+            }
+        sch = {}
+        for k in draw(st.lists(st.sampled_from(sorted(opts)), max_size=2, unique=True)):
+            sch[k] = draw(opts[k])
+        return sch
+
+    @st.composite
+    def whole(draw):
+        fields = draw(
+            st.lists(st.sampled_from(["kind", "text", "offset"]), max_size=2, unique=True)
+        )
+        items = {"type": "object"}
+        if fields:
+            items["properties"] = {f: draw(field_leaf(f)) for f in fields}
+        req = draw(
+            st.lists(st.sampled_from(["kind", "text", "media_ref"]), max_size=2, unique=True)
+        )
+        if req:
+            items["required"] = req
+        spans = {"type": "array", "items": items}
+        if draw(st.booleans()):
+            spans["minItems"] = draw(st.integers(0, 3))
+        if draw(st.booleans()):
+            spans["maxItems"] = draw(st.integers(0, 3))
+        return {
+            "$schema": "https://json-schema.org/draft/2020-12/schema",
+            "type": "object",
+            "properties": {"spans": spans},
+        }
+
+    acc: list[dict] = []
+
+    @settings(max_examples=n, deadline=None)
+    @given(whole())
+    def collect(s):
+        acc.append(s)
+
+    collect()
+    return acc
+
+
+def _expected_span(schema: dict, spans) -> set[tuple[str, str]]:
+    """(span_path, rule_id suffix) pairs for one doc's spans column."""
+    fails: set[tuple[str, str]] = set()
+    sch = schema["properties"]["spans"]
+    if spans is None:
+        return fails
+    if "minItems" in sch and len(spans) < sch["minItems"]:
+        fails.add(("/spans", "spans.minItems"))
+    if "maxItems" in sch and len(spans) > sch["maxItems"]:
+        fails.add(("/spans", "spans.maxItems"))
+    items = sch["items"]
+    names = ["kind", "text", "media_ref", "offset"]
+    for i, span in enumerate(spans):
+        vals = dict(zip(names, span))
+        for f in items.get("required", []):
+            if vals[f] is None:
+                fails.add((f"/spans/{i}/{f}", f"spans.items.{f}.required"))
+        for f, fsub in items.get("properties", {}).items():
+            if vals[f] is None:
+                continue
+            for k, par in fsub.items():
+                if not _eval({k: par}, vals[f]):
+                    fails.add((f"/spans/{i}/{f}", f"spans.items.{f}.{k}"))
+    return fails
+
+
+def test_random_spans_items_differential(spark):
+    """The element-object `items` import path (per-field span rules over
+    the north-rule spans table shape) vs the spec evaluator."""
+    docs = _span_doc_grid()
+    df = spark.createDataFrame(docs, SPAN_DDL)
+    for sch in _random_span_schemas(10):
+        rs, defs = ruleset_from_json_schema(sch, name="fzs")
+        got = {
+            (r["doc_id"], r["span_path"], r["rule_id"])
+            for r in violations_df(df, rs, definitions=defs).collect()
+        }
+        want = {
+            (doc_id, path, rid)
+            for doc_id, spans in docs
+            for path, rid in _expected_span(sch, spans)
+        }
+        assert got == want, (
+            f"spans divergence: extra={sorted(got - want)[:6]} "
+            f"missing={sorted(want - got)[:6]} schema={sch}"
+        )
+
+
 def test_detail_mode_is_identity_invariant(spark):
     """``detail=True`` appends expected/found text to messages but must
     not change WHICH violations fire (rule identity, path, severity) —

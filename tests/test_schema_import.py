@@ -190,6 +190,74 @@ def test_import_permissive_combination_branch_still_counts(spark):
     assert violations_df(df, any_, definitions=defs2).count() == 0
 
 
+def test_import_element_object_items_compiles_to_span_rules(spark):
+    """`items` describing array elements as OBJECTS (the spans-shaped
+    array<struct> input columns) must compile to the engine's native
+    per-field span rules with INDEXED JSON-pointer locations — the
+    nested paths networknt reports (`JSONValidator.java:461-465`) —
+    not the map-oriented inner-items predicate (which fails Spark
+    analysis on struct elements)."""
+    from json_validator_spark.operators.row_checks import violations_df
+
+    rs, defs = ruleset_from_json_schema({
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "type": "object",
+        "properties": {
+            "spans": {
+                "type": "array",
+                "minItems": 1,
+                "items": {
+                    "type": "object",
+                    "required": ["kind"],
+                    "properties": {
+                        "kind": {"enum": ["text", "media"]},
+                        "offset": {"type": "integer", "minimum": 0},
+                    },
+                },
+            }
+        },
+    })
+    assert {(r.rule_id, r.target) for r in rs.rules} == {
+        ("spans.items.kind.required", "/spans/*/kind"),
+        ("spans.items.kind.enum", "/spans/*/kind"),
+        ("spans.items.offset.minimum", "/spans/*/offset"),
+        ("spans.items.offset.type", "/spans/*/offset"),
+        ("spans.minItems", "/spans"),
+    }
+    df = spark.createDataFrame(
+        [
+            (0, [("text", "a", None, 0), ("media", None, "m", 5)]),
+            (1, [("imge", "a", None, -2)]),
+            (2, []),
+            (3, [(None, "x", None, 1)]),
+        ],
+        "doc_id long, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    got = {
+        (r["doc_id"], r["span_path"], r["rule_id"])
+        for r in violations_df(df, rs, definitions=defs).collect()
+    }
+    assert got == {
+        (1, "/spans/0/kind", "spans.items.kind.enum"),
+        (1, "/spans/0/offset", "spans.items.offset.minimum"),
+        (2, "/spans", "spans.minItems"),
+        (3, "/spans/0/kind", "spans.items.kind.required"),
+    }
+
+
+def test_import_element_object_items_strict_errors():
+    with pytest.raises(ValueError, match="element-object form supports"):
+        ruleset_from_json_schema({
+            "type": "object",
+            "properties": {
+                "spans": {
+                    "type": "array",
+                    "items": {"type": "object", "required": ["k"], "minProperties": 2},
+                }
+            },
+        })
+
+
 def test_import_top_level_unknown_constraint_raises():
     with pytest.raises(ValueError, match="unsupported top-level keyword"):
         ruleset_from_json_schema(
