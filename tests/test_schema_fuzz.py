@@ -182,6 +182,38 @@ def _expected(schema: dict, doc: dict) -> set[str]:
                     if key not in val:
                         fails.add(f"{p}.requiredKey" + (f".{i}" if i else ""))
                 continue
+            if k == "patternProperties":
+                # one rule per key-regex entry, insertion-order numbered
+                for i, (rx, vsch) in enumerate(par.items()):
+                    bad = any(
+                        not _eval(vsch, v, schema)
+                        for key, v in val.items()
+                        if re.search(rx, key)
+                    )
+                    if bad:
+                        fails.add(f"{p}.patternProperties" + (f".{i}" if i else ""))
+                continue
+            if k == "properties" and isinstance(val, dict):
+                # map member schemas fold into ONE `<p>.properties` rule
+                bad = any(
+                    key in val and not _eval(vsch, val[key], schema)
+                    for key, vsch in par.items()
+                )
+                if bad:
+                    fails.add(f"{p}.properties")
+                continue
+            if k == "additionalProperties":
+                if par is False:
+                    allowed = set(sch.get("properties", {}))
+                    pats = list(sch.get("patternProperties", {}))
+                    bad = any(
+                        key not in allowed
+                        and not any(re.search(rx, key) for rx in pats)
+                        for key in val
+                    )
+                    if bad:
+                        fails.add(f"{p}.additionalProperties")
+                continue
             if not _eval({k: par}, val, schema):
                 fails.add(f"{p}.{k}")
     return fails
@@ -243,6 +275,13 @@ def _random_schemas(n: int) -> list[dict]:
         return sch
 
     @st.composite
+    def str_value_leaf(draw):
+        kk = draw(st.sampled_from(["pattern", "minLength"]))
+        if kk == "pattern":
+            return {"pattern": draw(st.sampled_from(VAL_PATTERNS))}
+        return {"minLength": draw(st.integers(0, 3))}
+
+    @st.composite
     def m_schema(draw):
         sch = {"type": "object"}
         for k in draw(
@@ -254,24 +293,33 @@ def _random_schemas(n: int) -> list[dict]:
                         "propertyNames",
                         "patternProperties",
                         "required",
+                        "properties",
+                        "additionalProperties",
                     ]
                 ),
-                max_size=3,
+                max_size=4,
                 unique=True,
             )
         ):
             if k == "propertyNames":
                 sch[k] = {"pattern": draw(st.sampled_from(KEY_PATTERNS))}
             elif k == "patternProperties":
-                sch[k] = {
-                    draw(st.sampled_from(["^x", "^k"])): {
-                        "pattern": draw(st.sampled_from(VAL_PATTERNS))
-                    }
-                }
+                regexes = draw(
+                    st.lists(st.sampled_from(["^x", "^k", "q$"]),
+                             min_size=1, max_size=2, unique=True)
+                )
+                sch[k] = {rx: draw(str_value_leaf()) for rx in regexes}
             elif k == "required":
                 sch[k] = draw(
                     st.lists(st.sampled_from(["k", "j"]), min_size=1, max_size=2, unique=True)
                 )
+            elif k == "properties":
+                members = draw(
+                    st.lists(st.sampled_from(["k", "j"]), min_size=1, max_size=2, unique=True)
+                )
+                sch[k] = {mem: draw(str_value_leaf()) for mem in members}
+            elif k == "additionalProperties":
+                sch[k] = False
             else:
                 sch[k] = draw(st.integers(0, 3))
         return sch
