@@ -140,6 +140,46 @@ def q_row_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return violations_df(_load(spark, sf_dir, "documents"), _doc_ruleset())
 
 
+def q_schema_spans_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-object ``items`` IMPORT path over the north-rule spans
+    shape: the natural JSON Schema for the derived corpus ("each span is
+    an object with kind/media_ref/offset constraints") imports into
+    per-field span rules (``rules/schema_import._add_element_object_rules``
+    → ``/spans/*/<field>`` targets, indexed JSON-pointer locations — the
+    nested paths networknt reports, ``JSONValidator.java:461-465``).
+    Firing set: 'imge' kinds (enum), broken media refs (pattern), and
+    off-broken docs' constant offset 5 (multipleOf 8 — real offsets are
+    i*8)."""
+    from json_validator_spark.operators.row_checks import violations_df
+    from json_validator_spark.rules.schema_import import ruleset_from_json_schema
+    from json_validator_spark.sources.derive import derive_corpus
+
+    rs, defs = ruleset_from_json_schema(
+        {
+            "$schema": "https://json-schema.org/draft/2020-12/schema",
+            "type": "object",
+            "properties": {
+                "spans": {
+                    "type": "array",
+                    "minItems": 1,
+                    "items": {
+                        "type": "object",
+                        "required": ["kind"],
+                        "properties": {
+                            "kind": {"enum": ["text", "media"]},
+                            "media_ref": {"pattern": "^media://[0-9a-f]{32}$"},
+                            "offset": {"multipleOf": 8},
+                        },
+                    },
+                }
+            },
+        },
+        name="spans-items",
+    )
+    corpus = derive_corpus(_load_spread(spark, sf_dir, "documents"))
+    return violations_df(corpus, rs, definitions=defs)
+
+
 def q_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_validator_spark.operators.report import doc_verdicts
     from json_validator_spark.operators.row_checks import with_violations
@@ -2634,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_draft4": q_schema_draft4,
         "schema_draft4_id": q_schema_draft4_id,
         "schema_recursive_ref": q_schema_recursive_ref,
+        "schema_spans_items": q_schema_spans_items,
         "detail_messages": q_detail_messages,
         "plugin_merge": q_plugin_merge,
         "sample_schema": q_sample_schema,
@@ -3174,6 +3215,30 @@ def oracle_sql() -> dict[str, str]:
     bucket = _QTY_BUCKET_SQL
     out = {
         "corpus_validation": _CORPUS_SQL,
+        # schema_spans_items: the element-object `items` import path —
+        # per-field span rules over the derived corpus; firing set is
+        # the spans2 corruption model (imge kinds, broken media refs,
+        # off-broken docs whose constant offset 5 fails multipleOf 8).
+        "schema_spans_items": _CORPUS_SPANS_CTE + """
+            SELECT doc_id,
+                   '/spans/' || i::VARCHAR || '/kind' AS span_path,
+                   'spans.items.kind.enum' AS rule_id,
+                   'error' AS severity,
+                   '[/spans/*/kind] value is not in the allowed set' AS message
+            FROM spans2 WHERE kind NOT IN ('text', 'media')
+            UNION ALL
+            SELECT doc_id, '/spans/' || i::VARCHAR || '/media_ref',
+                   'spans.items.media_ref.pattern', 'error',
+                   '[/spans/*/media_ref] value does not match the required pattern'
+            FROM spans2
+            WHERE kind = 'media'
+              AND NOT regexp_matches(media_ref, '^media://[0-9a-f]{32}$')
+            UNION ALL
+            SELECT doc_id, '/spans/' || i::VARCHAR || '/offset',
+                   'spans.items.offset.multipleOf', 'error',
+                   '[/spans/*/offset] constraint ''multipleOf'' violated'
+            FROM spans2 WHERE off_broken
+        """,
         # preprocess_pointer: the spans2 construction projected as the
         # /spans/*/kind pointer rows (value = kind per span index).
         "preprocess_pointer": _CORPUS_SPANS_CTE + """
