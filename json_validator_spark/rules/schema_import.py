@@ -1120,7 +1120,14 @@ def _add_element_object_rules(
     keywords — minItems, uniqueItems… — still flow through
     ``_applications``). Element-object keywords outside
     required/properties would need whole-element semantics the
-    struct-element path doesn't model — refuse rather than mis-compile."""
+    struct-element path doesn't model — refuse rather than mis-compile.
+
+    BOUNDARY: this routing applies to a property's DIRECT ``items``
+    only. Object schemas under ``contains``/``prefixItems`` (or items
+    nested inside combinator leaves) still compile to the map-oriented
+    element predicate — correct for ``array<map>`` columns, rejected at
+    Spark analysis for ``array<struct>`` (the struct/map distinction is
+    a table property the schema document cannot express)."""
     items = sub["items"]
     extra = set(items) - ({"type", "properties", "required"} | _ANNOTATIONS)
     if extra:
