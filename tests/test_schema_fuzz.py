@@ -725,18 +725,41 @@ def _downgrade_draft4(node):
     return out
 
 
-def test_draft4_downgrade_metamorphic(spark):
-    """Each random schema is imported twice — 2020-12 spelling and its
-    draft-4 downgrade — and both runs must match the independent
-    evaluator's violations for the ORIGINAL (same semantics, different
-    spelling)."""
+def _downgrade_draft7(node):
+    """Mechanical 2020-12 → draft-7 respelling: numeric exclusive
+    bounds stay (draft-6 introduced them), but ``$defs`` is spelled
+    ``definitions`` and ``dependentRequired`` is ``dependencies``."""
+    if isinstance(node, list):
+        return [_downgrade_draft7(x) for x in node]
+    if not isinstance(node, dict):
+        return node
+    out = {}
+    for k, v in node.items():
+        if k == "$schema":
+            out[k] = "http://json-schema.org/draft-07/schema#"
+        elif k == "dependentRequired":
+            out["dependencies"] = _downgrade_draft7(v)
+        elif k == "$defs":
+            out["definitions"] = _downgrade_draft7(v)
+        elif k == "$ref":
+            out[k] = v.replace("#/$defs/", "#/definitions/")
+        else:
+            out[k] = _downgrade_draft7(v)
+    return out
+
+
+def test_dialect_downgrade_metamorphic(spark):
+    """Each random schema is imported three ways — 2020-12 spelling,
+    its draft-7 respelling and its draft-4 downgrade — and every run
+    must match the independent evaluator's violations for the ORIGINAL
+    (same semantics, different spelling)."""
     docs = _doc_grid()
     schemas = _random_common_schemas(12)
     merged, merged_defs = [], {}
-    tags = []
+    spellings = (("n", lambda s: s), ("o", _downgrade_draft4), ("p", _downgrade_draft7))
     for i, sch in enumerate(schemas):
-        for tag, doc in (("n", sch), ("o", _downgrade_draft4(sch))):
-            rs, defs = ruleset_from_json_schema(doc, name=f"x{i}{tag}")
+        for tag, down in spellings:
+            rs, defs = ruleset_from_json_schema(down(sch), name=f"x{i}{tag}")
             assert isinstance(rs, RuleSet)
             ns = f"s{i}{tag}"
             merged_defs.update({f"{ns}:{k}": v for k, v in defs.items()})
@@ -744,7 +767,6 @@ def test_draft4_downgrade_metamorphic(spark):
                 if r.kind == "$ref":
                     r = replace(r, params={**r.params, "ref": f"{ns}:{r.params['ref']}"})
                 merged.append(replace(r, rule_id=f"{ns}.{r.rule_id}"))
-            tags.append(ns)
     ruleset = RuleSet(rules=tuple(merged), name="dialect-fuzz")
 
     df = spark.createDataFrame(docs, DDL)
@@ -758,8 +780,8 @@ def test_draft4_downgrade_metamorphic(spark):
         doc = {"a": a, "b": b, "c": c, "m": m}
         for i, sch in enumerate(schemas):
             for rid in _expected(sch, doc):
-                want.add((doc_id, f"s{i}n.{rid}"))
-                want.add((doc_id, f"s{i}o.{rid}"))
+                for tag, _ in spellings:
+                    want.add((doc_id, f"s{i}{tag}.{rid}"))
     assert got == want, (
         f"dialect divergence: extra={sorted(got - want)[:6]} "
         f"missing={sorted(want - got)[:6]}"
