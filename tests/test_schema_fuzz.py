@@ -142,9 +142,19 @@ def _eval(sub: dict, val, root: dict | None = None) -> bool:
     return True
 
 
-def _expected(schema: dict, doc: dict) -> set[str]:
-    """rule_id suffixes (``<prop>.<keyword>``) the engine must emit."""
-    fails: set[str] = set()
+def _expected(schema: dict, doc: dict) -> dict[str, str]:
+    """``{rule_id suffix: severity}`` the engine must emit. Iterating
+    the result yields the rid strings (dict keys), so set-algebra
+    call sites keep working; severity-aware callers use ``.items()``.
+    Presence rules are always errors; a property's ``x-severity``
+    downgrades every rule compiled from that property's subschema."""
+    out: dict[str, str] = {}
+
+    class fails:  # adapter: keep the add()-style body below readable
+        @staticmethod
+        def add(rid: str, sev: str = "error") -> None:
+            out[rid] = sev
+
     for p in schema.get("required", []):
         if doc[p] is None:
             fails.add(f"{p}.required")
@@ -157,9 +167,10 @@ def _expected(schema: dict, doc: dict) -> set[str]:
         val = doc[p]
         if val is None:
             continue
+        psev = sch.get("x-severity", "error")
         saw_ite = False
         for k, par in sch.items():
-            if k == "type" or k in ("minContains", "maxContains"):
+            if k in ("type", "x-severity", "minContains", "maxContains"):
                 continue
             if k in ("if", "then", "else"):
                 if not saw_ite:
@@ -167,20 +178,20 @@ def _expected(schema: dict, doc: dict) -> set[str]:
                     cond = _eval(sch["if"], val, schema)
                     br = sch.get("then") if cond else sch.get("else")
                     if br is not None and not _eval(br, val, schema):
-                        fails.add(f"{p}.ifThenElse")
+                        fails.add(f"{p}.ifThenElse", psev)
                 continue
             if k == "contains":
                 cnt = sum(1 for x in val if _eval(par, x, schema))
                 lo, hi = sch.get("minContains", 1), sch.get("maxContains")
                 if cnt < lo or (hi is not None and cnt > hi):
-                    fails.add(f"{p}.contains")
+                    fails.add(f"{p}.contains", psev)
                 continue
             if k == "required":
                 # map-typed property: one requiredKey rule per listed key,
                 # importer-numbered `<p>.requiredKey[, .1, .2 ...]`
                 for i, key in enumerate(par):
                     if key not in val:
-                        fails.add(f"{p}.requiredKey" + (f".{i}" if i else ""))
+                        fails.add(f"{p}.requiredKey" + (f".{i}" if i else ""), psev)
                 continue
             if k == "patternProperties":
                 # one rule per key-regex entry, insertion-order numbered
@@ -191,7 +202,7 @@ def _expected(schema: dict, doc: dict) -> set[str]:
                         if re.search(rx, key)
                     )
                     if bad:
-                        fails.add(f"{p}.patternProperties" + (f".{i}" if i else ""))
+                        fails.add(f"{p}.patternProperties" + (f".{i}" if i else ""), psev)
                 continue
             if k == "properties" and isinstance(val, dict):
                 # map member schemas fold into ONE `<p>.properties` rule
@@ -200,7 +211,7 @@ def _expected(schema: dict, doc: dict) -> set[str]:
                     for key, vsch in par.items()
                 )
                 if bad:
-                    fails.add(f"{p}.properties")
+                    fails.add(f"{p}.properties", psev)
                 continue
             if k == "additionalProperties":
                 if par is False:
@@ -212,11 +223,11 @@ def _expected(schema: dict, doc: dict) -> set[str]:
                         for key in val
                     )
                     if bad:
-                        fails.add(f"{p}.additionalProperties")
+                        fails.add(f"{p}.additionalProperties", psev)
                 continue
             if not _eval({k: par}, val, schema):
-                fails.add(f"{p}.{k}")
-    return fails
+                fails.add(f"{p}.{k}", psev)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -336,6 +347,8 @@ def _random_schemas(n: int) -> list[dict]:
         }
         for k in draw(st.lists(st.sampled_from(sorted(simple)), max_size=3, unique=True)):
             sch[k] = draw(simple[k])
+        if draw(st.booleans()):
+            sch["x-severity"] = draw(st.sampled_from(["warning", "info"]))
         return sch
 
     @st.composite
@@ -386,6 +399,12 @@ def _random_schemas(n: int) -> list[dict]:
         if draw(st.booleans()):
             x, y = draw(st.sampled_from([("a", "b"), ("b", "c"), ("c", "a"), ("m", "a")]))
             sch["dependentRequired"] = {x: [y]}
+        if draw(st.booleans()):
+            member = {"type": "object", "properties": {"b": draw(b_schema())}}
+            mreq = draw(st.lists(st.sampled_from(["a", "b"]), max_size=1))
+            if mreq:
+                member["required"] = mreq
+            sch["allOf"] = [member]
         return sch
 
     acc: list[dict] = []
@@ -495,8 +514,8 @@ def _expected_combination(schema: dict, doc: dict) -> set[str]:
     ``combination.oneOf.multiple`` header."""
     kind = "anyOf" if "anyOf" in schema else "oneOf"
     main = {k: v for k, v in schema.items() if k not in ("anyOf", "oneOf")}
-    fails = _expected(main, doc)
-    branch_fails = [_expected(br, doc) for br in schema[kind]]
+    fails = set(_expected(main, doc))
+    branch_fails = [set(_expected(br, doc)) for br in schema[kind]]
     npass = sum(1 for bf in branch_fails if not bf)
     if npass == 0:
         fails.add("combination.any" if kind == "anyOf" else "combination.oneOf")
@@ -565,7 +584,7 @@ def _run_chunk(spark, schemas: list[dict], docs: list[tuple]) -> None:
 
     df = spark.createDataFrame(docs, DDL)
     got = {
-        (r["doc_id"], r["rule_id"])
+        (r["doc_id"], r["rule_id"], r["severity"])
         for r in violations_df(df, ruleset, definitions=merged_defs).collect()
     }
 
@@ -573,14 +592,21 @@ def _run_chunk(spark, schemas: list[dict], docs: list[tuple]) -> None:
     for doc_id, a, b, c, m in docs:
         doc = {"a": a, "b": b, "c": c, "m": m}
         for i, sch in enumerate(schemas):
-            want.update((doc_id, f"s{i}.{rid}") for rid in _expected(sch, doc))
+            want.update(
+                (doc_id, f"s{i}.{rid}", sev)
+                for rid, sev in _expected(sch, doc).items()
+            )
+            for j, member in enumerate(sch.get("allOf", [])):
+                want.update(
+                    (doc_id, f"s{i}.allOf{j}.{rid}", sev)
+                    for rid, sev in _expected(member, doc).items()
+                )
 
     if got != want:
         extra, missing = sorted(got - want), sorted(want - got)
-        by_doc = {d: r for d, r in (extra + missing)[:5]}
         raise AssertionError(
             f"engine/spec divergence: {len(extra)} extra, {len(missing)} missing; "
-            f"first={((extra + missing)[:5])}; docs={by_doc}; schemas={schemas}"
+            f"first={((extra + missing)[:6])}; schemas={schemas}"
         )
 
 
