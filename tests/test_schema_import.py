@@ -2004,3 +2004,54 @@ def test_content_schema_and_vocabulary_are_annotations(spark):
         (1, "payload.contentMediaType"),
         (2, "payload.contentMediaType"),
     }
+
+
+def test_import_draft6_dialect_end_to_end(spark):
+    """Draft-6 (the one networknt dialect without its own fixture,
+    ``JSONValidator.java:321-345`` V6 mode) is the 2020-12 surface
+    minus if/then/else: ``$id`` (renamed from draft-4 ``id``), NUMERIC
+    ``exclusiveMinimum``/``exclusiveMaximum`` (changed from draft-4's
+    boolean modifier — must NOT trip the draft-4 rewrite), plus the
+    keywords it introduced: ``const``, ``contains``,
+    ``propertyNames``, and the still-merged ``dependencies``. One
+    fixture exercising all of them must import untouched and validate
+    with draft-6 semantics."""
+    schema = {
+        "$schema": "http://json-schema.org/draft-06/schema#",
+        "$id": "https://example.org/draft6-fixture",
+        "type": "object",
+        "required": ["name"],
+        "dependencies": {"source": ["lang"]},
+        "properties": {
+            "name": {"const": "alice"},
+            "lang": {"enum": ["en", "es"]},
+            "source": {"maxLength": 6},
+            "n": {"exclusiveMinimum": 0, "exclusiveMaximum": 100},
+            "tags": {"type": "array", "contains": {"pattern": "^t"}},
+            "meta": {"type": "object",
+                     "propertyNames": {"pattern": "^[a-z]+$"}},
+        },
+    }
+    rs, defs = ruleset_from_json_schema(schema, name="d6")
+    df = spark.createDataFrame(
+        [
+            # clean row
+            (0, "alice", "en", "src", 50, ["t1"], {"k": "1"}),
+            # const fail, dependencies (source without lang), bound == 0
+            (1, "bob", None, "s", 0, ["t1"], {"k": "1"}),
+            # exclusive upper == 100, contains empty, bad member name
+            (2, "alice", "es", None, 100, ["a"], {"K": "1"}),
+        ],
+        "doc_id long, name string, lang string, source string, n long, "
+        "tags array<string>, meta map<string,string>",
+    )
+    got = {(r["doc_id"], r["rule_id"])
+           for r in violations_df(df, rs, definitions=defs).collect()}
+    assert got == {
+        (1, "name.const"),
+        (1, "lang.dependentRequired"),
+        (1, "n.exclusiveMinimum"),
+        (2, "n.exclusiveMaximum"),
+        (2, "tags.contains"),
+        (2, "meta.propertyNames"),
+    }
