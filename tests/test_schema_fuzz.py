@@ -774,15 +774,33 @@ def _downgrade_draft7(node):
     return out
 
 
+def _downgrade_draft6(node):
+    """Mechanical 2020-12 → draft-6 respelling: identical to the
+    draft-7 form for this keyword subset (numeric exclusives arrived
+    in 6, if/then/else in 7 and the grammar emits none) but declares
+    the draft-06 meta-schema — locking in that the `-06` URI neither
+    trips the draft-4 boolean-bounds rewrite nor the draft-4 ``id``
+    rename."""
+    out = _downgrade_draft7(node)
+    if isinstance(out, dict) and "$schema" in out:
+        out = {**out, "$schema": "http://json-schema.org/draft-06/schema#"}
+    return out
+
+
 def test_dialect_downgrade_metamorphic(spark):
-    """Each random schema is imported three ways — 2020-12 spelling,
-    its draft-7 respelling and its draft-4 downgrade — and every run
-    must match the independent evaluator's violations for the ORIGINAL
-    (same semantics, different spelling)."""
+    """Each random schema is imported four ways — 2020-12 spelling,
+    its draft-7 and draft-6 respellings and its draft-4 downgrade —
+    and every run must match the independent evaluator's violations
+    for the ORIGINAL (same semantics, different spelling)."""
     docs = _doc_grid()
     schemas = _random_common_schemas(12)
     merged, merged_defs = [], {}
-    spellings = (("n", lambda s: s), ("o", _downgrade_draft4), ("p", _downgrade_draft7))
+    spellings = (
+        ("n", lambda s: s),
+        ("o", _downgrade_draft4),
+        ("p", _downgrade_draft7),
+        ("q", _downgrade_draft6),
+    )
     for i, sch in enumerate(schemas):
         for tag, down in spellings:
             rs, defs = ruleset_from_json_schema(down(sch), name=f"x{i}{tag}")
