@@ -266,6 +266,20 @@ def main() -> None:
         os.unlink(os.path.join(BARRIER_DIR, f))
     pairs = []
     for p in range(N_PAIRS):
+        # Settle before the platform probe: immediately after the
+        # full-width corpus generation the host is still draining its
+        # own burst (round-5 pair logs show probe-start load1 of ~28
+        # measuring "ceilings" as low as 0.75x while the legs minutes
+        # later scaled 3.7x). The probe is only meaningful if it shares
+        # the measured legs' window, so wait for the 1-minute load to
+        # fall below PROBE_SETTLE_LOAD (default 2.0; cap
+        # PROBE_SETTLE_TIMEOUT seconds, default 600, then proceed — the
+        # recorded load0 tells the reader which case happened).
+        settle_cap = time.time() + float(
+            os.environ.get("PROBE_SETTLE_TIMEOUT", "600"))
+        settle_load = float(os.environ.get("PROBE_SETTLE_LOAD", "2.0"))
+        while _load1() > settle_load and time.time() < settle_cap:
+            time.sleep(15)
         load0 = _load1()
         probe = _platform_probe()
         s0, t0 = _steal_jiffies()
