@@ -143,13 +143,34 @@ def build_pass(kind: str, value: Column, params: dict[str, Any]) -> Column:
         mt = str(params.get("media_type") or "").lower()
         if not (mt == "application/json" or mt.endswith("+json")):
             return F.lit(True)
+
+        def _whole_json(col):
+            # try_parse_json (Jackson) accepts any string with a valid
+            # JSON PREFIX and ignores trailing content ('{"a":1} junk'
+            # parses as {"a":1}) — but RFC 8259 requires the JSON text
+            # to be the WHOLE string. Wrapping closes the hole: a value
+            # parse starting at the same offset ends at the same
+            # position in both wrappers, and a prefix-terminating
+            # close-bracket cannot be both ']' and '}' there — so the
+            # three parses together accept exactly complete single
+            # JSON values. (Found by a randomized content-keyword
+            # differential: digit-then-garbage strings passed the bare
+            # parse.)
+            return (
+                F.try_parse_json(col).isNotNull()
+                & F.try_parse_json(F.concat(F.lit("["), col, F.lit("]"))).isNotNull()
+                & F.try_parse_json(
+                    F.concat(F.lit('{"k":'), col, F.lit("}"))
+                ).isNotNull()
+            )
+
         if params.get("encoding") == "base64":
             b64_ok = value.rlike(
                 r"^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
             )
             decoded = F.when(b64_ok, F.unbase64(value).cast("string"))
-            return b64_ok & F.try_parse_json(decoded).isNotNull()
-        return F.try_parse_json(value).isNotNull()
+            return b64_ok & _whole_json(decoded)
+        return _whole_json(value)
 
     # --- type (:27,:28) -------------------------------------------------
     if kind == "type":

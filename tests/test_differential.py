@@ -431,8 +431,15 @@ def test_differential_content_keywords(spark):
     import json as jsonmod
 
     decoded_pool = [
-        '{"a":1}', "[1,2]", "123", "true", '"txt"',  # valid JSON values
+        '{"a":1}', "[1,2]", "123", "true", '"txt"', " 5 ",  # valid JSON values
         "hello", "not json", "", "{broken", "a b c",  # invalid
+        # valid JSON PREFIX + trailing garbage — RFC 8259 requires the
+        # JSON text to be the whole string, but Spark's try_parse_json
+        # (Jackson) ignores trailing content; the engine closes the
+        # hole with array+object wrapper parses (vocabulary.py). The
+        # bracket-escape forms ('1] , [2') defeat any SINGLE wrapper.
+        "2 33]", '{"a":1} junk', "[1,2] x", "1, 2", '1, "a": 2',
+        "1] , [2", '1} , {"a": 2', "true x", '"s" t',
     ]
     payloads = [b64mod.b64encode(p.encode()).decode() for p in decoded_pool]
     payloads += ["!not base64!", "QUJ", "ABCD", "MTIz", "QUJD=", "", "== =="]
