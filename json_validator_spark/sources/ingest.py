@@ -77,7 +77,19 @@ def load_jsonl(spark, path: str, schema: str) -> DataFrame:
 
 def _parse_raw_json(raw: DataFrame, schema: str) -> DataFrame:
     """``(_raw string)`` → ``(_raw, _doc struct<schema, _cr>)`` — the
-    shared acceptance step behind both the JSONL and the YAML surface."""
+    shared acceptance step behind both the JSONL and the YAML surface.
+
+    Trailing-token leniency is a CONTRACT here, not an accident:
+    ``from_json`` (Jackson) parses the first complete JSON value and
+    ignores trailing content, so a line like ``{"a":1} junk`` is
+    ACCEPTED with the parsed prefix. This matches the reference, whose
+    document acceptance also runs Jackson without
+    ``FAIL_ON_TRAILING_TOKENS`` (Spring's default ``ObjectMapper``;
+    networknt reads the uploaded payload via ``readTree``) — pinned in
+    ``tests/test_ingest_messages.py::test_jsonl_trailing_token_leniency``.
+    Contrast ``vocabulary.py``'s ``contentMediaType``, where RFC 8259
+    whole-string strictness is the keyword's meaning and the engine
+    wraps the parse to enforce it."""
     return raw.select(
         "_raw",
         F.from_json(

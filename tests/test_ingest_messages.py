@@ -106,3 +106,28 @@ def test_sniff_handles_all_json_whitespace(spark):
         ).collect()
     }
     assert got == {("t", "object"), ("n", "array"), ("r", "object")}
+
+
+def test_jsonl_trailing_token_leniency(tmp_path, spark):
+    """Trailing-token acceptance is a pinned CONTRACT of the ingest
+    surface (`_parse_raw_json` docstring): `{"a":1} junk` parses as the
+    prefix object — matching the reference's Jackson `readTree` without
+    FAIL_ON_TRAILING_TOKENS (Spring's default ObjectMapper) — while a
+    line with no valid JSON prefix is corrupt. contentMediaType (the
+    KEYWORD) is deliberately stricter; see vocabulary.py."""
+    from json_validator_spark.sources.ingest import (
+        jsonl_corrupt_violations,
+        jsonl_valid,
+        load_jsonl,
+    )
+
+    src = tmp_path / "docs.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "lang": "en"}\n'
+        '{"doc_id": 2, "lang": "es"} trailing junk\n'
+        "junk with no prefix\n"
+    )
+    df = load_jsonl(spark, str(src), "doc_id long, lang string")
+    valid = {(r["doc_id"], r["lang"]) for r in jsonl_valid(df).collect()}
+    assert valid == {(1, "en"), (2, "es")}
+    assert jsonl_corrupt_violations(df).count() == 1
