@@ -501,3 +501,26 @@ def test_detail_messages_leave_aggregate_unchanged(spark):
     plain = rows_set(aggregate_report(violations_df(df, rs)))
     detail = rows_set(aggregate_report(violations_df(df, rs, detail=True)))
     assert plain == detail and plain
+
+
+def test_string_length_counts_code_points(spark):
+    """JSON Schema §6.3.1: string length is the number of CHARACTERS
+    (Unicode code points) — astral-plane characters count 1 (not the 2
+    UTF-16 units Java's String.length() would report), and a combining
+    sequence counts its code points (not grapheme clusters). Spark's
+    length() is code-point-based, matching the spec and the DuckDB/
+    Python oracles; this pins the engine to that semantics."""
+    rows = [
+        (0, "\U0001F600"),          # astral emoji: 1 code point
+        (1, "a\U0001F600b"),        # 3 code points
+        (2, "é"),             # decomposed é: 2 code points
+        (3, "\U0001D11E\U0001D11E"),  # two astral clefs: 2 code points
+        (4, "ab"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    rs = RuleSet(rules=(
+        Rule("min2", "/s", "minLength", {"value": 2}),
+        Rule("max2", "/s", "maxLength", {"value": 2}),
+    ))
+    got = rows_set(violations_df(df, rs).select("doc_id", "rule_id"))
+    assert got == {(0, "min2"), (1, "max2")}
