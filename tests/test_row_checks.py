@@ -524,3 +524,17 @@ def test_string_length_counts_code_points(spark):
     ))
     got = rows_set(violations_df(df, rs).select("doc_id", "rule_id"))
     assert got == {(0, "min2"), (1, "max2")}
+
+
+def test_unique_items_null_elements_are_values(spark):
+    """JSON `null` is a VALUE inside an array (unlike the engine's
+    null-column-means-absent contract for top-level properties), so
+    `[null, null]` violates uniqueItems per draft 2020-12 §6.4.3 while
+    `[null]` and `[]` pass. Spark's array_distinct dedups nulls as
+    values, which is exactly the spec semantics — pinned here."""
+    rows = [(0, [1, 2]), (1, [1, 1]), (2, [None, None]),
+            (3, [None]), (4, [1, None, 1]), (5, [])]
+    df = spark.createDataFrame(rows, "doc_id long, a array<int>")
+    rs = RuleSet(rules=(Rule("u", "/a", "uniqueItems", {"value": True}),))
+    got = sorted(r["doc_id"] for r in violations_df(df, rs).collect())
+    assert got == [1, 2, 4]
